@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: end-to-end latency of the fused INT8 attention on the
+reference's own published workload — N=8192, d_model=1024, h=32 (d=32),
+FP32 in/out, all heads (reference include/config.h:22-28) — against the
+reference's best kernel, fa_tc_int8_b at 7.70 ms on an NVIDIA L4
+(reference README.md:19). vs_baseline > 1 means we beat it.
+
+Extra context (secondary metrics, correctness gate) goes into "extra".
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantizedmha_tpu.api import solve
+from quantizedmha_tpu.harness.timing import benchmark
+from quantizedmha_tpu.harness.verify import compare
+from quantizedmha_tpu.ops.flash_attention import flash_attention
+from quantizedmha_tpu.ops.flash_attention_int8 import flash_attention_int8
+from quantizedmha_tpu.profiling.roofline import attention_flops, detect_chip, roofline
+
+REFERENCE_INT8_MS = 7.70  # fa_tc_int8_b on L4, reference README.md:19
+
+
+def main():
+    rng = np.random.default_rng(42)
+
+    # --- Headline: the reference's exact workload, its ABI (flat [N, d_model]).
+    N, d_model, h = 8192, 1024, 32
+    q = jnp.asarray(rng.normal(0, 0.5, (N, d_model)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.5, (N, d_model)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.5, (N, d_model)), jnp.float32)
+
+    solve_int8 = jax.jit(lambda q, k, v: solve(q, k, v, d_model, h, kernel="fa_int8"))
+    t_headline = benchmark(solve_int8, q, k, v, warmup=3, runs=10)
+
+    # --- Secondary: BASELINE.json metric config (N=4K, d=64) per kernel.
+    B, H, S, D = 1, 16, 4096, 64
+    qs = jnp.asarray(rng.normal(0, 0.5, (B, H, S, D)), jnp.float32)
+    ks = jnp.asarray(rng.normal(0, 0.5, (B, H, S, D)), jnp.float32)
+    vs = jnp.asarray(rng.normal(0, 0.5, (B, H, S, D)), jnp.float32)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (qs, ks, vs))
+
+    fa_int8 = jax.jit(lambda q, k, v: flash_attention_int8(q, k, v))
+    fa_bf16 = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+    t_int8 = benchmark(fa_int8, qs, ks, vs, warmup=3, runs=10)
+    t_bf16 = benchmark(fa_bf16, qb, kb, vb, warmup=3, runs=10)
+
+    flops = attention_flops(B, H, S, S, D)
+    chip = detect_chip()
+    rl_int8 = roofline(t_int8.median_s, flops, 0, dtype="int8", chip=chip)
+    rl_bf16 = roofline(t_bf16.median_s, flops, 0, dtype="bf16", chip=chip)
+
+    # --- Correctness gate: INT8 max-abs err vs FP32 golden on random inputs.
+    from quantizedmha_tpu.reference.mha import mha_reference_shaped
+
+    small = slice(0, 1024)
+    ref_small = mha_reference_shaped(qs[:, :2, small], ks[:, :2, small], vs[:, :2, small])
+    int8_small = flash_attention_int8(qs[:, :2, small], ks[:, :2, small], vs[:, :2, small])
+    gate = compare(int8_small, ref_small, abs_tol=1e-1, rel_tol=1e-1)
+
+    value_ms = t_headline.median_ms
+    result = {
+        "metric": "fused_int8_mha_ms_reference_workload_N8192_h32_d32",
+        "value": round(value_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_INT8_MS / value_ms, 3),
+        "extra": {
+            "chip": chip.name,
+            "headline_note": "reference fa_tc_int8_b = 7.70 ms on L4 (README.md:19); vs_baseline = ref_ms / ours",
+            "int8_n4k_d64_ms": round(t_int8.median_ms, 3),
+            "int8_n4k_d64_tflops": round(rl_int8.tflops_achieved, 2),
+            "int8_pct_mxu_sol": round(rl_int8.pct_of_compute_sol, 1),
+            "bf16_n4k_d64_ms": round(t_bf16.median_ms, 3),
+            "bf16_n4k_d64_tflops": round(rl_bf16.tflops_achieved, 2),
+            "bf16_pct_mxu_sol": round(rl_bf16.pct_of_compute_sol, 1),
+            "int8_vs_fp32_max_abs_err": round(gate.max_abs, 5),
+            "int8_vs_fp32_max_rel_err": round(gate.max_rel, 5),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

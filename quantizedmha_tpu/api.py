@@ -1,0 +1,95 @@
+"""Reference-ABI entry point.
+
+The reference exposes one C ABI — `solve(Q, K, V, out, N, d_model, h)` with
+flat [N, d_model] float32 matrices (reference mha_kernels/*.cu `extern "C"
+solve`, extensions/torch/torch_ext.cpp:11-43, extensions/jax/jax_binding.py:
+25-77). Here that surface is a plain jittable JAX function: no DLPack/CuPy
+pointer escape hatch is needed because the kernels ARE jnp callables, and
+kernel selection is a runtime string instead of a per-kernel binary build
+(reference Makefile:39-53 built one binary per kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from quantizedmha_tpu.ops.flash_attention import flash_attention
+from quantizedmha_tpu.ops.flash_attention_int8 import flash_attention_int8
+from quantizedmha_tpu.ops.unfused import unfused_mha
+from quantizedmha_tpu.reference.mha import apply_rope, mha_reference_shaped
+
+# Kernel ladder, mirroring the reference's variant names (README.md:9-19).
+# The CUDA-specific layout experiments (v1b/v2/v2a/v2b: WMMA tile shapes,
+# SMEM PAD, XOR swizzle) have no TPU analogue — their capability (a tuned
+# tensor-core fused kernel) is "fa_bf16" here.
+KERNELS = ("unfused", "fa", "fa_bf16", "fa_int8", "reference")
+
+
+def solve(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    d_model: int,
+    num_heads: int,
+    *,
+    kernel: str = "fa_int8",
+    causal: bool = False,
+    use_rope: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head attention over flat [N, d_model] Q/K/V (reference ABI).
+
+    Splits heads, optionally applies RoPE to Q and K (the reference's CPU
+    golden semantics, utils/verify.cu:56-69 — which its GPU kernels skipped),
+    runs the selected kernel batched over heads in one launch (replacing the
+    per-head host loop + 2 streams of launchers.h:41-62), and concatenates.
+    """
+    if kernel not in KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; choose from {KERNELS}")
+    n = q.shape[0]
+    d = d_model // num_heads
+    if d * num_heads != d_model:
+        raise ValueError("num_heads must divide d_model")
+
+    def split(x):
+        return x.reshape(n, num_heads, d).transpose(1, 0, 2)[None]  # [1, h, N, d]
+
+    qh, kh, vh = split(q), split(k), split(v)
+    if use_rope:
+        qh = apply_rope(qh)
+        kh = apply_rope(kh)
+
+    if kernel == "unfused":
+        oh = unfused_mha(qh, kh, vh, sm_scale=sm_scale, causal=causal)
+    elif kernel == "fa":
+        oh = flash_attention(
+            qh, kh, vh, sm_scale=sm_scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, interpret=interpret,
+        )
+    elif kernel == "fa_bf16":
+        oh = flash_attention(
+            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+            sm_scale=sm_scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, interpret=interpret,
+        ).astype(qh.dtype)
+    elif kernel == "fa_int8":
+        oh = flash_attention_int8(
+            qh, kh, vh, sm_scale=sm_scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, interpret=interpret,
+        )
+    else:  # reference
+        oh = mha_reference_shaped(qh, kh, vh, sm_scale=sm_scale, causal=causal)
+
+    return oh[0].transpose(1, 0, 2).reshape(n, d_model)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4), static_argnames=("kernel",))
+def solve_jit(q, k, v, d_model, num_heads, kernel="fa_int8"):
+    return solve(q, k, v, d_model, num_heads, kernel=kernel)

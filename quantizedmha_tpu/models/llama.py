@@ -1,0 +1,203 @@
+"""Llama-3-style decoder built on the Pallas attention kernels.
+
+The reference has no model zoo — its capability ceiling is a single
+attention op behind bindings (reference extensions/torch/torch_ext.cpp:11-43).
+BASELINE.json's north star extends scope to Llama-3 8B/70B inference, so this
+module provides the model family: RMSNorm + RoPE + GQA attention (our fused
+Pallas kernel) + SwiGLU MLP, pure-functional params (pytree dicts), with
+TP/DP sharding annotations for pjit.
+
+Everything is plain JAX (no flax dependency in the hot path) so the same
+forward serves training (via the kernel's custom VJP), prefill, and decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from quantizedmha_tpu.ops.flash_attention import flash_attention
+from quantizedmha_tpu.ops.flash_attention_int8 import flash_attention_int8
+from quantizedmha_tpu.reference.mha import apply_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 512
+    intermediate_size: int = 1408
+    num_layers: int = 4
+    num_heads: int = 8
+    num_kv_heads: int = 4
+    head_dim: Optional[int] = None
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    attention_impl: str = "flash"  # flash | flash_int8 | reference
+    block_q: int = 256
+    block_kv: int = 256
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @staticmethod
+    def llama3_8b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8,
+        )
+
+    @staticmethod
+    def llama3_70b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=128256, hidden_size=8192, intermediate_size=28672,
+            num_layers=80, num_heads=64, num_kv_heads=8,
+        )
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        base = dict(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2,
+        )
+        base.update(kw)
+        return LlamaConfig(**base)
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict[str, Any]:
+    hd = cfg.hd
+    keys = jax.random.split(key, cfg.num_layers + 2)
+
+    def dense(k, shape, scale=None):
+        scale = scale if scale is not None else shape[0] ** -0.5
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[i], 7)
+        layers.append(
+            dict(
+                attn_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
+                wq=dense(lk[0], (cfg.hidden_size, cfg.num_heads * hd)),
+                wk=dense(lk[1], (cfg.hidden_size, cfg.num_kv_heads * hd)),
+                wv=dense(lk[2], (cfg.hidden_size, cfg.num_kv_heads * hd)),
+                wo=dense(lk[3], (cfg.num_heads * hd, cfg.hidden_size)),
+                mlp_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
+                w_gate=dense(lk[4], (cfg.hidden_size, cfg.intermediate_size)),
+                w_up=dense(lk[5], (cfg.hidden_size, cfg.intermediate_size)),
+                w_down=dense(lk[6], (cfg.intermediate_size, cfg.hidden_size)),
+            )
+        )
+    return dict(
+        embed=dense(keys[-2], (cfg.vocab_size, cfg.hidden_size), scale=0.02),
+        layers=jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        final_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
+        lm_head=dense(keys[-1], (cfg.hidden_size, cfg.vocab_size)),
+    )
+
+
+def param_shardings(cfg: LlamaConfig) -> Dict[str, Any]:
+    """PartitionSpecs for a ("dp", "tp") mesh: attention heads and MLP hidden
+    dim sharded over "tp" (Megatron-style column/row parallel), everything
+    else replicated. XLA inserts the psum after wo / w_down contractions."""
+    layer = dict(
+        attn_norm=P(None, None),
+        wq=P(None, None, "tp"),
+        wk=P(None, None, "tp"),
+        wv=P(None, None, "tp"),
+        wo=P(None, "tp", None),
+        mlp_norm=P(None, None),
+        w_gate=P(None, None, "tp"),
+        w_up=P(None, None, "tp"),
+        w_down=P(None, "tp", None),
+    )
+    return dict(
+        embed=P(None, None),
+        layers=layer,
+        final_norm=P(None),
+        lm_head=P(None, "tp"),
+    )
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    if n_rep == 1:
+        return x
+    b, h, s, d = x.shape
+    return jnp.broadcast_to(x[:, :, None], (b, h, n_rep, s, d)).reshape(b, h * n_rep, s, d)
+
+
+def _attention(cfg: LlamaConfig, q, k, v, *, causal=True):
+    if cfg.attention_impl == "flash":
+        return flash_attention(
+            q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv
+        )
+    if cfg.attention_impl == "flash_int8":
+        return flash_attention_int8(
+            q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv
+        )
+    from quantizedmha_tpu.reference.mha import mha_reference_shaped
+
+    return mha_reference_shaped(q, k, v, causal=causal)
+
+
+def decoder_layer(cfg: LlamaConfig, p: Dict[str, Any], x: jnp.ndarray,
+                  positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    b, s, _ = x.shape
+    hd = cfg.hd
+    h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+    q = (h @ p["wq"]).reshape(b, s, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+    k = (h @ p["wk"]).reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+    v = (h @ p["wv"]).reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cfg.rope_theta, positions)
+    k = apply_rope(k, cfg.rope_theta, positions)
+    k = _repeat_kv(k, cfg.num_heads // cfg.num_kv_heads)
+    v = _repeat_kv(v, cfg.num_heads // cfg.num_kv_heads)
+    o = _attention(cfg, q, k, v, causal=True)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * hd)
+    x = x + o @ p["wo"]
+
+    h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+    gate = jax.nn.silu((h @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    x = x + (gate * (h @ p["w_up"])) @ p["w_down"]
+    return x
+
+
+def forward(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
+            positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """tokens: [batch, seq] int32 -> logits [batch, seq, vocab]."""
+    x = params["embed"][tokens].astype(cfg.dtype)
+
+    def body(x, layer_params):
+        return decoder_layer(cfg, layer_params, x, positions), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return (x @ params["lm_head"]).astype(jnp.float32)
+
+
+def loss_fn(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray) -> jnp.ndarray:
+    """Next-token cross-entropy (shifted)."""
+    logits = forward(cfg, params, tokens)
+    targets = tokens[:, 1:]
+    logits = logits[:, :-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
+def sgd_train_step(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
+                   lr: float = 1e-3) -> Tuple[Dict[str, Any], jnp.ndarray]:
+    loss, grads = jax.value_and_grad(lambda p: loss_fn(cfg, p, tokens))(params)
+    new_params = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype), params, grads)
+    return new_params, loss

@@ -1,0 +1,322 @@
+"""Fused FlashAttention-2 forward/backward as Pallas TPU kernels.
+
+TPU-native re-design of the reference's fused CUDA kernels
+(reference mha_kernels/fa.cu — the FP32 warp-tiled FlashAttention — and the
+Tensor-Core family fa_tc_v1a/v1b/v2/v2a/v2b). The mapping:
+
+  CUDA concept (reference)                 TPU concept (here)
+  ---------------------------------------  --------------------------------
+  1 thread block per Br q-rows (fa.cu:406) grid dim over q blocks
+  per-head host loop + 2 streams           grid dims over (batch, head);
+    (launchers.h:41-62)                      XLA pipelines HBM->VMEM DMAs
+  SMEM tiles + __syncthreads               VMEM BlockSpecs (auto-pipelined)
+  warp-tiled MMA (fa.cu:24-102) / WMMA     MXU via jax.lax.dot_general
+  online (m, l) in registers               (m, l, acc) in VMEM scratch,
+    (fa.cu:106-209)                          carried across kv grid steps
+  SMEM PAD / XOR swizzle (v2a/v2b)         not needed: VMEM has no banks;
+                                             tiles align to (8,128) layout
+
+The online-softmax recurrence is the same mathematics as fa.cu:106-209:
+new max -> rescale old sum & accumulator by exp(m_old - m_new), accumulate
+exp(s - m_new) @ V, defer the 1/l normalization to the epilogue
+(fa.cu:361-380 does the same).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _auto_interpret(interpret: Optional[bool]) -> bool:
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_kernel(
+    q_ref,  # [1, 1, block_q, head_dim]
+    k_ref,  # [1, 1, block_kv, head_dim]
+    v_ref,  # [1, 1, block_kv, head_dim]
+    o_ref,  # [1, 1, block_q, head_dim]
+    lse_ref,  # [1, 1, block_q, LANES] or None
+    m_scratch,  # [block_q, LANES] f32
+    l_scratch,  # [block_q, LANES] f32
+    acc_scratch,  # [block_q, head_dim] f32
+    *,
+    sm_scale: float,
+    causal: bool,
+    q_len: int,
+    kv_len: int,
+    block_q: int,
+    block_kv: int,
+    save_residuals: bool,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # Causal block-level skip: the whole kv block is above the diagonal
+    # (same tile-skip idea as splash attention; the reference has no causal
+    # path at all — capability extension per BASELINE.json configs).
+    diag_offset = kv_len - q_len  # aligns ends (supports q_len < kv_len)
+    if causal:
+        first_q_row = q_idx * block_q + diag_offset
+        last_q_row = first_q_row + block_q - 1
+        first_kv_col = kv_idx * block_kv
+        should_run = last_q_row >= first_kv_col
+    else:
+        should_run = True
+
+    # For f32 inputs run the MXU in full-precision (multi-pass) mode so the
+    # kernel is a true FP32 kernel like the reference's `fa` (fa.cu); bf16
+    # inputs take the fast single-pass path like its tensor-core variants.
+    mxu_precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        )
+        s *= sm_scale
+
+        need_kv_edge_mask = kv_len % block_kv != 0
+        if causal or need_kv_edge_mask:
+            qpos = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                + q_idx * block_q
+                + diag_offset
+            )
+            kpos = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+                + kv_idx * block_kv
+            )
+            mask = jnp.ones((block_q, block_kv), jnp.bool_)
+            if causal:
+                mask &= kpos <= qpos
+            if need_kv_edge_mask:
+                mask &= kpos < kv_len
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+        v = v_ref[0, 0, :, :]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _epilogue():
+        l = l_scratch[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if save_residuals:
+            # log-sum-exp residual for the backward pass; stored broadcast
+            # across lanes (same layout choice as jax's TPU flash).
+            lse = m_scratch[:, :1] + jnp.log(l)
+            lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _fwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    save_residuals: bool,
+    interpret: Optional[bool] = None,
+):
+    batch, heads, q_len, head_dim = q.shape
+    kv_len = k.shape[2]
+    block_q = min(block_q, q_len)
+    block_kv = min(block_kv, kv_len)
+
+    # Pad sequence dims to block multiples. Padded q rows are sliced off at
+    # the end; padded kv columns are masked inside the kernel (kpos < kv_len).
+    q_pad = (-q_len) % block_q
+    kv_pad = (-kv_len) % block_kv
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, 0))) if q_pad else q
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad), (0, 0))) if kv_pad else k
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad), (0, 0))) if kv_pad else v
+    q_len_p, kv_len_p = q_len + q_pad, kv_len + kv_pad
+
+    grid = (batch, heads, q_len_p // block_q, kv_len_p // block_kv)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        q_len=q_len,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_kv=block_kv,
+        save_residuals=save_residuals,
+    )
+    if not save_residuals:
+        kernel = functools.partial(_strip_lse, kernel)
+
+    out_shapes = [jax.ShapeDtypeStruct((batch, heads, q_len_p, head_dim), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+    ]
+    if save_residuals:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((batch, heads, q_len_p, LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, i, j: (b, h, i, 0))
+        )
+
+    results = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_auto_interpret(interpret),
+    )(qp, kp, vp)
+
+    o = results[0][:, :, :q_len, :]
+    if save_residuals:
+        lse = results[1][:, :, :q_len, 0]
+        return o, lse
+    return o, None
+
+
+def _strip_lse(kernel, q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):
+    return kernel(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s)
+
+
+# ---------------------------------------------------------------------------
+# Backward pass (flash-style, blocked jnp for now; Pallas dkv/dq kernels are
+# the planned replacement — residuals and formulas already match).
+# Formulas: P = exp(S*scale - lse); di = rowsum(dO*O);
+#   dV = P^T dO ; dS = P*(dO V^T - di)*scale ; dQ = dS K ; dK = dS^T Q.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_reference(sm_scale, causal, q, k, v, o, lse, do):
+    hi = jax.lax.Precision.HIGHEST
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    dof, of = do.astype(jnp.float32), o.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf, precision=hi) * sm_scale
+    q_len, kv_len = s.shape[-2], s.shape[-1]
+    if causal:
+        qi = jnp.arange(q_len)[:, None] + (kv_len - q_len)
+        ki = jnp.arange(kv_len)[None, :]
+        s = jnp.where(ki <= qi, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse[..., None])
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof, precision=hi)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf, precision=hi)
+    di = jnp.sum(dof * of, axis=-1, keepdims=True)
+    ds = p * (dp - di) * sm_scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf, precision=hi)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf, precision=hi)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention_custom(
+    q, k, v, sm_scale, causal, block_q, block_kv, interpret
+):
+    o, _ = _fwd(
+        q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
+        block_kv=block_kv, save_residuals=False, interpret=interpret,
+    )
+    return o
+
+
+def _flash_fwd_rule(q, k, v, sm_scale, causal, block_q, block_kv, interpret):
+    o, lse = _fwd(
+        q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
+        block_kv=block_kv, save_residuals=True, interpret=interpret,
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd_rule(sm_scale, causal, block_q, block_kv, interpret, res, do):
+    q, k, v, o, lse = res
+    return _bwd_reference(sm_scale, causal, q, k, v, o, lse, do)
+
+
+_flash_attention_custom.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    causal: bool = False,
+    block_q: int = 256,
+    block_kv: int = 256,
+    save_residuals: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Fused FlashAttention-2 forward on TPU.
+
+    q: [batch, heads, q_len, head_dim]; k, v: [batch, heads, kv_len, head_dim].
+    Differentiable (custom VJP). Set `save_residuals=True` to also get the
+    log-sum-exp [batch, heads, q_len] (used for cross-chip/context-parallel
+    softmax merging, see quantizedmha_tpu.parallel).
+    """
+    if q.ndim != 4:
+        raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
+    scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
+    if save_residuals:
+        return _fwd(
+            q, k, v, sm_scale=scale, causal=causal, block_q=block_q,
+            block_kv=block_kv, save_residuals=True, interpret=interpret,
+        )
+    return _flash_attention_custom(
+        q, k, v, scale, causal, block_q, block_kv, interpret
+    )

@@ -1,0 +1,90 @@
+"""Fused FlashAttention kernel vs the jnp golden.
+
+Covers the verification surface the reference lacked (SURVEY.md 4.4):
+random inputs, causal masking, uneven sequence lengths (padding path),
+cross-attention (q_len != kv_len), and gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedmha_tpu.harness.verify import assert_close
+from quantizedmha_tpu.ops.flash_attention import flash_attention
+from quantizedmha_tpu.reference.mha import mha_reference_shaped
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_matches_golden(qkv_factory, causal):
+    q, k, v = qkv_factory(batch=2, heads=2, q_len=256, kv_len=256)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          causal=causal, block_q=128, block_kv=128)
+    ref = mha_reference_shaped(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=causal)
+    assert_close(out, ref, abs_tol=1e-3, rel_tol=1e-3, what=f"flash causal={causal}")
+
+
+def test_multiple_kv_blocks(qkv_factory):
+    q, k, v = qkv_factory(q_len=128, kv_len=512)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          block_q=128, block_kv=128)
+    ref = mha_reference_shaped(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    assert_close(out, ref, what="cross-attention q_len != kv_len")
+
+
+@pytest.mark.parametrize("q_len,kv_len", [(100, 100), (257, 391)])
+def test_uneven_lengths_padding_path(qkv_factory, q_len, kv_len):
+    q, k, v = qkv_factory(q_len=q_len, kv_len=kv_len)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          block_q=128, block_kv=128)
+    ref = mha_reference_shaped(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    assert_close(out, ref, what=f"uneven ({q_len},{kv_len})")
+
+
+def test_uneven_causal(qkv_factory):
+    q, k, v = qkv_factory(q_len=200, kv_len=200)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          causal=True, block_q=128, block_kv=128)
+    ref = mha_reference_shaped(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True)
+    assert_close(out, ref, what="uneven causal")
+
+
+def test_bf16(qkv_factory):
+    q, k, v = qkv_factory(q_len=256, kv_len=256)
+    qb, kb, vb = (jnp.asarray(x, jnp.bfloat16) for x in (q, k, v))
+    out = flash_attention(qb, kb, vb, block_q=128, block_kv=128)
+    ref = mha_reference_shaped(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    assert_close(out.astype(jnp.float32), ref, abs_tol=2e-2, rel_tol=2e-2, what="bf16")
+
+
+def test_save_residuals_lse(qkv_factory):
+    q, k, v = qkv_factory(q_len=128, kv_len=128)
+    out, lse = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                               save_residuals=True, block_q=128, block_kv=128)
+    # lse == logsumexp of scaled scores, checked against jnp directly.
+    s = jnp.einsum("bhqd,bhkd->bhqk", jnp.asarray(q), jnp.asarray(k)) * (q.shape[-1] ** -0.5)
+    want = jax.nn.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gradients_match_golden(qkv_factory, causal):
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=128, kv_len=128, head_dim=32)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal, block_q=128, block_kv=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference_shaped(q, k, v, causal=causal) ** 2)
+
+    g = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gr):
+        assert_close(a, b, abs_tol=2e-3, rel_tol=2e-3, what=f"d{name} causal={causal}")
+
+
+def test_rejects_bad_rank():
+    x = jnp.zeros((4, 8, 16))
+    with pytest.raises(ValueError):
+        flash_attention(x, x, x)

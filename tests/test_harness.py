@@ -1,0 +1,61 @@
+"""Verify gate + roofline unit tests (utils/verify.cu + NCU-workflow reborn)."""
+
+import numpy as np
+import pytest
+
+from quantizedmha_tpu.harness.verify import ErrorReport, assert_close, compare
+from quantizedmha_tpu.profiling.roofline import (
+    ChipSpec,
+    attention_bytes,
+    attention_flops,
+    roofline,
+)
+
+
+def test_compare_pass():
+    a = np.ones((8, 8), np.float32)
+    r = compare(a, a + 5e-4)
+    assert r.ok and r.n_mismatch == 0
+
+
+def test_compare_tolerance_semantics():
+    """tol = max(abs, rel*|ref|) — reference utils/verify.cu:161-171."""
+    ref = np.array([100.0, 0.0001], np.float32)
+    got = np.array([100.05, 0.0015], np.float32)  # 100.05: within rel; 0.0015: > abs tol
+    r = compare(got, ref, abs_tol=1e-3, rel_tol=1e-3)
+    assert r.n_mismatch == 1
+
+
+def test_compare_nonfinite_detected():
+    ref = np.zeros(4, np.float32)
+    got = np.array([0, np.nan, np.inf, 0], np.float32)
+    r = compare(got, ref)
+    assert not r.ok and r.n_nonfinite == 2
+
+
+def test_assert_close_raises():
+    with pytest.raises(AssertionError):
+        assert_close(np.ones(3), np.zeros(3))
+
+
+def test_attention_flops():
+    # 2 matmuls x 2*N*M*d, causal halves it.
+    assert attention_flops(1, 1, 128, 128, 64) == 2 * 2 * 128 * 128 * 64
+    assert attention_flops(1, 1, 128, 128, 64, causal=True) == 2 * 128 * 128 * 64
+
+
+def test_roofline_math():
+    chip = ChipSpec("test", bf16_tflops=100.0, int8_tops=200.0, hbm_gbps=1000.0)
+    # 1e12 FLOPs in 0.02 s => 50 TFLOP/s = 50% of 100 TFLOP/s peak.
+    r = roofline(0.02, 1e12, 1e9, dtype="bf16", chip=chip)
+    assert abs(r.tflops_achieved - 50.0) < 1e-6
+    assert abs(r.pct_of_compute_sol - 50.0) < 1e-6
+    # memory SoL: 1e9 bytes @ 1000 GB/s = 1 ms => 5% of the 20 ms runtime
+    assert abs(r.pct_of_memory_sol - 5.0) < 1e-6
+    assert r.compute_bound
+
+
+def test_int8_peak_selected():
+    chip = ChipSpec("test", 100.0, 200.0, 1000.0)
+    r = roofline(0.01, 1e12, 0, dtype="int8", chip=chip)
+    assert abs(r.pct_of_compute_sol - 50.0) < 1e-6

@@ -1,0 +1,83 @@
+"""INT8 fused kernel: exactness vs its fake-quant golden, and error budget
+vs the FP32 golden (the BASELINE.json "INT8 max-abs err vs FP32" metric).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedmha_tpu.harness.verify import assert_close, compare
+from quantizedmha_tpu.ops.flash_attention_int8 import flash_attention_int8
+from quantizedmha_tpu.reference.mha import mha_reference_shaped
+from quantizedmha_tpu.reference.quant_ref import (
+    fake_quant_int8,
+    mha_int8_reference,
+    quantize_int8_tile,
+)
+
+
+def test_quantize_roundtrip(rng):
+    x = jnp.asarray(rng.normal(0, 3.0, (64, 32)).astype(np.float32))
+    q, scale = quantize_int8_tile(x)
+    assert scale.shape == (1, 1)
+    err = jnp.max(jnp.abs(q.astype(jnp.float32) * scale - x))
+    # Max roundtrip error is half a quantization step.
+    assert float(err) <= float(scale.squeeze()) * 0.5 + 1e-7
+
+
+def test_quantize_per_row_scales(rng):
+    x = jnp.asarray(rng.normal(0, 1.0, (16, 32)).astype(np.float32))
+    q, scale = quantize_int8_tile(x, axis=-1)
+    assert scale.shape == (16, 1)
+    got = q.astype(jnp.float32) * scale
+    assert float(jnp.max(jnp.abs(got - x))) <= float(jnp.max(scale)) * 0.5 + 1e-7
+
+
+def test_quantize_constant_input_is_exact():
+    x = jnp.full((32, 32), 2.5, jnp.float32)
+    assert float(jnp.max(jnp.abs(fake_quant_int8(x) - x))) < 1e-6
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_kernel_matches_fake_quant_golden(qkv_factory, causal):
+    """The Pallas kernel must reproduce the jnp fake-quant golden almost
+    exactly — same quantization decisions, same accumulation structure."""
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=256, kv_len=256)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    out = flash_attention_int8(q, k, v, causal=causal, block_q=128, block_kv=128)
+    ref = mha_int8_reference(q, k, v, causal=causal, block_q=128, block_kv=128)
+    assert_close(out, ref, abs_tol=1e-5, rel_tol=1e-4, what=f"int8 vs fake-quant causal={causal}")
+
+
+def test_error_budget_vs_fp32_random(qkv_factory):
+    """On random inputs the per-tile INT8 path must stay within a 5% max
+    relative error of the FP32 golden (reported, not hidden — the reference
+    only ever measured its INT8 delta on constant inputs)."""
+    q, k, v = qkv_factory(batch=1, heads=4, q_len=512, kv_len=512)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    out = flash_attention_int8(q, k, v)
+    ref = mha_reference_shaped(q, k, v)
+    report = compare(out, ref, abs_tol=5e-2, rel_tol=5e-1)
+    assert report.max_rel < 0.05, f"INT8 error too large: {report}"
+
+
+def test_constant_input_parity_gate():
+    """The reference's own correctness gate (drivers/main.cu:73-104:
+    constant-1.0 inputs, tol=1e-3): its INT8 kernel deviated 0.3-0.4%
+    (profiles/md/run7/notes.md:41-53). Ours must beat that budget."""
+    B, H, S, D = 1, 2, 256, 64
+    one = jnp.ones((B, H, S, D), jnp.float32)
+    out = flash_attention_int8(one, one, one)
+    # With V == 1 the exact output is 1 everywhere.
+    err = float(jnp.max(jnp.abs(out - 1.0)))
+    assert err < 1e-3, f"constant-input INT8 deviation {err} exceeds the 1e-3 gate"
+
+
+def test_uneven_lengths(qkv_factory):
+    q, k, v = qkv_factory(q_len=130, kv_len=200)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    out = flash_attention_int8(q, k, v, block_q=128, block_kv=128)
+    # Padding path: compare against fp32 golden within the int8 budget.
+    ref = mha_reference_shaped(q, k, v)
+    report = compare(out, ref, abs_tol=5e-2, rel_tol=5e-1)
+    assert report.max_rel < 0.05, f"{report}"
