@@ -38,7 +38,7 @@ def main():
     v = jnp.asarray(rng.normal(0, 0.5, (N, d_model)), jnp.float32)
 
     solve_int8 = jax.jit(lambda q, k, v: solve(q, k, v, d_model, h, kernel="fa_int8"))
-    t_headline = benchmark(solve_int8, q, k, v, warmup=3, runs=10)
+    t_headline = benchmark(solve_int8, q, k, v, warmup=3, runs=24, repeats=5)
 
     # --- Secondary: BASELINE.json metric config (N=4K, d=64) per kernel.
     B, H, S, D = 1, 16, 4096, 64
@@ -49,8 +49,8 @@ def main():
 
     fa_int8 = jax.jit(lambda q, k, v: flash_attention_int8(q, k, v))
     fa_bf16 = jax.jit(lambda q, k, v: flash_attention(q, k, v))
-    t_int8 = benchmark(fa_int8, qs, ks, vs, warmup=3, runs=10)
-    t_bf16 = benchmark(fa_bf16, qb, kb, vb, warmup=3, runs=10)
+    t_int8 = benchmark(fa_int8, qs, ks, vs, warmup=3, runs=24, repeats=5)
+    t_bf16 = benchmark(fa_bf16, qb, kb, vb, warmup=3, runs=24, repeats=5)
 
     flops = attention_flops(B, H, S, S, D)
     chip = detect_chip()

@@ -40,8 +40,8 @@ def solve(
     causal: bool = False,
     use_rope: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Multi-head attention over flat [N, d_model] Q/K/V (reference ABI).

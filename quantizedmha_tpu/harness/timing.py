@@ -3,14 +3,15 @@
 The reference's measured hot loop is `warmup x W; runs x R` around `solve()`
 with a device sync per run (reference drivers/main.cu:130-147). On a
 tunneled/async PJRT backend `block_until_ready` can return before execution
-finishes, so this harness times a *batch* of K enqueued executions closed by
+finishes, so this harness times *batches* of K enqueued executions closed by
 a host-side scalar fetch (the only reliable sync), and cancels the constant
-tunnel/sync overhead with a two-point fit:
+tunnel/sync overhead with a robust two-point fit:
 
-    t(K2) - t(K1) = (K2 - K1) * t_kernel
+    t_kernel = (median t(K2) - median t(K1)) / (K2 - K1)
 
 The device executes enqueued programs in order, so waiting on the last
-output's scalar implies all K executions completed.
+output's scalar implies all K executions completed. Medians are taken per
+batch size before differencing because tunnel jitter is spiky and one-sided.
 """
 
 from __future__ import annotations
@@ -29,35 +30,35 @@ def _sync(out) -> None:
 
     leaves = jax.tree_util.tree_leaves(out)
     leaf = leaves[0]
-    # Index down to a scalar on device, then transfer it.
     idx = tuple(0 for _ in leaf.shape)
     np.asarray(leaf[idx] if idx else leaf)
 
 
 @dataclasses.dataclass(frozen=True)
 class Timing:
-    times_s: List[float]  # per-run kernel time estimates
+    estimate_s: float       # robust per-run estimate (the headline)
+    pair_estimates_s: List[float]  # raw per-pair estimates (spread diagnostic)
 
     @property
     def median_s(self) -> float:
-        return statistics.median(self.times_s)
-
-    @property
-    def mean_s(self) -> float:
-        return statistics.fmean(self.times_s)
-
-    @property
-    def min_s(self) -> float:
-        return min(self.times_s)
+        return self.estimate_s
 
     @property
     def median_ms(self) -> float:
-        return self.median_s * 1e3
+        return self.estimate_s * 1e3
+
+    @property
+    def spread(self) -> float:
+        """Relative spread of the raw pair estimates (noise indicator)."""
+        if len(self.pair_estimates_s) < 2:
+            return 0.0
+        lo, hi = min(self.pair_estimates_s), max(self.pair_estimates_s)
+        return (hi - lo) / self.estimate_s if self.estimate_s else 0.0
 
     def __str__(self) -> str:
         return (
-            f"median {self.median_s * 1e3:.3f} ms  mean {self.mean_s * 1e3:.3f} ms  "
-            f"min {self.min_s * 1e3:.3f} ms  ({len(self.times_s)} estimates)"
+            f"{self.estimate_s * 1e3:.3f} ms "
+            f"(pairs: {', '.join(f'{t * 1e3:.3f}' for t in self.pair_estimates_s)})"
         )
 
 
@@ -81,7 +82,7 @@ def benchmark(
 
     warmup: executions before timing (includes compile).
     runs:   K2 of the two-point fit (K1 = max(1, runs // 4)).
-    repeats: independent two-point estimates; the median is the headline.
+    repeats: batch-time samples per K; medians are differenced.
     """
     out = None
     for _ in range(max(warmup, 1)):
@@ -89,9 +90,12 @@ def benchmark(
     _sync(out)
 
     k1 = max(1, runs // 4)
-    estimates = []
+    t1s, t2s = [], []
     for _ in range(repeats):
-        t1 = _timed_batch(fn, args, k1)
-        t2 = _timed_batch(fn, args, runs)
-        estimates.append(max((t2 - t1) / (runs - k1), 1e-9))
-    return Timing(estimates)
+        t1s.append(_timed_batch(fn, args, k1))
+        t2s.append(_timed_batch(fn, args, runs))
+    est = max(
+        (statistics.median(t2s) - statistics.median(t1s)) / (runs - k1), 1e-9
+    )
+    pairs = [max((t2 - t1) / (runs - k1), 1e-9) for t1, t2 in zip(t1s, t2s)]
+    return Timing(est, pairs)

@@ -38,8 +38,8 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
     attention_impl: str = "flash"  # flash | flash_int8 | reference
-    block_q: int = 256
-    block_kv: int = 256
+    block_q: Optional[int] = None  # None -> ops.flash_attention.pick_blocks
+    block_kv: Optional[int] = None
 
     @property
     def hd(self) -> int:

@@ -42,6 +42,29 @@ def _auto_interpret(interpret: Optional[bool]) -> bool:
     return jax.default_backend() != "tpu"
 
 
+def pick_blocks(
+    q_len: int,
+    kv_len: int,
+    head_dim: int,
+    *,
+    fp32_inputs: bool = False,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+):
+    """Default tile sizes, tuned on v5e (see PROGRESS notes): large q blocks
+    amortize K/V reloads and per-grid-step overhead; the binding constraint
+    is the ~16 MB scoped-VMEM stack (scores tile = block_q*block_kv*4B plus
+    double-buffered input blocks)."""
+    if block_kv is None:
+        block_kv = 1024
+    if block_q is None:
+        block_q = 2048 if (head_dim <= 64 and not fp32_inputs) else 1024
+        # keep scores (f32) + P copy under ~10 MB of the 16 MB budget
+        while block_q * block_kv * 6 > 10 * 1024 * 1024 and block_q > 256:
+            block_q //= 2
+    return min(block_q, q_len), min(block_kv, kv_len)
+
+
 def _fwd_kernel(
     q_ref,  # [1, 1, block_q, head_dim]
     k_ref,  # [1, 1, block_kv, head_dim]
@@ -93,13 +116,14 @@ def _fwd_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0, :, :]
+        # Fold sm_scale into the (block_q, head_dim) Q tile — a factor
+        # seq_len/head_dim fewer VPU multiplies than scaling the scores tile.
+        q = q_ref[0, 0, :, :] * jnp.asarray(sm_scale, q_ref.dtype)
         k = k_ref[0, 0, :, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=mxu_precision,
         )
-        s *= sm_scale
 
         need_kv_edge_mask = kv_len % block_kv != 0
         if causal or need_kv_edge_mask:
@@ -157,15 +181,18 @@ def _fwd(
     *,
     sm_scale: float,
     causal: bool,
-    block_q: int,
-    block_kv: int,
+    block_q: Optional[int],
+    block_kv: Optional[int],
     save_residuals: bool,
     interpret: Optional[bool] = None,
 ):
     batch, heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
-    block_q = min(block_q, q_len)
-    block_kv = min(block_kv, kv_len)
+    block_q, block_kv = pick_blocks(
+        q_len, kv_len, head_dim,
+        fp32_inputs=(q.dtype == jnp.float32),
+        block_q=block_q, block_kv=block_kv,
+    )
 
     # Pad sequence dims to block multiples. Padded q rows are sliced off at
     # the end; padded kv columns are masked inside the kernel (kpos < kv_len).
@@ -297,8 +324,8 @@ def flash_attention(
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     save_residuals: bool = False,
     interpret: Optional[bool] = None,
 ):

@@ -7,19 +7,23 @@ and of the INT8 algorithm documented in its run6 notes
 (arXiv 2409.16997):
 
   per (q_block, kv_block) tile:
-    Qq,Kq,Vq   int8 = symmetric max-abs per tile      (fa_tc_int8_a.cu:38-147)
-    S_i32      = Qq @ Kq^T on the MXU's int8 path     (wmma int8, :177-280)
-    S_f32      = S_i32 * sQ * sK * sm_scale           (dequant, :150-174)
+    S_i32    = Qq_i8 @ Kq_i8^T on the MXU's int8 path   (wmma int8, :177-280)
+    S_f32    = S_i32 * sQ * sK * sm_scale               (dequant, :150-174)
     online softmax in f32 (m, l in VMEM scratch)
-    Pq  int8   = round(P * 127)    P in (0,1] so the scale is static
-    O_i32      = Pq @ Vq on the MXU
-    acc_f32   += O_i32 * sV / 127                     (fp32 accum, :420-423)
+    Pq  int8 = round(P * 127)     P in (0,1] so the scale is static
+    O_i32    = Pq @ Vq_i8 on the MXU
+    acc_f32 += O_i32 * sV / 127                         (fp32 accum, :420-423)
 
 Deliberate departures from the reference:
-  * Q is quantized ONCE per q block and cached in VMEM scratch; the
+  * K/V are quantized ONCE per sequence in an O(S*D) host-side XLA pass
+    (ops/quantize.py) and the kernel reads int8 payloads + per-block scales
+    — half the K/V HBM traffic, no per-(q_block, kv_block) re-quantization
+    VPU work (the reference re-quantized K and V inside every grid cell,
+    fa_tc_int8_b.cu:495,517), and the natural format for an INT8 KV cache.
+  * Q is quantized once per q block and cached in VMEM scratch; the
     reference re-quantized Q on every kv iteration (fa_tc_int8_b.cu:482).
-  * Scales are kernel-local per-(q_block, kv_block) values — the reference
-    kept them in global DRAM arrays keyed only by kv block, a true data race
+  * Scales are per-(head, block) kernel inputs in SMEM — the reference kept
+    them in global DRAM arrays keyed only by kv block, a true data race
     across q blocks (fa_tc_int8_a.cu:414,528-531; SURVEY.md 4.4).
   * No SMEM buffer unions / PAD / swizzles: VMEM has no bank conflicts, and
     the aliasing hazard that cost the reference 0.3-0.4% accuracy
@@ -36,27 +40,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from quantizedmha_tpu.ops.flash_attention import DEFAULT_MASK_VALUE, LANES, _auto_interpret
+from quantizedmha_tpu.ops.flash_attention import (
+    DEFAULT_MASK_VALUE,
+    LANES,
+    _auto_interpret,
+    pick_blocks,
+)
+from quantizedmha_tpu.ops.quantize import quantize_kv_blocks
 
-
-def _quant_tile(x: jnp.ndarray, scale_clamp: float):
-    """Symmetric per-tile max-abs int8 quantization (in-kernel, VPU)."""
-    amax = jnp.max(jnp.abs(x))
-    scale = jnp.maximum(amax, scale_clamp) / 127.0
-    q = jnp.clip(jnp.round(x / scale), -127.0, 127.0).astype(jnp.int8)
-    return q, scale
+_INT8_PRECISION = jax.lax.Precision.DEFAULT  # fp32 contract precision is
+# invalid for integer matmuls; pin DEFAULT against a global
+# jax_default_matmul_precision=highest.
 
 
 def _int8_fwd_kernel(
-    q_ref,  # [1, 1, block_q, head_dim] f32/bf16
-    k_ref,  # [1, 1, block_kv, head_dim]
-    v_ref,  # [1, 1, block_kv, head_dim]
-    o_ref,  # [1, 1, block_q, head_dim]
-    m_scratch,  # [block_q, LANES] f32
-    l_scratch,  # [block_q, LANES] f32
+    q_ref,   # [1, 1, block_q, head_dim] f32/bf16
+    k_ref,   # [1, 1, block_kv, head_dim] int8
+    v_ref,   # [1, 1, block_kv, head_dim] int8
+    ks_ref,  # [batch, heads, nkv] f32, whole array in SMEM — K block scales
+    vs_ref,  # [batch, heads, nkv] f32, whole array in SMEM — V block scales
+    o_ref,   # [1, 1, block_q, head_dim]
+    m_scratch,    # [block_q, LANES] f32
+    l_scratch,    # [block_q, LANES] f32
     acc_scratch,  # [block_q, head_dim] f32
     qi8_scratch,  # [block_q, head_dim] int8 — Q quantized once per q block
-    sq_scratch,  # [1] f32 in SMEM — Q tile scale
+    sq_scratch,   # [1] f32 in SMEM — Q tile scale
     *,
     sm_scale: float,
     causal: bool,
@@ -67,6 +75,8 @@ def _int8_fwd_kernel(
     scale_clamp: float,
     p_scale: float,
 ):
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
@@ -77,9 +87,10 @@ def _int8_fwd_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
         q = q_ref[0, 0, :, :].astype(jnp.float32)
-        qi8, sq = _quant_tile(q, scale_clamp)
-        qi8_scratch[...] = qi8
-        sq_scratch[0] = sq
+        amax = jnp.max(jnp.abs(q))
+        scale = jnp.maximum(amax, scale_clamp) / 127.0
+        qi8_scratch[...] = jnp.clip(jnp.round(q / scale), -127.0, 127.0).astype(jnp.int8)
+        sq_scratch[0] = scale
 
     diag_offset = kv_len - q_len
     if causal:
@@ -90,17 +101,14 @@ def _int8_fwd_kernel(
 
     @pl.when(should_run)
     def _run():
-        k = k_ref[0, 0, :, :].astype(jnp.float32)
-        ki8, sk = _quant_tile(k, scale_clamp)
-        # precision pinned to DEFAULT: integer matmuls reject the fp32
-        # contract precision a global jax_default_matmul_precision=highest
-        # would otherwise inject.
         s_i32 = jax.lax.dot_general(
-            qi8_scratch[...], ki8, (((1,), (1,)), ((), ())),
+            qi8_scratch[...], k_ref[0, 0, :, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
-            precision=jax.lax.Precision.DEFAULT,
+            precision=_INT8_PRECISION,
         )
-        s = s_i32.astype(jnp.float32) * (sq_scratch[0] * sk * sm_scale)
+        s = s_i32.astype(jnp.float32) * (
+            sq_scratch[0] * ks_ref[b_idx, h_idx, kv_idx] * sm_scale
+        )
 
         need_kv_edge_mask = kv_len % block_kv != 0
         if causal or need_kv_edge_mask:
@@ -135,16 +143,13 @@ def _int8_fwd_kernel(
         # the reference instead ran a full per-tile reduction on P each
         # iteration, fa_tc_int8_b.cu:352-360).
         p_i8 = jnp.round(p * p_scale).astype(jnp.int8)
-
-        v = v_ref[0, 0, :, :].astype(jnp.float32)
-        vi8, sv = _quant_tile(v, scale_clamp)
         pv_i32 = jax.lax.dot_general(
-            p_i8, vi8, (((1,), (0,)), ((), ())),
+            p_i8, v_ref[0, 0, :, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-            precision=jax.lax.Precision.DEFAULT,
+            precision=_INT8_PRECISION,
         )
         acc_scratch[...] = acc_scratch[...] * alpha + pv_i32.astype(jnp.float32) * (
-            sv / p_scale
+            vs_ref[b_idx, h_idx, kv_idx] / p_scale
         )
 
     @pl.when(kv_idx == num_kv - 1)
@@ -154,43 +159,45 @@ def _int8_fwd_kernel(
         o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
-def flash_attention_int8(
+def flash_attention_int8_prequant(
     q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
+    k_i8: jnp.ndarray,
+    k_scales: jnp.ndarray,
+    v_i8: jnp.ndarray,
+    v_scales: jnp.ndarray,
     *,
+    kv_len: Optional[int] = None,
     sm_scale: Optional[float] = None,
     causal: bool = False,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     scale_clamp: float = 1e-8,
     p_static_scale: float = 127.0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Fused INT8-quantized FlashAttention forward on TPU.
+    """Fused INT8 attention over pre-quantized K/V (the INT8 KV-cache path).
 
-    q, k, v: [batch, heads, seq, head_dim] float32/bfloat16 in; same dtype
-    out (matching the reference's FP32-in/FP32-out ABI with internal INT8,
-    reference mha_kernels/fa_tc_int8_b.cu). Quantization is symmetric
-    per-(q_block, kv_block) tile max-abs; both matmuls run on the MXU's
-    int8 x int8 -> int32 path.
+    q: [batch, heads, q_len, head_dim] f32/bf16.
+    k_i8, v_i8: [batch, heads, kv_len_padded, head_dim] int8, kv_len_padded a
+    multiple of block_kv; k_scales, v_scales: [batch, heads, nkv] f32 with
+    nkv = kv_len_padded // block_kv.
+    kv_len: true (unpadded) kv length; defaults to the padded length.
     """
-    if q.ndim != 4:
-        raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
     batch, heads, q_len, head_dim = q.shape
-    kv_len = k.shape[2]
+    kv_len_p = k_i8.shape[2]
+    kv_len = kv_len if kv_len is not None else kv_len_p
     scale = sm_scale if sm_scale is not None else head_dim**-0.5
-    block_q = min(block_q, q_len)
-    block_kv = min(block_kv, kv_len)
+    nkv = k_scales.shape[-1]
+    block_kv = kv_len_p // nkv if block_kv is None else min(block_kv, kv_len_p)
+    block_q, _ = pick_blocks(q_len, kv_len_p, head_dim, block_q=block_q, block_kv=block_kv)
+    assert kv_len_p % block_kv == 0
+    assert nkv == kv_len_p // block_kv, "k_scales blocks must match block_kv"
     if causal and q_len > kv_len:
         raise ValueError("causal attention requires q_len <= kv_len")
 
     q_pad = (-q_len) % block_q
-    kv_pad = (-kv_len) % block_kv
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, 0))) if q_pad else q
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad), (0, 0))) if kv_pad else k
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad), (0, 0))) if kv_pad else v
-    q_len_p, kv_len_p = q_len + q_pad, kv_len + kv_pad
+    q_len_p = q_len + q_pad
 
     grid = (batch, heads, q_len_p // block_q, kv_len_p // block_kv)
     kernel = functools.partial(
@@ -211,6 +218,8 @@ def flash_attention_int8(
             pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
@@ -227,5 +236,277 @@ def flash_attention_int8(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
-    )(qp, kp, vp)
+    )(qp, k_i8, v_i8, k_scales, v_scales)
     return out[:, :, :q_len, :]
+
+
+# ---------------------------------------------------------------------------
+# Transposed-score variant for small head_dim.
+#
+# For head_dim < 128 the standard orientation pays an MXU shape tax twice:
+# QK^T contracts over d (k-dim padded to 128) and PV produces d output lanes
+# (n-dim padded to 128). The contraction tax is inherent to the problem
+# shape, but the PV tax is not: computing O^T = V^T @ P^T makes d the
+# *streaming* dimension (cheap when small) with a full 128-lane output.
+# Measured on v5e at the reference headline shape (d=32): int8 PV goes from
+# 77 to 176 TOPS. Softmax becomes column-wise (reduction over sublanes).
+# ---------------------------------------------------------------------------
+
+
+def _int8_fwd_kernel_t(
+    qt_ref,  # [1, 1, head_dim, block_q] f32/bf16 — Q^T tile
+    k_ref,   # [1, 1, block_kv, head_dim] int8
+    vt_ref,  # [1, 1, head_dim, block_kv] int8 — V^T tile
+    ks_ref,  # [batch, heads, nkv] f32 in SMEM
+    vs_ref,  # [batch, heads, nkv] f32 in SMEM
+    ot_ref,  # [1, 1, head_dim, block_q]
+    m_scratch,    # [SUBS, block_q] f32 (row 0 live)
+    l_scratch,    # [SUBS, block_q] f32 (row 0 live)
+    acc_scratch,  # [head_dim, block_q] f32 — O^T accumulator
+    qi8_scratch,  # [head_dim, block_q] int8 — Q^T quantized once per q block
+    sq_scratch,   # [1] f32 in SMEM
+    *,
+    sm_scale: float,
+    causal: bool,
+    q_len: int,
+    kv_len: int,
+    block_q: int,
+    block_kv: int,
+    scale_clamp: float,
+    p_scale: float,
+):
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+        qt = qt_ref[0, 0, :, :].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(qt))
+        scale = jnp.maximum(amax, scale_clamp) / 127.0
+        qi8_scratch[...] = jnp.clip(jnp.round(qt / scale), -127.0, 127.0).astype(jnp.int8)
+        sq_scratch[0] = scale
+
+    diag_offset = kv_len - q_len
+    if causal:
+        last_q_row = q_idx * block_q + diag_offset + block_q - 1
+        should_run = last_q_row >= kv_idx * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        # S^T [block_kv, block_q] = K @ Q^T (contraction over head_dim).
+        st_i32 = jax.lax.dot_general(
+            k_ref[0, 0, :, :], qi8_scratch[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=_INT8_PRECISION,
+        )
+        st = st_i32.astype(jnp.float32) * (
+            sq_scratch[0] * ks_ref[b_idx, h_idx, kv_idx] * sm_scale
+        )
+
+        need_kv_edge_mask = kv_len % block_kv != 0
+        if causal or need_kv_edge_mask:
+            kpos = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0)
+                + kv_idx * block_kv
+            )
+            qpos = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 1)
+                + q_idx * block_q
+                + diag_offset
+            )
+            mask = jnp.ones((block_kv, block_q), jnp.bool_)
+            if causal:
+                mask &= kpos <= qpos
+            if need_kv_edge_mask:
+                mask &= kpos < kv_len
+            st = jnp.where(mask, st, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:1, :]
+        l_prev = l_scratch[:1, :]
+        m_curr = jnp.max(st, axis=0, keepdims=True)  # [1, block_q]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(st - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+        p_i8 = jnp.round(p * p_scale).astype(jnp.int8)
+        # O^T [head_dim, block_q] += V^T @ P^T: full-lane output, head_dim
+        # is only the cheap streaming dimension.
+        pv_i32 = jax.lax.dot_general(
+            vt_ref[0, 0, :, :], p_i8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=_INT8_PRECISION,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha + pv_i32.astype(jnp.float32) * (
+            vs_ref[b_idx, h_idx, kv_idx] / p_scale
+        )
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _epilogue():
+        l = l_scratch[:1, :]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        ot_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(ot_ref.dtype)
+
+
+_SUBS = 8  # min f32 sublane tile for the [1, block_q] m/l statistics
+
+
+def pick_blocks_t(
+    q_len: int,
+    kv_len: int,
+    *,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+):
+    """Tile sizes for the transposed kernel (scores are [block_kv, block_q]):
+    a wide q block feeds the full-lane O^T matmul; tuned on v5e at the
+    reference headline shape (bq=4096, bkv=512 -> 5.6 ms vs 7.7 ms L4)."""
+    if block_kv is None:
+        block_kv = 512
+    if block_q is None:
+        block_q = 4096
+        while block_q * block_kv * 6 > 13 * 1024 * 1024 and block_q > 512:
+            block_q //= 2
+    return min(block_q, q_len), min(block_kv, kv_len)
+
+
+def flash_attention_int8_t(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    causal: bool = False,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+    scale_clamp: float = 1e-8,
+    p_static_scale: float = 127.0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Transposed-score fused INT8 attention (optimal for head_dim <= 64)."""
+    if q.ndim != 4:
+        raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
+    batch, heads, q_len, head_dim = q.shape
+    kv_len = k.shape[2]
+    scale = sm_scale if sm_scale is not None else head_dim**-0.5
+    if causal and q_len > kv_len:
+        raise ValueError("causal attention requires q_len <= kv_len")
+
+    block_q_eff, block_kv_eff = pick_blocks_t(
+        q_len, kv_len, block_q=block_q, block_kv=block_kv
+    )
+    kv_pad = (-kv_len) % block_kv_eff
+    if kv_pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad), (0, 0)))
+    kv_len_p = kv_len + kv_pad
+    q_pad = (-q_len) % block_q_eff
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, 0))) if q_pad else q
+    q_len_p = q_len + q_pad
+
+    k_i8, k_scales = quantize_kv_blocks(k, block_kv_eff, scale_clamp=scale_clamp)
+    v_i8, v_scales = quantize_kv_blocks(v, block_kv_eff, scale_clamp=scale_clamp)
+    qt = qp.transpose(0, 1, 3, 2)          # [B, H, D, Sq]
+    vt_i8 = v_i8.transpose(0, 1, 3, 2)     # [B, H, D, Skv]
+
+    grid = (batch, heads, q_len_p // block_q_eff, kv_len_p // block_kv_eff)
+    kernel = functools.partial(
+        _int8_fwd_kernel_t,
+        sm_scale=scale,
+        causal=causal,
+        q_len=q_len,
+        kv_len=kv_len,
+        block_q=block_q_eff,
+        block_kv=block_kv_eff,
+        scale_clamp=scale_clamp,
+        p_scale=p_static_scale,
+    )
+    out_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, head_dim, block_q_eff), lambda b, h, i, j: (b, h, 0, i)),
+            pl.BlockSpec((1, 1, block_kv_eff, head_dim), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, head_dim, block_kv_eff), lambda b, h, i, j: (b, h, 0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, head_dim, block_q_eff), lambda b, h, i, j: (b, h, 0, i)
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, head_dim, q_len_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_SUBS, block_q_eff), jnp.float32),
+            pltpu.VMEM((_SUBS, block_q_eff), jnp.float32),
+            pltpu.VMEM((head_dim, block_q_eff), jnp.float32),
+            pltpu.VMEM((head_dim, block_q_eff), jnp.int8),
+            pltpu.SMEM((1,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_auto_interpret(interpret),
+    )(qt, k_i8, vt_i8, k_scales, v_scales)
+    return out_t.transpose(0, 1, 3, 2)[:, :, :q_len, :]
+
+
+def flash_attention_int8(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    causal: bool = False,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+    scale_clamp: float = 1e-8,
+    p_static_scale: float = 127.0,
+    transposed: Optional[bool] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused INT8-quantized FlashAttention forward on TPU.
+
+    q, k, v: [batch, heads, seq, head_dim] float32/bfloat16 in; same dtype
+    out (matching the reference's FP32-in/FP32-out ABI with internal INT8,
+    reference mha_kernels/fa_tc_int8_b.cu). K/V are block-quantized in a
+    fused O(S*D) prepass; both attention matmuls run on the MXU's
+    int8 x int8 -> int32 path.
+    """
+    if q.ndim != 4:
+        raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
+    q_len = q.shape[2]
+    kv_len = k.shape[2]
+    head_dim = q.shape[-1]
+    if transposed is None:
+        transposed = head_dim <= 64
+    if transposed:
+        return flash_attention_int8_t(
+            q, k, v, sm_scale=sm_scale, causal=causal,
+            block_q=block_q, block_kv=block_kv,
+            scale_clamp=scale_clamp, p_static_scale=p_static_scale,
+            interpret=interpret,
+        )
+    _, block_kv_eff = pick_blocks(q_len, kv_len, q.shape[-1], block_q=block_q, block_kv=block_kv)
+    kv_pad = (-kv_len) % block_kv_eff
+    if kv_pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad), (0, 0)))
+    k_i8, k_scales = quantize_kv_blocks(k, block_kv_eff, scale_clamp=scale_clamp)
+    v_i8, v_scales = quantize_kv_blocks(v, block_kv_eff, scale_clamp=scale_clamp)
+    return flash_attention_int8_prequant(
+        q, k_i8, k_scales, v_i8, v_scales,
+        kv_len=kv_len, sm_scale=sm_scale, causal=causal,
+        block_q=block_q, block_kv=block_kv_eff,
+        scale_clamp=scale_clamp, p_static_scale=p_static_scale,
+        interpret=interpret,
+    )
