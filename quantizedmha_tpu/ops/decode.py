@@ -1,0 +1,183 @@
+"""Paged-KV decode attention kernel (q_len = 1, GQA, INT8 KV cache).
+
+The serving hot path BASELINE.json's north star adds on top of the
+reference's kernel-study scope: one new token's query attends to the whole
+paged KV cache. Decode is HBM-bandwidth-bound (the entire cache is read per
+step), which is exactly why the cache is INT8 — half the bytes of bf16
+(reference run6/int8_notes.md motivates int8 by SMEM/DRAM economy; here the
+same math halves HBM traffic).
+
+Design (boom guide secs 8-13 shape the approach):
+  - k/v live in pages [num_kv_heads, num_pages, page_size, head_dim] int8
+    with one symmetric max-abs scale per (kv_head, page) — the same
+    per-block scale scheme as ops/quantize.py, so a page is one quant tile.
+  - block tables [batch, max_pages] map each sequence's logical pages to
+    physical ones; they are scalar-prefetched so the Pallas BlockSpec
+    index_map can gather non-contiguous pages (PrefetchScalarGridSpec).
+  - grid (batch, kv_head, page): per step one page's K/V tile is DMA'd;
+    all q heads of the GQA group attend to it with online (m, l) carry.
+  - pages past a sequence's length are skipped with @pl.when, so cost is
+    proportional to the true context length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quantizedmha_tpu.ops.flash_attention import DEFAULT_MASK_VALUE, LANES, _auto_interpret
+
+_INT8_PRECISION = jax.lax.Precision.DEFAULT
+_SUB = 8  # f32 sublane quantum; the GQA group dim is padded up to this
+
+
+def _decode_kernel(
+    # scalar prefetch
+    lengths_ref,       # [batch] i32
+    tables_ref,        # [batch, max_pages] i32
+    # inputs
+    q_ref,             # [1, 1, group_p, head_dim] f32/bf16
+    k_page_ref,        # [1, 1, page_size, head_dim] int8
+    v_page_ref,        # [1, 1, page_size, head_dim] int8
+    ks_ref,            # [num_kv_heads, num_pages] f32 in SMEM
+    vs_ref,            # [num_kv_heads, num_pages] f32 in SMEM
+    # outputs
+    o_ref,             # [1, 1, group_p, head_dim]
+    # scratch
+    m_scratch,         # [group_p, LANES] f32
+    l_scratch,         # [group_p, LANES] f32
+    acc_scratch,       # [group_p, head_dim] f32
+    *,
+    sm_scale: float,
+    page_size: int,
+    group_p: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    num_pages_grid = pl.num_programs(2)
+    length = lengths_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    @pl.when(i * page_size < length)
+    def _run():
+        page = tables_ref[b, i]
+        q = q_ref[0, 0, :, :].astype(jnp.float32) * sm_scale
+        k = k_page_ref[0, 0, :, :]
+        # q is a handful of rows; dequantizing scores (not k) keeps the
+        # matmul int-free on the q side: s = (q @ k^T_int8) * k_scale.
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ks_ref[h, page]
+
+        # Mask positions beyond the sequence length within this page.
+        pos = jax.lax.broadcasted_iota(jnp.int32, (group_p, page_size), 1) + i * page_size
+        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+        v = v_page_ref[0, 0, :, :]
+        pv = jax.lax.dot_general(
+            p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * vs_ref[h, page]
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
+
+    @pl.when(i == num_pages_grid - 1)
+    def _epilogue():
+        l = l_scratch[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    k_scales: jnp.ndarray,
+    v_scales: jnp.ndarray,
+    lengths: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Single-token attention against a paged INT8 KV cache.
+
+    q:            [batch, num_q_heads, head_dim] (the new token's queries)
+    k/v_pages:    [num_kv_heads, num_pages, page_size, head_dim] int8
+    k/v_scales:   [num_kv_heads, num_pages] f32
+    lengths:      [batch] i32 — current context length per sequence
+    block_tables: [batch, max_pages] i32 — physical page ids (pad with 0)
+    Returns [batch, num_q_heads, head_dim].
+    """
+    batch, num_q_heads, head_dim = q.shape
+    num_kv_heads, num_pages, page_size, _ = k_pages.shape
+    max_pages = block_tables.shape[1]
+    group = num_q_heads // num_kv_heads
+    assert group * num_kv_heads == num_q_heads
+    scale = sm_scale if sm_scale is not None else head_dim**-0.5
+
+    group_p = max(group, _SUB)
+    # [batch, kv_heads, group, head_dim], padded group rows are garbage in /
+    # garbage out and sliced off.
+    qg = q.reshape(batch, num_kv_heads, group, head_dim)
+    if group_p != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
+
+    kernel = functools.partial(
+        _decode_kernel,
+        sm_scale=scale,
+        page_size=page_size,
+        group_p=group_p,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, num_kv_heads, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, page_size, head_dim), lambda b, h, i, L, T: (h, T[b, i], 0, 0)),
+            pl.BlockSpec((1, 1, page_size, head_dim), lambda b, h, i, L, T: (h, T[b, i], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group_p, LANES), jnp.float32),
+            pltpu.VMEM((group_p, LANES), jnp.float32),
+            pltpu.VMEM((group_p, head_dim), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_kv_heads, group_p, head_dim), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=_auto_interpret(interpret),
+    )(lengths, block_tables, qg, k_pages, v_pages, k_scales, v_scales)
+    return out[:, :, :group, :].reshape(batch, num_q_heads, head_dim)

@@ -66,6 +66,7 @@ def pick_blocks(
 
 
 def _fwd_kernel(
+    offs_ref,  # [2] int32 in SMEM: (q_offset, kv_offset) global positions
     q_ref,  # [1, 1, block_q, head_dim]
     k_ref,  # [1, 1, block_kv, head_dim]
     v_ref,  # [1, 1, block_kv, head_dim]
@@ -96,12 +97,15 @@ def _fwd_kernel(
     # Causal block-level skip: the whole kv block is above the diagonal
     # (same tile-skip idea as splash attention; the reference has no causal
     # path at all — capability extension per BASELINE.json configs).
-    diag_offset = kv_len - q_len  # aligns ends (supports q_len < kv_len)
+    # Positions are global: q row r has position q_offset + r, kv col c has
+    # position kv_offset + c. Offsets are traced scalars so ring-attention
+    # steps (quantizedmha_tpu.parallel.ring) can rotate them per device.
     if causal:
-        first_q_row = q_idx * block_q + diag_offset
-        last_q_row = first_q_row + block_q - 1
-        first_kv_col = kv_idx * block_kv
-        should_run = last_q_row >= first_kv_col
+        q_off = offs_ref[0]
+        kv_off = offs_ref[1]
+        last_q_pos = q_off + q_idx * block_q + block_q - 1
+        first_kv_pos = kv_off + kv_idx * block_kv
+        should_run = last_q_pos >= first_kv_pos
     else:
         should_run = True
 
@@ -130,7 +134,6 @@ def _fwd_kernel(
             qpos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
                 + q_idx * block_q
-                + diag_offset
             )
             kpos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -138,7 +141,7 @@ def _fwd_kernel(
             )
             mask = jnp.ones((block_q, block_kv), jnp.bool_)
             if causal:
-                mask &= kpos <= qpos
+                mask &= (kpos + offs_ref[1]) <= (qpos + offs_ref[0])
             if need_kv_edge_mask:
                 mask &= kpos < kv_len
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -168,9 +171,14 @@ def _fwd_kernel(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
         if save_residuals:
-            # log-sum-exp residual for the backward pass; stored broadcast
-            # across lanes (same layout choice as jax's TPU flash).
-            lse = m_scratch[:, :1] + jnp.log(l)
+            # log-sum-exp residual for the backward pass and for partial-
+            # attention merging (context parallelism); stored broadcast
+            # across lanes (same layout choice as jax's TPU flash). Fully
+            # masked rows (l == 0, e.g. a ring step entirely in the future)
+            # get -inf so they drop out of the cross-shard merge.
+            lse = jnp.where(
+                l > 0.0, m_scratch[:, :1] + jnp.log(l), -jnp.inf
+            )
             lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -184,6 +192,8 @@ def _fwd(
     block_q: Optional[int],
     block_kv: Optional[int],
     save_residuals: bool,
+    q_offset=None,
+    kv_offset=None,
     interpret: Optional[bool] = None,
 ):
     batch, heads, q_len, head_dim = q.shape
@@ -192,6 +202,15 @@ def _fwd(
         q_len, kv_len, head_dim,
         fp32_inputs=(q.dtype == jnp.float32),
         block_q=block_q, block_kv=block_kv,
+    )
+    # Global positions for causal masking; default end-aligned (rows of a
+    # short q attend to the tail of kv). May be traced scalars (ring steps).
+    if q_offset is None:
+        q_offset = kv_len - q_len
+    if kv_offset is None:
+        kv_offset = 0
+    offsets = jnp.stack(
+        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
     )
 
     # Pad sequence dims to block multiples. Padded q rows are sliced off at
@@ -234,6 +253,7 @@ def _fwd(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
@@ -249,7 +269,7 @@ def _fwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
-    )(qp, kp, vp)
+    )(offsets, qp, kp, vp)
 
     o = results[0][:, :, :q_len, :]
     if save_residuals:
@@ -258,8 +278,8 @@ def _fwd(
     return o, None
 
 
-def _strip_lse(kernel, q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):
-    return kernel(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s)
+def _strip_lse(kernel, offs_ref, q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):
+    return kernel(offs_ref, q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s)
 
 
 # ---------------------------------------------------------------------------
@@ -327,6 +347,8 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     save_residuals: bool = False,
+    q_offset=None,
+    kv_offset=None,
     interpret: Optional[bool] = None,
 ):
     """Fused FlashAttention-2 forward on TPU.
@@ -334,7 +356,9 @@ def flash_attention(
     q: [batch, heads, q_len, head_dim]; k, v: [batch, heads, kv_len, head_dim].
     Differentiable (custom VJP). Set `save_residuals=True` to also get the
     log-sum-exp [batch, heads, q_len] (used for cross-chip/context-parallel
-    softmax merging, see quantizedmha_tpu.parallel).
+    softmax merging, see quantizedmha_tpu.parallel). q_offset/kv_offset are
+    global positions for causal masking (traced scalars allowed; requires
+    save_residuals=True when used, e.g. by ring attention).
     """
     if q.ndim != 4:
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
@@ -342,8 +366,11 @@ def flash_attention(
     if save_residuals:
         return _fwd(
             q, k, v, sm_scale=scale, causal=causal, block_q=block_q,
-            block_kv=block_kv, save_residuals=True, interpret=interpret,
+            block_kv=block_kv, save_residuals=True,
+            q_offset=q_offset, kv_offset=kv_offset, interpret=interpret,
         )
+    if q_offset is not None or kv_offset is not None:
+        raise ValueError("q_offset/kv_offset require save_residuals=True")
     return _flash_attention_custom(
         q, k, v, scale, causal, block_q, block_kv, interpret
     )

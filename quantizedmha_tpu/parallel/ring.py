@@ -1,0 +1,120 @@
+"""Context parallelism: sequence-sharded attention across chips.
+
+Two strategies (boom guide secs 15-16; no analogue in the reference, whose
+sequence scaling is only the single-chip flash KV loop, fa.cu:283-359):
+
+1. `context_parallel_attention` — each chip runs the fused kernel against
+   its local KV shard (saving lse), then partials merge with two
+   all-reduces (pmax + psum). Simple, robust, 2 collectives.
+
+2. `ring_attention` — KV shards rotate around the ring via
+   `jax.lax.ppermute` while each chip computes on the shard in front of it;
+   communication overlaps compute, cost is point-to-point over ICI.
+
+Both call the single-chip Pallas kernel per step (grid over local blocks)
+and merge with the exact online-softmax recurrence, so the result equals
+single-chip flash attention bit-for-tolerance. Causal masking uses global
+position offsets threaded into the kernel as traced scalars.
+
+Use under `jax.shard_map` with q/k/v sharded on the sequence axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from quantizedmha_tpu.ops.flash_attention import flash_attention
+from quantizedmha_tpu.parallel.combine import merge_partial_attention, merge_two_partials
+
+
+def context_parallel_attention(
+    q: jnp.ndarray,
+    k_shard: jnp.ndarray,
+    v_shard: jnp.ndarray,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    seq_len: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """All-partial + all-reduce context parallelism.
+
+    Call inside shard_map with q REPLICATED across the axis
+    (q: [b, h, q_len, d]) and k/v sharded on the sequence axis
+    (k_shard/v_shard: [b, h, kv_shard, d]). Each device computes attention
+    of all q rows against its local kv shard; partials then merge across
+    the axis (pmax + psum), so every q row covers the full sequence.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    kv_shard_len = k_shard.shape[2]
+    q_offset = jnp.int32(0)
+    kv_offset = (idx * kv_shard_len).astype(jnp.int32)
+    o, lse = flash_attention(
+        q, k_shard, v_shard,
+        sm_scale=sm_scale, causal=causal,
+        save_residuals=True,
+        q_offset=q_offset, kv_offset=kv_offset,
+        interpret=interpret,
+    )
+    return merge_partial_attention(o, lse, axis_name)
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k_shard: jnp.ndarray,
+    v_shard: jnp.ndarray,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Ring attention over a sequence-sharded mesh axis.
+
+    Call inside shard_map. q: [b, h, q_shard, d] (this device's q rows,
+    global offset = axis_index * q_shard); k/v: [b, h, kv_shard, d] (this
+    device's kv shard). KV blocks rotate around the ring (ppermute to the
+    right neighbor) for n-1 steps; partial outputs merge online. The
+    rotation is issued *before* the compute of each step so XLA can overlap
+    the ICI transfer with the Pallas kernel.
+    """
+    n = jax.lax.psum(1, axis_name=axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    q_shard_len = q.shape[2]
+    kv_shard_len = k_shard.shape[2]
+    q_offset = (idx * q_shard_len).astype(jnp.int32)
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step_fn(carry, step):
+        o_acc, lse_acc, k_blk, v_blk = carry
+        # Which device this kv block originated from, after `step` rotations
+        # to the right: src = idx - step (mod n).
+        src = jax.lax.rem(idx - step + n, n)
+        kv_offset = (src * kv_shard_len).astype(jnp.int32)
+
+        # Kick off the rotation for the next step first (overlaps compute).
+        k_next = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_next = jax.lax.ppermute(v_blk, axis_name, perm)
+
+        o_s, lse_s = flash_attention(
+            q, k_blk, v_blk,
+            sm_scale=sm_scale, causal=causal,
+            save_residuals=True,
+            q_offset=q_offset, kv_offset=kv_offset,
+            interpret=interpret,
+        )
+        o_new, lse_new = merge_two_partials(o_acc, lse_acc, o_s, lse_s)
+        return (o_new, lse_new, k_next, v_next), None
+
+    o0 = jnp.zeros(q.shape, q.dtype)
+    lse0 = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)
+    (o, _, _, _), _ = jax.lax.scan(
+        step_fn, (o0, lse0, k_shard, v_shard), jnp.arange(n)
+    )
+    return o

@@ -1,0 +1,183 @@
+"""Llama model adapter for the serving engine: prefill + paged decode.
+
+Splits the model forward (models/llama.py) into the two serving phases:
+  - prefill: full causal flash attention over the prompt; emits the
+    per-layer K/V (post-RoPE) for cache insertion plus last-token logits.
+  - decode_step: one token per sequence; projects q/k/v, RoPE at the
+    absolute position, appends K/V to the paged INT8 cache, and attends
+    with ops.decode.paged_decode_attention.
+
+Both are pure functions of (params, state) — jit once per shape bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quantizedmha_tpu.models.llama import LlamaConfig, rms_norm, _repeat_kv, _attention
+from quantizedmha_tpu.ops.decode import paged_decode_attention
+from quantizedmha_tpu.reference.mha import apply_rope
+from quantizedmha_tpu.serving.kv_cache import PagedKVCacheState
+
+
+def make_cache(cfg: LlamaConfig, num_pages: int, page_size: int) -> PagedKVCacheState:
+    """Layer-stacked cache: every array has a leading num_layers dim."""
+    one = PagedKVCacheState.create(cfg.num_kv_heads, num_pages, page_size, cfg.hd)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (cfg.num_layers, *x.shape)).copy(), one
+    )
+
+
+def prefill_at(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
+               last_index: jnp.ndarray):
+    """Prefill over a (possibly right-padded) prompt.
+
+    tokens: [1, n_pad]; last_index: scalar i32 of the final *real* token
+    (causal attention makes its logits independent of the padding).
+    Returns (logits [1, vocab], k_all, v_all [L, Hkv, n_pad, hd], post-RoPE).
+    """
+    logits_all, k_all, v_all = _prefill_all(cfg, params, tokens)
+    return logits_all[:, last_index], k_all, v_all
+
+
+def prefill(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray):
+    """tokens: [1, n] -> (last_logits [1, vocab], k_all, v_all [L, Hkv, n, hd])."""
+    logits_all, k_all, v_all = _prefill_all(cfg, params, tokens)
+    return logits_all[:, -1], k_all, v_all
+
+
+def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray):
+    b, n = tokens.shape
+    hd = cfg.hd
+    x = params["embed"][tokens].astype(cfg.dtype)
+
+    def body(x, p):
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        q = (h @ p["wq"]).reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = (h @ p["wk"]).reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = (h @ p["wv"]).reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cfg.rope_theta)
+        k = apply_rope(k, cfg.rope_theta)
+        kv_k, kv_v = k, v  # cached post-RoPE
+        k = _repeat_kv(k, cfg.num_heads // cfg.num_kv_heads)
+        v = _repeat_kv(v, cfg.num_heads // cfg.num_kv_heads)
+        o = _attention(cfg, q, k, v, causal=True)
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
+        x = x + o @ p["wo"]
+        h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+        gate = jax.nn.silu((h @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + (gate * (h @ p["w_up"])) @ p["w_down"]
+        return x, (kv_k[0], kv_v[0])
+
+    x, (k_all, v_all) = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)  # [1, n, vocab]
+    return logits, k_all, v_all
+
+
+def write_prefill(
+    cfg: LlamaConfig,
+    cache: PagedKVCacheState,  # layer-stacked
+    k_all: jnp.ndarray,  # [L, Hkv, n_tokens, hd] (n_tokens multiple of page_size)
+    v_all: jnp.ndarray,
+    page_ids: jnp.ndarray,  # [n_pages] i32 — same physical ids for every layer
+    *,
+    page_size: int,
+) -> PagedKVCacheState:
+    """Quantize + scatter a prompt's K/V into the paged cache, all layers."""
+    from quantizedmha_tpu.serving.kv_cache import write_pages
+
+    def body(_, scanned):
+        cache_l, k_l, v_l = scanned
+        return None, write_pages(cache_l, k_l, v_l, page_ids, page_size)
+
+    _, cache = jax.lax.scan(body, None, (cache, k_all, v_all))
+    return cache
+
+
+def _rope_single(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """RoPE for one token per sequence. x: [B, H, hd]; positions: [B]."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) * 2.0 / hd)
+    ang = positions.astype(jnp.float32)[:, None] * freqs[None, :]  # [B, half]
+    cos = jnp.cos(ang)[:, None, :]  # [B, 1, half]
+    sin = jnp.sin(ang)[:, None, :]
+    xf = x.astype(jnp.float32)
+    xe, xo = xf[..., 0::2], xf[..., 1::2]
+    re = xe * cos - xo * sin
+    ro = xe * sin + xo * cos
+    return jnp.stack([re, ro], axis=-1).reshape(x.shape).astype(x.dtype)
+
+
+def _append_batch(
+    cache: PagedKVCacheState,
+    k_tok: jnp.ndarray,  # [B, Hkv, hd]
+    v_tok: jnp.ndarray,
+    page_ids: jnp.ndarray,  # [B] i32
+    slots: jnp.ndarray,  # [B] i32
+) -> PagedKVCacheState:
+    """Batched single-token append (one layer). Scale policy matches
+    kv_cache.append_token: slot 0 fits the page scale to its first token."""
+    kf = k_tok.astype(jnp.float32).transpose(1, 0, 2)  # [Hkv, B, hd]
+    vf = v_tok.astype(jnp.float32).transpose(1, 0, 2)
+    k_fit = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0  # [Hkv, B]
+    v_fit = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
+    ks_old = cache.k_scales[:, page_ids]  # [Hkv, B]
+    vs_old = cache.v_scales[:, page_ids]
+    ks = jnp.where(slots[None, :] == 0, k_fit, ks_old)
+    vs = jnp.where(slots[None, :] == 0, v_fit, vs_old)
+    kq = jnp.clip(jnp.round(kf / ks[..., None]), -127, 127).astype(jnp.int8)
+    vq = jnp.clip(jnp.round(vf / vs[..., None]), -127, 127).astype(jnp.int8)
+    return PagedKVCacheState(
+        k_pages=cache.k_pages.at[:, page_ids, slots].set(kq),
+        v_pages=cache.v_pages.at[:, page_ids, slots].set(vq),
+        k_scales=cache.k_scales.at[:, page_ids].set(ks),
+        v_scales=cache.v_scales.at[:, page_ids].set(vs),
+    )
+
+
+def decode_step(
+    cfg: LlamaConfig,
+    params: Dict[str, Any],
+    cache: PagedKVCacheState,  # layer-stacked
+    tokens: jnp.ndarray,     # [B] i32 — the tokens just sampled
+    positions: jnp.ndarray,  # [B] i32 — their absolute positions
+    page_ids: jnp.ndarray,   # [B] i32 — page receiving each token's K/V
+    slots: jnp.ndarray,      # [B] i32 — slot within that page
+    lengths: jnp.ndarray,    # [B] i32 — context length INCLUDING this token
+    tables: jnp.ndarray,     # [B, max_pages] i32
+) -> Tuple[jnp.ndarray, PagedKVCacheState]:
+    """One decode step for a batch of sequences -> (logits [B, vocab], cache)."""
+    b = tokens.shape[0]
+    hd = cfg.hd
+    x = params["embed"][tokens][:, None, :].astype(cfg.dtype)  # [B, 1, hid]
+
+    def body(x, scanned):
+        p, cache_l = scanned
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        q = (h @ p["wq"]).reshape(b, cfg.num_heads, hd)
+        k = (h @ p["wk"]).reshape(b, cfg.num_kv_heads, hd)
+        v = (h @ p["wv"]).reshape(b, cfg.num_kv_heads, hd)
+        # RoPE at each sequence's absolute position.
+        q = _rope_single(q, positions, cfg.rope_theta)
+        k = _rope_single(k, positions, cfg.rope_theta)
+        cache_l = _append_batch(cache_l, k, v, page_ids, slots)
+        o = paged_decode_attention(
+            q, cache_l.k_pages, cache_l.v_pages,
+            cache_l.k_scales, cache_l.v_scales, lengths, tables,
+        )
+        x = x + (o.reshape(b, 1, cfg.num_heads * hd).astype(cfg.dtype) @ p["wo"])
+        h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+        gate = jax.nn.silu((h @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + (gate * (h @ p["w_up"])) @ p["w_down"]
+        return x, cache_l
+
+    x, cache = jax.lax.scan(body, x, (params["layers"], cache))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    return logits, cache

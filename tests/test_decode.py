@@ -1,0 +1,131 @@
+"""Paged INT8 decode kernel + KV cache tests.
+
+Golden: dequantize the pages in jnp and run exact softmax attention — the
+kernel must match within int8 quantization error of the *cache write*, not
+of the kernel itself (the kernel's arithmetic on the stored int8 is exact).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedmha_tpu.ops.decode import paged_decode_attention
+from quantizedmha_tpu.serving.kv_cache import (
+    PageAllocator,
+    PagedKVCacheState,
+    append_token,
+    quantize_page,
+    write_pages,
+)
+
+PAGE = 128
+
+
+def _setup_cache(rng, num_kv_heads=2, num_pages=16, head_dim=64, lengths=(200, 128)):
+    state = PagedKVCacheState.create(num_kv_heads, num_pages, PAGE, head_dim)
+    alloc = PageAllocator(num_pages, PAGE)
+    k_full, v_full = [], []
+    for sid, n in enumerate(lengths):
+        n_pad = -(-n // PAGE) * PAGE
+        k = rng.normal(0, 0.5, (num_kv_heads, n_pad, head_dim)).astype(np.float32)
+        v = rng.normal(0, 0.5, (num_kv_heads, n_pad, head_dim)).astype(np.float32)
+        k[:, n:] = 0
+        v[:, n:] = 0
+        pages = alloc.admit(sid, n)
+        # admit() allocates ceil(n / PAGE) pages; write the padded tokens.
+        state = write_pages(state, jnp.asarray(k), jnp.asarray(v), jnp.asarray(pages, jnp.int32), PAGE)
+        k_full.append(k)
+        v_full.append(v)
+    return state, alloc, k_full, v_full
+
+
+def _golden_decode(q, k, v, length):
+    """q: [Hq, D]; k/v: [Hkv, n_pad, D] float; exact softmax over :length."""
+    hq, d = q.shape
+    hkv = k.shape[0]
+    group = hq // hkv
+    qg = q.reshape(hkv, group, d).astype(np.float64)
+    s = np.einsum("hgd,hnd->hgn", qg, k[:, :length].astype(np.float64)) * d**-0.5
+    s -= s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(-1, keepdims=True)
+    o = np.einsum("hgn,hnd->hgd", p, v[:, :length].astype(np.float64))
+    return o.reshape(hq, d)
+
+
+def test_paged_decode_matches_dequantized_golden(rng):
+    state, alloc, k_full, v_full = _setup_cache(rng)
+    seq_ids = [0, 1]
+    lengths = alloc.lengths_array(seq_ids)
+    tables = alloc.block_table_array(seq_ids, max_pages=4)
+
+    hq, d = 4, 64
+    q = rng.normal(0, 0.5, (2, hq, d)).astype(np.float32)
+    out = paged_decode_attention(
+        jnp.asarray(q), state.k_pages, state.v_pages, state.k_scales,
+        state.v_scales, jnp.asarray(lengths), jnp.asarray(tables),
+    )
+    assert out.shape == (2, hq, d)
+
+    for b, sid in enumerate(seq_ids):
+        # Dequantized golden: what the cache actually stores.
+        table = alloc.tables[sid]
+        kk = np.asarray(state.k_pages)[:, table].astype(np.float64)
+        kk *= np.asarray(state.k_scales)[:, table][:, :, None, None]
+        vv = np.asarray(state.v_pages)[:, table].astype(np.float64)
+        vv *= np.asarray(state.v_scales)[:, table][:, :, None, None]
+        kk = kk.reshape(kk.shape[0], -1, d)
+        vv = vv.reshape(vv.shape[0], -1, d)
+        want = _golden_decode(q[b], kk, vv, alloc.lengths[sid])
+        got = np.asarray(out[b], np.float64)
+        assert np.max(np.abs(got - want)) < 1e-4, f"seq {sid}: {np.max(np.abs(got - want))}"
+
+
+def test_paged_decode_close_to_fp32_attention(rng):
+    """End-to-end (quantization included) error budget vs unquantized."""
+    state, alloc, k_full, v_full = _setup_cache(rng)
+    lengths = alloc.lengths_array([0, 1])
+    tables = alloc.block_table_array([0, 1], max_pages=4)
+    q = rng.normal(0, 0.5, (2, 4, 64)).astype(np.float32)
+    out = paged_decode_attention(
+        jnp.asarray(q), state.k_pages, state.v_pages, state.k_scales,
+        state.v_scales, jnp.asarray(lengths), jnp.asarray(tables),
+    )
+    for b in range(2):
+        want = _golden_decode(q[b], k_full[b], v_full[b], alloc.lengths[[0, 1][b]])
+        err = np.max(np.abs(np.asarray(out[b], np.float64) - want))
+        assert err < 0.03, f"seq {b}: int8 cache error {err}"
+
+
+def test_append_token_roundtrip(rng):
+    state = PagedKVCacheState.create(2, 4, PAGE, 32)
+    k_tok = jnp.asarray(rng.normal(0, 0.5, (2, 32)).astype(np.float32))
+    v_tok = jnp.asarray(rng.normal(0, 0.5, (2, 32)).astype(np.float32))
+    state = append_token(state, k_tok, v_tok, jnp.int32(2), jnp.int32(0))
+    got = np.asarray(state.k_pages)[:, 2, 0].astype(np.float32) * np.asarray(state.k_scales)[:, 2, None]
+    np.testing.assert_allclose(got, np.asarray(k_tok), atol=0.01)
+
+
+def test_allocator_lifecycle():
+    alloc = PageAllocator(num_pages=8, page_size=128)
+    pages = alloc.admit(0, 300)  # 3 pages
+    assert len(pages) == 3 and alloc.free_pages == 5
+    # decode: token 300 goes in page 2 slot 44
+    pid, slot, new = alloc.extend(0)
+    assert (pid, slot, new) == (pages[2], 300 % 128, None)
+    # fill page 2, next extend allocates page 3
+    alloc.lengths[0] = 384
+    pid, slot, new = alloc.extend(0)
+    assert slot == 0 and new is not None and alloc.free_pages == 4
+    alloc.release(0)
+    assert alloc.free_pages == 8
+    with pytest.raises(RuntimeError):
+        alloc.admit(1, 128 * 100)
+
+
+def test_quantize_page_roundtrip(rng):
+    x = jnp.asarray(rng.normal(0, 2.0, (2, PAGE, 32)).astype(np.float32))
+    q, s = quantize_page(x)
+    got = q.astype(jnp.float32) * s[:, None, None]
+    assert float(jnp.max(jnp.abs(got - x))) <= float(jnp.max(s)) * 0.5 + 1e-6

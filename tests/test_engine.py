@@ -1,0 +1,101 @@
+"""Serving engine tests: paged-decode logits vs full forward, and
+continuous-batching mechanics (admission, completion, page recycling)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedmha_tpu.models.llama import LlamaConfig, forward, init_params
+from quantizedmha_tpu.serving import llama_adapter
+from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+from quantizedmha_tpu.serving.kv_cache import PageAllocator
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = LlamaConfig.tiny(num_layers=2, num_heads=4, num_kv_heads=2, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    return cfg, params
+
+
+def test_decode_path_matches_full_forward(tiny_model):
+    """Prefill + N paged-decode steps must track the full-recompute forward
+    logits within INT8-cache tolerance."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, cfg.vocab_size, 24).tolist()
+
+    page_size = 128
+    cache = llama_adapter.make_cache(cfg, num_pages=8, page_size=page_size)
+    alloc = PageAllocator(8, page_size)
+    alloc._free.remove(0)
+    pages = alloc.admit(0, len(prompt))
+
+    toks = np.zeros((1, 128), np.int32)
+    toks[0, : len(prompt)] = prompt
+    logits, k_all, v_all = llama_adapter.prefill_at(
+        cfg, params, jnp.asarray(toks), jnp.int32(len(prompt) - 1)
+    )
+    n_write = len(pages) * page_size
+    cache = llama_adapter.write_prefill(
+        cfg, cache, k_all[:, :, :n_write], v_all[:, :, :n_write],
+        jnp.asarray(pages, jnp.int32), page_size=page_size,
+    )
+
+    # Check prefill logits against the plain forward.
+    full = forward(cfg, params, jnp.asarray([prompt], jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(logits[0]), np.asarray(full[0, -1]), atol=0.05, rtol=0.05
+    )
+
+    seq = list(prompt)
+    tok = int(jnp.argmax(logits[0]))
+    for step in range(4):
+        seq.append(tok)
+        pos = alloc.lengths[0]
+        pid, slot, _ = alloc.extend(0)
+        tables = alloc.block_table_array([0], 8)
+        lengths = alloc.lengths_array([0])
+        dlogits, cache = llama_adapter.decode_step(
+            cfg, params, cache,
+            jnp.asarray([tok], jnp.int32), jnp.asarray([pos], jnp.int32),
+            jnp.asarray([pid], jnp.int32), jnp.asarray([slot], jnp.int32),
+            jnp.asarray(lengths), jnp.asarray(tables),
+        )
+        want = forward(cfg, params, jnp.asarray([seq], jnp.int32))[0, -1]
+        got = np.asarray(dlogits[0])
+        err = np.max(np.abs(got - np.asarray(want)))
+        scale = float(np.std(np.asarray(want))) + 1e-6
+        assert err / scale < 0.12, f"step {step}: decode logits err {err} (std {scale})"
+        tok = int(jnp.argmax(dlogits[0]))
+
+
+def test_engine_continuous_batching(tiny_model):
+    cfg, params = tiny_model
+    rng = np.random.default_rng(5)
+    ecfg = EngineConfig(
+        num_pages=12, page_size=128, max_batch=2, max_pages_per_seq=4,
+        prefill_buckets=(128, 256), max_new_tokens=6,
+    )
+    engine = Engine(cfg, params, ecfg)
+    rids = [
+        engine.add_request(rng.integers(0, cfg.vocab_size, n).tolist())
+        for n in (20, 50, 130, 40, 10)
+    ]
+    out = engine.run()
+    assert set(out) == set(rids)
+    assert all(len(toks) == 6 for toks in out.values())
+    # All pages recycled (page 0 stays reserved).
+    assert engine.alloc.free_pages == ecfg.num_pages - 1
+    assert not engine.active and not engine.queue
+
+
+def test_engine_rejects_oversized_prompt(tiny_model):
+    cfg, params = tiny_model
+    ecfg = EngineConfig(num_pages=4, page_size=128, max_batch=2,
+                        prefill_buckets=(128, 256, 512), max_new_tokens=2)
+    engine = Engine(cfg, params, ecfg)
+    engine.add_request(list(range(500)))  # needs 4 pages; only 3 free
+    with pytest.raises(RuntimeError):
+        engine.run()

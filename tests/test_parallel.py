@@ -1,0 +1,103 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+head parallelism, context parallelism (merge), and ring attention must all
+reproduce the single-chip golden.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from quantizedmha_tpu.harness.verify import assert_close
+from quantizedmha_tpu.parallel import (
+    context_parallel_attention,
+    head_parallel_attention,
+    make_mesh,
+    merge_partial_attention,
+    ring_attention,
+)
+from quantizedmha_tpu.parallel.combine import merge_two_partials
+from quantizedmha_tpu.reference.mha import mha_reference_shaped
+
+
+def _qkv(rng, b=1, h=4, s=256, d=32):
+    return tuple(
+        jnp.asarray(rng.normal(0, 0.5, (b, h, s, d)).astype(np.float32))
+        for _ in range(3)
+    )
+
+
+def test_merge_two_partials_equals_full(rng):
+    """Splitting KV in two and merging partials == full attention."""
+    from quantizedmha_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = _qkv(rng, s=256)
+    half = 128
+    o1, lse1 = flash_attention(q, k[:, :, :half], v[:, :, :half], save_residuals=True)
+    o2, lse2 = flash_attention(q, k[:, :, half:], v[:, :, half:], save_residuals=True)
+    o, _ = merge_two_partials(o1, lse1, o2, lse2)
+    ref = mha_reference_shaped(q, k, v)
+    assert_close(o, ref, what="two-partial merge")
+
+
+def test_merge_handles_fully_masked_partial(rng):
+    from quantizedmha_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = _qkv(rng, s=128)
+    o1, lse1 = flash_attention(q, k, v, save_residuals=True)
+    o_masked = jnp.zeros_like(o1)
+    lse_masked = jnp.full_like(lse1, -jnp.inf)
+    o, lse = merge_two_partials(o1, lse1, o_masked, lse_masked)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse1), atol=1e-6)
+
+
+def test_head_parallel_matches_golden(rng):
+    mesh = make_mesh((2, 4), ("dp", "tp"))
+    q, k, v = _qkv(rng, b=2, h=8, s=128, d=32)
+    out = head_parallel_attention(q, k, v, mesh, causal=True)
+    ref = mha_reference_shaped(q, k, v, causal=True)
+    assert_close(out, ref, what="head-parallel")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_context_parallel_matches_golden(rng, causal):
+    mesh = make_mesh((4,), ("cp",))
+    q, k, v = _qkv(rng, b=1, h=2, s=256, d=32)
+
+    fn = functools.partial(context_parallel_attention, axis_name="cp", causal=causal)
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, None, None, None), P(None, None, "cp", None), P(None, None, "cp", None)),
+        out_specs=P(None, None, None, None),
+        check_vma=False,
+    )
+    out = sharded(q, k, v)
+    ref = mha_reference_shaped(q, k, v, causal=causal)
+    assert_close(out, ref, what=f"context-parallel causal={causal}")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_golden(rng, causal):
+    mesh = make_mesh((4,), ("cp",))
+    q, k, v = _qkv(rng, b=1, h=2, s=256, d=32)
+
+    fn = functools.partial(ring_attention, axis_name="cp", causal=causal)
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, "cp", None),
+            P(None, None, "cp", None),
+            P(None, None, "cp", None),
+        ),
+        out_specs=P(None, None, "cp", None),
+        check_vma=False,
+    )
+    out = sharded(q, k, v)
+    ref = mha_reference_shaped(q, k, v, causal=causal)
+    assert_close(out, ref, abs_tol=2e-3, rel_tol=2e-3, what=f"ring causal={causal}")
