@@ -27,6 +27,7 @@ import numpy as np
 from quantizedmha_tpu.models.llama import LlamaConfig
 from quantizedmha_tpu.serving import llama_adapter
 from quantizedmha_tpu.serving.kv_cache import PageAllocator, PagedKVCacheState
+from quantizedmha_tpu.utils.metrics import Metrics
 
 
 @dataclasses.dataclass
@@ -66,6 +67,7 @@ class Engine:
         self.active: List[_Sequence] = []
         self.finished: Dict[int, List[int]] = {}
         self._next_id = 0
+        self.metrics = Metrics()
 
         self._prefill = jax.jit(
             functools.partial(llama_adapter.prefill_at, cfg),
@@ -102,9 +104,12 @@ class Engine:
         bucket = self._bucket(n)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = prompt
-        logits, k_all, v_all = self._prefill(
-            self.params, jnp.asarray(toks), jnp.int32(n - 1)
-        )
+        with self.metrics.timed("prefill"):
+            logits, k_all, v_all = self._prefill(
+                self.params, jnp.asarray(toks), jnp.int32(n - 1)
+            )
+        self.metrics.inc("requests_admitted")
+        self.metrics.inc("prefill_tokens", n)
         n_write = len(pages) * self.ecfg.page_size
         self.cache = self._write(
             self.cache,
@@ -146,12 +151,17 @@ class Engine:
         tables_full = np.zeros((B, self.ecfg.max_pages_per_seq), np.int32)
         tables_full[:nseq] = tables
 
-        logits, self.cache = self._decode(
-            self.params, self.cache,
-            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(page_ids),
-            jnp.asarray(slots), jnp.asarray(lengths), jnp.asarray(tables_full),
-        )
-        next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+        with self.metrics.timed("decode_step"):
+            logits, self.cache = self._decode(
+                self.params, self.cache,
+                jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(page_ids),
+                jnp.asarray(slots), jnp.asarray(lengths), jnp.asarray(tables_full),
+            )
+            next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+        self.metrics.inc("decode_steps")
+        self.metrics.inc("tokens_generated", nseq)
+        self.metrics.set("active_sequences", nseq)
+        self.metrics.set("free_pages", len(self.alloc._free))
 
         still_active = []
         for i, seq in enumerate(self.active):
@@ -162,6 +172,7 @@ class Engine:
             if seq.done_by_len or eos:
                 self.finished[seq.seq_id] = seq.out
                 self.alloc.release(seq.seq_id)
+                self.metrics.inc("requests_finished")
             else:
                 still_active.append(seq)
         self.active = still_active
