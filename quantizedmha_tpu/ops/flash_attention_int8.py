@@ -52,6 +52,19 @@ _INT8_PRECISION = jax.lax.Precision.DEFAULT  # fp32 contract precision is
 # invalid for integer matmuls; pin DEFAULT against a global
 # jax_default_matmul_precision=highest.
 
+def _ln(x: float) -> float:
+    import math
+
+    return math.log(x)
+
+# ln(p_scale) is folded into the online-softmax max subtraction so P comes
+# out of exp already scaled to (0, 127] — removing the p*127 multiply over
+# every score element and the /p_scale on the accumulator. The rescaled
+# l' = p_scale*l cancels in the epilogue division, so no correction is
+# needed downstream. (A base-2 variant folding log2(e) into the dequant
+# scalar measured neutral-to-slightly-worse on v5e — exp2 lowers through
+# the same transcendental path — see profiles/md/run3_softmax_folds.)
+
 
 def _int8_fwd_kernel(
     q_ref,   # [1, 1, block_q, head_dim] f32/bf16
@@ -133,27 +146,30 @@ def _int8_fwd_kernel(
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
+        # P is in (0, 1] after the max subtraction, so the static scale
+        # p_scale=127 quantizes it with no amax reduction (INT-
+        # FlashAttention's trick; the reference ran a full per-tile
+        # reduction on P each iteration, fa_tc_int8_b.cu:352-360). The
+        # scale is applied inside the exponent — P arrives in (0, 127] —
+        # and l is tracked rescaled by p_scale, cancelling in the epilogue.
+        p = jnp.exp(s - (m_next - _ln(p_scale)))
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
-        # P is in (0, 1] after the max subtraction, so a static scale of 127
-        # quantizes it with no amax reduction (INT-FlashAttention's trick;
-        # the reference instead ran a full per-tile reduction on P each
-        # iteration, fa_tc_int8_b.cu:352-360).
-        p_i8 = jnp.round(p * p_scale).astype(jnp.int8)
+        p_i8 = jnp.round(p).astype(jnp.int8)
         pv_i32 = jax.lax.dot_general(
             p_i8, v_ref[0, 0, :, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
             precision=_INT8_PRECISION,
         )
         acc_scratch[...] = acc_scratch[...] * alpha + pv_i32.astype(jnp.float32) * (
-            vs_ref[b_idx, h_idx, kv_idx] / p_scale
+            vs_ref[b_idx, h_idx, kv_idx]
         )
 
     @pl.when(kv_idx == num_kv - 1)
     def _epilogue():
+        # l is p_scale*sum(exp): the p_scale factors in acc and l cancel.
         l = l_scratch[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
@@ -334,12 +350,14 @@ def _int8_fwd_kernel_t(
         m_curr = jnp.max(st, axis=0, keepdims=True)  # [1, block_q]
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(st - m_next)
+        # ln(p_scale) folded into the exponent offset: P arrives in
+        # (0, 127] and l is tracked rescaled (cancels in the epilogue).
+        p = jnp.exp(st - (m_next - _ln(p_scale)))
         l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
-        p_i8 = jnp.round(p * p_scale).astype(jnp.int8)
+        p_i8 = jnp.round(p).astype(jnp.int8)
         # O^T [head_dim, block_q] += V^T @ P^T: full-lane output, head_dim
         # is only the cheap streaming dimension.
         pv_i32 = jax.lax.dot_general(
@@ -348,11 +366,12 @@ def _int8_fwd_kernel_t(
             precision=_INT8_PRECISION,
         )
         acc_scratch[...] = acc_scratch[...] * alpha + pv_i32.astype(jnp.float32) * (
-            vs_ref[b_idx, h_idx, kv_idx] / p_scale
+            vs_ref[b_idx, h_idx, kv_idx]
         )
 
     @pl.when(kv_idx == num_kv - 1)
     def _epilogue():
+        # l is p_scale*sum(exp): the p_scale factors in acc and l cancel.
         l = l_scratch[:1, :]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         ot_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(ot_ref.dtype)
