@@ -5,10 +5,13 @@ from quantizedmha_tpu.serving.kv_cache import (
     append_token,
     write_pages,
 )
+from quantizedmha_tpu.serving.sharded import TPEngine, make_tp_mesh
 
 __all__ = [
     "Engine",
     "EngineConfig",
+    "TPEngine",
+    "make_tp_mesh",
     "PageAllocator",
     "PagedKVCacheState",
     "append_token",

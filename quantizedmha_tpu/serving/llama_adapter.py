@@ -8,12 +8,21 @@ Splits the model forward (models/llama.py) into the two serving phases:
     with ops.decode.paged_decode_attention.
 
 Both are pure functions of (params, state) — jit once per shape bucket.
+
+Tensor parallelism: every function takes an optional `axis_name`. When set,
+the function is being called inside `shard_map` with Megatron-style sharded
+weights (wq/wk/wv/w_gate/w_up column-sharded over heads, wo/w_down
+row-sharded) and a kv-head-sharded cache; the partial attention and MLP
+projections are `psum`-reduced over that axis before the residual add —
+the only two collectives a TP decoder layer needs. Pass the LOCAL config
+(num_heads and num_kv_heads divided by the axis size); see
+quantizedmha_tpu.serving.sharded for the wrapper that sets all this up.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,27 +41,36 @@ def make_cache(cfg: LlamaConfig, num_pages: int, page_size: int) -> PagedKVCache
     )
 
 
+def _psum_or_id(axis_name: Optional[str]):
+    if axis_name is None:
+        return lambda x: x
+    return lambda x: jax.lax.psum(x, axis_name)
+
+
 def prefill_at(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
-               last_index: jnp.ndarray):
+               last_index: jnp.ndarray, axis_name: Optional[str] = None):
     """Prefill over a (possibly right-padded) prompt.
 
     tokens: [1, n_pad]; last_index: scalar i32 of the final *real* token
     (causal attention makes its logits independent of the padding).
     Returns (logits [1, vocab], k_all, v_all [L, Hkv, n_pad, hd], post-RoPE).
     """
-    logits_all, k_all, v_all = _prefill_all(cfg, params, tokens)
+    logits_all, k_all, v_all = _prefill_all(cfg, params, tokens, axis_name)
     return logits_all[:, last_index], k_all, v_all
 
 
-def prefill(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray):
+def prefill(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
+            axis_name: Optional[str] = None):
     """tokens: [1, n] -> (last_logits [1, vocab], k_all, v_all [L, Hkv, n, hd])."""
-    logits_all, k_all, v_all = _prefill_all(cfg, params, tokens)
+    logits_all, k_all, v_all = _prefill_all(cfg, params, tokens, axis_name)
     return logits_all[:, -1], k_all, v_all
 
 
-def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray):
+def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
+                 axis_name: Optional[str] = None):
     b, n = tokens.shape
     hd = cfg.hd
+    reduce_tp = _psum_or_id(axis_name)
     x = params["embed"][tokens].astype(cfg.dtype)
 
     def body(x, p):
@@ -67,10 +85,10 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray):
         v = _repeat_kv(v, cfg.num_heads // cfg.num_kv_heads)
         o = _attention(cfg, q, k, v, causal=True)
         o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
-        x = x + o @ p["wo"]
+        x = x + reduce_tp(o @ p["wo"])
         h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
         gate = jax.nn.silu((h @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + (gate * (h @ p["w_up"])) @ p["w_down"]
+        x = x + reduce_tp((gate * (h @ p["w_up"])) @ p["w_down"])
         return x, (kv_k[0], kv_v[0])
 
     x, (k_all, v_all) = jax.lax.scan(body, x, params["layers"])
@@ -151,10 +169,12 @@ def decode_step(
     slots: jnp.ndarray,      # [B] i32 — slot within that page
     lengths: jnp.ndarray,    # [B] i32 — context length INCLUDING this token
     tables: jnp.ndarray,     # [B, max_pages] i32
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, PagedKVCacheState]:
     """One decode step for a batch of sequences -> (logits [B, vocab], cache)."""
     b = tokens.shape[0]
     hd = cfg.hd
+    reduce_tp = _psum_or_id(axis_name)
     x = params["embed"][tokens][:, None, :].astype(cfg.dtype)  # [B, 1, hid]
 
     def body(x, scanned):
@@ -171,10 +191,12 @@ def decode_step(
             q, cache_l.k_pages, cache_l.v_pages,
             cache_l.k_scales, cache_l.v_scales, lengths, tables,
         )
-        x = x + (o.reshape(b, 1, cfg.num_heads * hd).astype(cfg.dtype) @ p["wo"])
+        x = x + reduce_tp(
+            o.reshape(b, 1, cfg.num_heads * hd).astype(cfg.dtype) @ p["wo"]
+        )
         h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
         gate = jax.nn.silu((h @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + (gate * (h @ p["w_up"])) @ p["w_down"]
+        x = x + reduce_tp((gate * (h @ p["w_up"])) @ p["w_down"])
         return x, cache_l
 
     x, cache = jax.lax.scan(body, x, (params["layers"], cache))

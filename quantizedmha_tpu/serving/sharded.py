@@ -1,0 +1,158 @@
+"""Tensor-parallel (TP) serving: sharded weights + KV cache over a mesh.
+
+The BASELINE.json serving scope the reference never had: "weights + KV-cache
+tensor-sharded across a multi-host slice". Megatron-style TP for the
+decoder: wq/wk/wv and w_gate/w_up column-sharded over the `tp` mesh axis
+(contiguous head groups), wo and w_down row-sharded, norms/embed/lm_head
+replicated; the paged INT8 KV cache is sharded over its kv-head axis, so
+every chip holds only its own heads' pages and the paged-decode Pallas
+kernel runs entirely shard-locally. The only collectives are the two psums
+per layer inside llama_adapter (after wo and after w_down) — they ride ICI
+under `shard_map`.
+
+`TPEngine` is the continuous-batching Engine with all tensor work running
+under `shard_map` on the mesh; the host-side scheduler (admission, page
+tables, argmax results) is unchanged and identical across hosts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quantizedmha_tpu.models.llama import LlamaConfig
+from quantizedmha_tpu.serving import llama_adapter
+from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+from quantizedmha_tpu.serving.kv_cache import PagedKVCacheState
+
+
+def local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
+    """Per-shard config: head counts divided by the TP degree."""
+    if cfg.num_heads % tp or cfg.num_kv_heads % tp:
+        raise ValueError(
+            f"tp={tp} must divide num_heads={cfg.num_heads} and "
+            f"num_kv_heads={cfg.num_kv_heads}"
+        )
+    # Pin head_dim: it defaults to hidden_size // num_heads, which would be
+    # wrong once num_heads shrinks to the per-shard count.
+    return dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // tp, num_kv_heads=cfg.num_kv_heads // tp,
+        head_dim=cfg.hd,
+    )
+
+
+def tp_param_specs(axis: str = "tp") -> Dict[str, Any]:
+    """PartitionSpecs mirroring models.llama.init_params' structure.
+
+    Column-sharding wq over the flattened [hid, H*hd] output dim splits on
+    contiguous head groups (the reshape to [.., H, hd] is head-major), so
+    each shard's heads line up with its shard of the kv cache.
+    """
+    return dict(
+        embed=P(None, None),
+        layers=dict(
+            attn_norm=P(None, None),
+            wq=P(None, None, axis),
+            wk=P(None, None, axis),
+            wv=P(None, None, axis),
+            wo=P(None, axis, None),
+            mlp_norm=P(None, None),
+            w_gate=P(None, None, axis),
+            w_up=P(None, None, axis),
+            w_down=P(None, axis, None),
+        ),
+        final_norm=P(None),
+        lm_head=P(None, None),
+    )
+
+
+def tp_cache_specs(axis: str = "tp") -> PagedKVCacheState:
+    """Specs for the layer-stacked cache [L, Hkv, ...]: shard kv heads."""
+    return PagedKVCacheState(
+        k_pages=P(None, axis, None, None, None),
+        v_pages=P(None, axis, None, None, None),
+        k_scales=P(None, axis, None),
+        v_scales=P(None, axis, None),
+    )
+
+
+def shard_tree(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def make_tp_mesh(tp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < tp:
+        raise ValueError(f"need {tp} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:tp]), ("tp",))
+
+
+class TPEngine(Engine):
+    """Continuous-batching engine with TP-sharded params and KV cache.
+
+    Drop-in for Engine: same host API (add_request/step/run/metrics), with
+    prefill, cache writes, and decode running under shard_map on `mesh`.
+    """
+
+    def __init__(self, cfg: LlamaConfig, params: Dict[str, Any],
+                 ecfg: EngineConfig, mesh: Mesh, *, axis: str = "tp"):
+        tp = mesh.shape[axis]
+        super().__init__(cfg, params, ecfg)  # host structures + replicated jits
+        lcfg = local_config(cfg, tp)
+        self.mesh = mesh
+        self.axis = axis
+
+        pspecs = tp_param_specs(axis)
+        cspecs = tp_cache_specs(axis)
+        self.params = shard_tree(params, pspecs, mesh)
+        self.cache = shard_tree(self.cache, cspecs, mesh)
+
+        rep2 = P(None, None)
+        kv_spec = P(None, axis, None, None)  # k_all/v_all [L, Hkv, n, hd]
+
+        prefill_sm = jax.shard_map(
+            functools.partial(llama_adapter.prefill_at, lcfg, axis_name=axis),
+            mesh=mesh,
+            in_specs=(pspecs, rep2, P()),
+            out_specs=(rep2, kv_spec, kv_spec),
+            check_vma=False,
+        )
+        self._prefill = jax.jit(prefill_sm)
+
+        def _write(cache, k_all, v_all, page_ids, page_size):
+            return llama_adapter.write_prefill(
+                lcfg, cache, k_all, v_all, page_ids, page_size=page_size
+            )
+
+        write_sm = lambda page_size: jax.shard_map(  # noqa: E731
+            functools.partial(_write, page_size=page_size),
+            mesh=mesh,
+            in_specs=(cspecs, kv_spec, kv_spec, P()),
+            out_specs=cspecs,
+            check_vma=False,
+        )
+        self._write = jax.jit(
+            lambda cache, k, v, pages, page_size: write_sm(page_size)(
+                cache, k, v, pages
+            ),
+            static_argnames=("page_size",),
+        )
+
+        rep1 = P(None)
+        decode_sm = jax.shard_map(
+            functools.partial(llama_adapter.decode_step, lcfg, axis_name=axis),
+            mesh=mesh,
+            in_specs=(pspecs, cspecs, rep1, rep1, rep1, rep1, rep1, rep2),
+            out_specs=(rep2, cspecs),
+            check_vma=False,
+        )
+        self._decode = jax.jit(decode_sm)

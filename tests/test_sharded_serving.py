@@ -1,0 +1,102 @@
+"""TP-sharded serving tests on the virtual 8-device CPU mesh.
+
+Gates the sharded engine's outputs against the single-device engine's:
+same tokens, same logit path — TP sharding must be numerically invisible.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+from quantizedmha_tpu.serving.sharded import (
+    TPEngine,
+    local_config,
+    make_tp_mesh,
+    tp_param_specs,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax.numpy as jnp
+
+    # f32 so the trajectory comparison is immune to bf16 reduction-order
+    # noise (sharded matmuls round differently; argmax over a tiny random
+    # model's near-uniform logits would flip and cascade).
+    cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)  # H=4, Hkv=2
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(
+        num_pages=32, page_size=16, max_batch=3,
+        prefill_buckets=(16, 32), max_new_tokens=6,
+    )
+    return cfg, params, ecfg
+
+
+def test_local_config_divides():
+    cfg = LlamaConfig.tiny()
+    l = local_config(cfg, 2)
+    assert l.num_heads == 2 and l.num_kv_heads == 1
+    with pytest.raises(ValueError, match="divide"):
+        local_config(cfg, 8)
+
+
+def test_param_specs_match_structure(setup):
+    cfg, params, _ = setup
+    specs = tp_param_specs()
+    jax.tree.map(lambda x, s: None, params, specs,
+                 is_leaf=lambda x: hasattr(x, "shape") or x is None)
+
+
+@pytest.mark.parametrize("tp", [2])
+def test_tp_engine_matches_single_device(setup, tp):
+    cfg, params, ecfg = setup
+    prompts = [[1, 2, 3, 4], [7, 8, 9], [11, 5]]
+
+    ref = Engine(cfg, params, ecfg)
+    for p in prompts:
+        ref.add_request(p)
+    want = ref.run()
+
+    mesh = make_tp_mesh(tp)
+    eng = TPEngine(cfg, params, ecfg, mesh)
+    for p in prompts:
+        eng.add_request(p)
+    got = eng.run()
+
+    assert set(got) == set(want)
+    for rid in want:
+        assert got[rid] == want[rid], f"req {rid}: {got[rid]} vs {want[rid]}"
+
+
+def test_tp_engine_shards_are_real(setup):
+    cfg, params, ecfg = setup
+    mesh = make_tp_mesh(2)
+    eng = TPEngine(cfg, params, ecfg, mesh)
+    wq = eng.params["layers"]["wq"]
+    assert len(wq.sharding.device_set) == 2
+    # Each shard holds half the head columns.
+    shard_shapes = {s.data.shape for s in wq.addressable_shards}
+    full = wq.shape
+    assert shard_shapes == {(full[0], full[1], full[2] // 2)}
+    kp = eng.cache.k_pages
+    assert {s.data.shape for s in kp.addressable_shards} == {
+        (kp.shape[0], kp.shape[1] // 2, *kp.shape[2:])
+    }
+
+
+def test_tp_engine_continuous_batching_under_pressure(setup):
+    """More requests than max_batch with a small page pool: exercises
+    admission + recycling with sharded state."""
+    cfg, params, _ = setup
+    ecfg = EngineConfig(num_pages=12, page_size=16, max_batch=2,
+                        prefill_buckets=(16,), max_new_tokens=4)
+    mesh = make_tp_mesh(2)
+    eng = TPEngine(cfg, params, ecfg, mesh)
+    for i in range(4):
+        eng.add_request([i + 1, i + 2, i + 3])
+    out = eng.run()
+    assert len(out) == 4
+    assert all(len(toks) == 4 for toks in out.values())
+    assert eng.metrics.counter("requests_finished") == 4
