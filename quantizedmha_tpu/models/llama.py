@@ -14,6 +14,7 @@ forward serves training (via the kernel's custom VJP), prefill, and decode.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -40,6 +41,10 @@ class LlamaConfig:
     attention_impl: str = "flash"  # flash | flash_int8 | reference
     block_q: Optional[int] = None  # None -> ops.flash_attention.pick_blocks
     block_kv: Optional[int] = None
+    # Matmul mode when layer weights are QuantizedWeight (quant/weights.py):
+    # "w8a16" dequantizes into the activation dtype; "w8a8" also quantizes
+    # activations per row and runs int8 x int8 on the MXU.
+    weight_quant_mode: str = "w8a16"
 
     @property
     def hd(self) -> int:
@@ -153,23 +158,26 @@ def _attention(cfg: LlamaConfig, q, k, v, *, causal=True):
 
 def decoder_layer(cfg: LlamaConfig, p: Dict[str, Any], x: jnp.ndarray,
                   positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    from quantizedmha_tpu.quant.weights import qdense
+
     b, s, _ = x.shape
     hd = cfg.hd
+    dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
     h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-    q = (h @ p["wq"]).reshape(b, s, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-    k = (h @ p["wk"]).reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
-    v = (h @ p["wv"]).reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+    q = dense(h, p["wq"]).reshape(b, s, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+    k = dense(h, p["wk"]).reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+    v = dense(h, p["wv"]).reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
     q = apply_rope(q, cfg.rope_theta, positions)
     k = apply_rope(k, cfg.rope_theta, positions)
     k = _repeat_kv(k, cfg.num_heads // cfg.num_kv_heads)
     v = _repeat_kv(v, cfg.num_heads // cfg.num_kv_heads)
     o = _attention(cfg, q, k, v, causal=True)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * hd)
-    x = x + o @ p["wo"]
+    x = x + dense(o, p["wo"])
 
     h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-    gate = jax.nn.silu((h @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-    x = x + (gate * (h @ p["w_up"])) @ p["w_down"]
+    gate = jax.nn.silu(dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    x = x + dense(gate * dense(h, p["w_up"]), p["w_down"])
     return x
 
 

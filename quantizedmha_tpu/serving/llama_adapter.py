@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from quantizedmha_tpu.models.llama import LlamaConfig, rms_norm, _repeat_kv, _attention
+from quantizedmha_tpu.quant.weights import qdense
 from quantizedmha_tpu.ops.decode import paged_decode_attention
 from quantizedmha_tpu.reference.mha import apply_rope
 from quantizedmha_tpu.serving.kv_cache import PagedKVCacheState
@@ -71,13 +72,14 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
     b, n = tokens.shape
     hd = cfg.hd
     reduce_tp = _psum_or_id(axis_name)
+    dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
     x = params["embed"][tokens].astype(cfg.dtype)
 
     def body(x, p):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-        q = (h @ p["wq"]).reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        k = (h @ p["wk"]).reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
-        v = (h @ p["wv"]).reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = dense(h, p["wq"]).reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = dense(h, p["wk"]).reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = dense(h, p["wv"]).reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cfg.rope_theta)
         k = apply_rope(k, cfg.rope_theta)
         kv_k, kv_v = k, v  # cached post-RoPE
@@ -85,10 +87,10 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
         v = _repeat_kv(v, cfg.num_heads // cfg.num_kv_heads)
         o = _attention(cfg, q, k, v, causal=True)
         o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
-        x = x + reduce_tp(o @ p["wo"])
+        x = x + reduce_tp(dense(o, p["wo"]))
         h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-        gate = jax.nn.silu((h @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + reduce_tp((gate * (h @ p["w_up"])) @ p["w_down"])
+        gate = jax.nn.silu(dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + reduce_tp(dense(gate * dense(h, p["w_up"]), p["w_down"]))
         return x, (kv_k[0], kv_v[0])
 
     x, (k_all, v_all) = jax.lax.scan(body, x, params["layers"])
@@ -175,14 +177,15 @@ def decode_step(
     b = tokens.shape[0]
     hd = cfg.hd
     reduce_tp = _psum_or_id(axis_name)
+    dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
     x = params["embed"][tokens][:, None, :].astype(cfg.dtype)  # [B, 1, hid]
 
     def body(x, scanned):
         p, cache_l = scanned
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-        q = (h @ p["wq"]).reshape(b, cfg.num_heads, hd)
-        k = (h @ p["wk"]).reshape(b, cfg.num_kv_heads, hd)
-        v = (h @ p["wv"]).reshape(b, cfg.num_kv_heads, hd)
+        q = dense(h, p["wq"]).reshape(b, cfg.num_heads, hd)
+        k = dense(h, p["wk"]).reshape(b, cfg.num_kv_heads, hd)
+        v = dense(h, p["wv"]).reshape(b, cfg.num_kv_heads, hd)
         # RoPE at each sequence's absolute position.
         q = _rope_single(q, positions, cfg.rope_theta)
         k = _rope_single(k, positions, cfg.rope_theta)
@@ -192,11 +195,11 @@ def decode_step(
             cache_l.k_scales, cache_l.v_scales, lengths, tables,
         )
         x = x + reduce_tp(
-            o.reshape(b, 1, cfg.num_heads * hd).astype(cfg.dtype) @ p["wo"]
+            dense(o.reshape(b, 1, cfg.num_heads * hd).astype(cfg.dtype), p["wo"])
         )
         h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-        gate = jax.nn.silu((h @ p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + reduce_tp((gate * (h @ p["w_up"])) @ p["w_down"])
+        gate = jax.nn.silu(dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + reduce_tp(dense(gate * dense(h, p["w_up"]), p["w_down"]))
         return x, cache_l
 
     x, cache = jax.lax.scan(body, x, (params["layers"], cache))

@@ -82,10 +82,31 @@ def tp_cache_specs(axis: str = "tp") -> PagedKVCacheState:
     )
 
 
-def shard_tree(tree: Any, specs: Any, mesh: Mesh) -> Any:
+def expand_param_specs(params: Any, specs: Any) -> Any:
+    """Match a weight-spec tree to the actual params structure: where a
+    param is an int8 QuantizedWeight, the single weight spec expands to
+    (values: spec, scale: spec minus the input dim) — column-sharded
+    weights shard their per-output-channel scales, row-sharded ones
+    replicate them. Needed because shard_map in_specs must mirror the
+    argument structure exactly."""
+    from quantizedmha_tpu.quant.weights import QuantizedWeight
+
+    def ex(x, s):
+        if isinstance(x, QuantizedWeight) and not isinstance(s, QuantizedWeight):
+            return QuantizedWeight(values=s, scale=P(*s[:-2], s[-1]))
+        return s
+
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
-        is_leaf=lambda x: isinstance(x, P),
+        ex, params, specs,
+        is_leaf=lambda x: isinstance(x, (P, QuantizedWeight)),
+    )
+
+
+def shard_tree(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    """Place a pytree per a (structure-matched) spec tree."""
+    specs = expand_param_specs(tree, specs)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
     )
 
 
@@ -111,7 +132,7 @@ class TPEngine(Engine):
         self.mesh = mesh
         self.axis = axis
 
-        pspecs = tp_param_specs(axis)
+        pspecs = expand_param_specs(params, tp_param_specs(axis))
         cspecs = tp_cache_specs(axis)
         self.params = shard_tree(params, pspecs, mesh)
         self.cache = shard_tree(self.cache, cspecs, mesh)
