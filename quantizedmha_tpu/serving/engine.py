@@ -39,6 +39,11 @@ class EngineConfig:
     prefill_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048)
     eos_id: Optional[int] = None
     max_new_tokens: int = 64
+    # >1 enables the fused decode loop: decode_chunk tokens are generated
+    # per host round-trip (on-device argmax feeding a lax.scan), with pages
+    # pre-reserved per chunk. Past-EOS tokens within a chunk are discarded
+    # host-side — the classic sync-interval/waste tradeoff.
+    decode_chunk: int = 1
 
 
 @dataclasses.dataclass
@@ -73,6 +78,10 @@ class Engine:
             functools.partial(llama_adapter.prefill_at, cfg),
         )
         self._decode = jax.jit(functools.partial(llama_adapter.decode_step, cfg))
+        self._decode_loop = jax.jit(
+            functools.partial(llama_adapter.decode_loop, cfg),
+            static_argnames=("n_steps", "page_size"),
+        )
         self._write = jax.jit(
             functools.partial(llama_adapter.write_prefill, cfg),
             static_argnames=("page_size",),
@@ -129,6 +138,9 @@ class Engine:
             pass
         if not self.active:
             return
+        if self.ecfg.decode_chunk > 1:
+            self._step_fused(self.ecfg.decode_chunk)
+            return
 
         B = self.ecfg.max_batch
         nseq = len(self.active)
@@ -176,6 +188,63 @@ class Engine:
             else:
                 still_active.append(seq)
         self.active = still_active
+
+    def _step_fused(self, chunk: int) -> None:
+        """One fused engine step: `chunk` decode iterations on-device with a
+        single host sync. Pages for all chunk slots are reserved up front;
+        tokens past a sequence's EOS or budget are discarded."""
+        B = self.ecfg.max_batch
+        nseq = len(self.active)
+        tokens = np.zeros(B, np.int32)
+        lengths0 = np.ones(B, np.int32)
+        for i, seq in enumerate(self.active):
+            tokens[i] = seq.pending
+            lengths0[i] = self.alloc.lengths[seq.seq_id]
+            pages_after = -(-(int(lengths0[i]) + chunk) // self.ecfg.page_size)
+            if pages_after > self.ecfg.max_pages_per_seq:
+                raise RuntimeError(
+                    f"seq {seq.seq_id}: chunk of {chunk} would need "
+                    f"{pages_after} pages > max_pages_per_seq"
+                )
+            for _ in range(chunk):  # reserve the chunk's cache slots now
+                self.alloc.extend(seq.seq_id)
+        tables = self.alloc.block_table_array(
+            [s.seq_id for s in self.active], self.ecfg.max_pages_per_seq
+        )
+        tables_full = np.zeros((B, self.ecfg.max_pages_per_seq), np.int32)
+        tables_full[:nseq] = tables
+
+        with self.metrics.timed("decode_chunk"):
+            out, self.cache = self._decode_loop(
+                self.params, self.cache,
+                jnp.asarray(tokens), jnp.asarray(lengths0),
+                jnp.asarray(tables_full),
+                n_steps=chunk, page_size=self.ecfg.page_size,
+            )
+            out = np.asarray(out)  # [chunk, B] — the single host sync
+        self.metrics.inc("decode_steps", chunk)
+        self.metrics.set("active_sequences", nseq)
+
+        still_active = []
+        for i, seq in enumerate(self.active):
+            finished = False
+            for j in range(chunk):
+                tok = int(out[j, i])
+                seq.out.append(tok)
+                seq.pending = tok
+                self.metrics.inc("tokens_generated")
+                eos = self.ecfg.eos_id is not None and tok == self.ecfg.eos_id
+                if seq.done_by_len or eos:
+                    finished = True
+                    break
+            if finished:
+                self.finished[seq.seq_id] = seq.out
+                self.alloc.release(seq.seq_id)
+                self.metrics.inc("requests_finished")
+            else:
+                still_active.append(seq)
+        self.active = still_active
+        self.metrics.set("free_pages", len(self.alloc._free))
 
     def run(self) -> Dict[int, List[int]]:
         """Drive until queue and active set drain; returns {req_id: tokens}."""

@@ -206,3 +206,43 @@ def decode_step(
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
     return logits, cache
+
+
+def decode_loop(
+    cfg: LlamaConfig,
+    params: Dict[str, Any],
+    cache: PagedKVCacheState,  # layer-stacked
+    tokens: jnp.ndarray,    # [B] i32 — pending tokens (K/V not yet cached)
+    lengths: jnp.ndarray,   # [B] i32 — context length EXCLUDING the pending token
+    tables: jnp.ndarray,    # [B, max_pages] i32 — covers lengths + n_steps slots
+    *,
+    n_steps: int,
+    page_size: int,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, PagedKVCacheState]:
+    """Fused greedy decode of `n_steps` tokens per sequence, entirely
+    on-device: argmax feeds the next step inside a lax.scan, and each
+    step's (page, slot) is derived from the block table and the running
+    length — no host round-trip per token. The host must pre-reserve the
+    pages the loop will touch (engine does this at chunk granularity).
+
+    Returns (tokens [n_steps, B], cache). tokens[i] is the token sampled
+    AFTER the i-th cached append, i.e. the continuation sequence.
+    """
+
+    def body(carry, _):
+        cache, toks, lens = carry
+        pos = lens  # absolute position of the pending token
+        pids = jnp.take_along_axis(tables, (pos // page_size)[:, None], axis=1)[:, 0]
+        slots = pos % page_size
+        logits, cache = decode_step(
+            cfg, params, cache, toks, pos, pids, slots, lens + 1, tables,
+            axis_name,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (cache, nxt, lens + 1), nxt
+
+    (cache, _, _), out = jax.lax.scan(
+        body, (cache, tokens, lengths), None, length=n_steps
+    )
+    return out, cache

@@ -177,3 +177,21 @@ class TPEngine(Engine):
             check_vma=False,
         )
         self._decode = jax.jit(decode_sm)
+
+        def loop_sm(n_steps, page_size):
+            return jax.shard_map(
+                functools.partial(
+                    llama_adapter.decode_loop, lcfg, axis_name=axis,
+                    n_steps=n_steps, page_size=page_size,
+                ),
+                mesh=mesh,
+                in_specs=(pspecs, cspecs, rep1, rep1, rep2),
+                out_specs=(rep2, cspecs),
+                check_vma=False,
+            )
+
+        self._decode_loop = jax.jit(
+            lambda params, cache, toks, lens, tables, n_steps, page_size:
+                loop_sm(n_steps, page_size)(params, cache, toks, lens, tables),
+            static_argnames=("n_steps", "page_size"),
+        )

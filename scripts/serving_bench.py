@@ -17,6 +17,8 @@ from quantizedmha_tpu.serving.engine import Engine, EngineConfig
 
 
 def main():
+    import sys
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     cfg = LlamaConfig(
         vocab_size=32000, hidden_size=1024, intermediate_size=2816,
         num_layers=8, num_heads=16, num_kv_heads=8, dtype=jnp.bfloat16,
@@ -25,7 +27,7 @@ def main():
     ecfg = EngineConfig(
         num_pages=512, page_size=64, max_batch=8,
         prefill_buckets=(128,), max_new_tokens=64,
-        max_pages_per_seq=16,
+        max_pages_per_seq=16, decode_chunk=chunk,
     )
     eng = Engine(cfg, params, ecfg)
 
@@ -45,7 +47,7 @@ def main():
     steps = eng.metrics.counter("decode_steps") - steps0
     toks = eng.metrics.counter("tokens_generated") - toks0
     print(f"decode: {steps:.0f} steps, {toks:.0f} tokens in {dt:.2f}s "
-          f"-> {toks / dt:.1f} tok/s (batch {ecfg.max_batch})", flush=True)
+          f"-> {toks / dt:.1f} tok/s (batch {ecfg.max_batch}, chunk {chunk})", flush=True)
     print(eng.metrics.render(), flush=True)
 
 
