@@ -283,10 +283,12 @@ def _strip_lse(kernel, offs_ref, q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):
 
 
 # ---------------------------------------------------------------------------
-# Backward pass (flash-style, blocked jnp for now; Pallas dkv/dq kernels are
-# the planned replacement — residuals and formulas already match).
+# Backward pass: flash-style Pallas dkv/dq kernels (default) + a blocked jnp
+# reference used as the correctness oracle in tests.
 # Formulas: P = exp(S*scale - lse); di = rowsum(dO*O);
 #   dV = P^T dO ; dS = P*(dO V^T - di)*scale ; dQ = dS K ; dK = dS^T Q.
+# The reference repo has no backward at all (inference-only kernel study);
+# this is a capability extension for training use.
 # ---------------------------------------------------------------------------
 
 
@@ -310,6 +312,225 @@ def _bwd_reference(sm_scale, causal, q, k, v, o, lse, do):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+def _mk_mask(block_q, block_kv, q_idx, kv_idx, diag_offset, causal,
+             q_len, kv_len, block_q_dim=0):
+    """(q, kv) position mask for one backward tile; block_q_dim selects the
+    scores orientation ([bq, bkv] when 0)."""
+    qdim, kdim = (0, 1) if block_q_dim == 0 else (1, 0)
+    shape = (block_q, block_kv) if block_q_dim == 0 else (block_kv, block_q)
+    qpos = (jax.lax.broadcasted_iota(jnp.int32, shape, qdim)
+            + q_idx * block_q + diag_offset)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, shape, kdim) + kv_idx * block_kv
+    mask = (qpos - diag_offset) < q_len
+    mask &= kpos < kv_len
+    if causal:
+        mask &= kpos <= qpos
+    return mask
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,  # inputs
+    dk_ref, dv_ref,                                 # outputs [1,1,bkv,d]
+    dk_scratch, dv_scratch,                         # [bkv, d] f32
+    *, sm_scale, causal, q_len, kv_len, block_q, block_kv, precision,
+):
+    """Grid (b, h, kv_block, q_block-minor): accumulate dK, dV for one kv
+    block while streaming q blocks (FlashAttention-2 backward, kv-stationary
+    pass)."""
+    q_idx = pl.program_id(3)
+    kv_idx = pl.program_id(2)
+    num_q = pl.num_programs(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    diag_offset = kv_len - q_len
+    if causal:
+        # Skip q blocks wholly above the diagonal: they see no kv here.
+        last_q_pos = q_idx * block_q + diag_offset + block_q - 1
+        should_run = last_q_pos >= kv_idx * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0, :, :].astype(jnp.float32)
+        k = k_ref[0, 0, :, :].astype(jnp.float32)
+        v = v_ref[0, 0, :, :].astype(jnp.float32)
+        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, :1]  # [bq, 1]
+        di = di_ref[0, 0, :, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * sm_scale
+        p = jnp.exp(s - lse)  # padded q rows carry lse=+big -> p == 0
+        mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, diag_offset,
+                        causal, q_len, kv_len)
+        p = jnp.where(mask, p, 0.0)
+
+        # dV += P^T @ dO
+        dv_scratch[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        # dS = P * (dO @ V^T - di) * scale
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - di) * sm_scale
+        # dK += dS^T @ Q
+        dk_scratch[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(q_idx == num_q - 1)
+    def _epilogue():
+        dk_ref[0, 0, :, :] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+    dq_ref,                                         # output [1,1,bq,d]
+    dq_scratch,                                     # [bq, d] f32
+    *, sm_scale, causal, q_len, kv_len, block_q, block_kv, precision,
+):
+    """Grid (b, h, q_block, kv_block-minor): accumulate dQ for one q block
+    while streaming kv blocks (q-stationary pass)."""
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    diag_offset = kv_len - q_len
+    if causal:
+        last_q_pos = q_idx * block_q + diag_offset + block_q - 1
+        should_run = last_q_pos >= kv_idx * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0, :, :].astype(jnp.float32)
+        k = k_ref[0, 0, :, :].astype(jnp.float32)
+        v = v_ref[0, 0, :, :].astype(jnp.float32)
+        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, :1]
+        di = di_ref[0, 0, :, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * sm_scale
+        p = jnp.exp(s - lse)
+        mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, diag_offset,
+                        causal, q_len, kv_len)
+        p = jnp.where(mask, p, 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - di) * sm_scale
+        dq_scratch[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _epilogue():
+        dq_ref[0, 0, :, :] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do,
+                block_q=None, block_kv=None, interpret=None):
+    """Flash backward as two Pallas passes (kv-stationary for dK/dV,
+    q-stationary for dQ) + an XLA prepass for di = rowsum(dO * O)."""
+    batch, heads, q_len, head_dim = q.shape
+    kv_len = k.shape[2]
+    block_q, block_kv = pick_blocks(
+        q_len, kv_len, head_dim,
+        fp32_inputs=(q.dtype == jnp.float32),
+        block_q=block_q or 512, block_kv=block_kv or 512,
+    )
+    precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    q_pad = (-q_len) % block_q
+    kv_pad = (-kv_len) % block_kv
+    pad_q = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, q_pad), (0, 0))) if q_pad else x
+    pad_kv = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, kv_pad), (0, 0))) if kv_pad else x
+    qp, dop = pad_q(q), pad_q(do)
+    kp, vp = pad_kv(k), pad_kv(v)
+    # Padded q rows get a huge lse so p = exp(s - lse) underflows to exactly 0.
+    big = -DEFAULT_MASK_VALUE
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, q_pad)), constant_values=big) if q_pad else lse
+    di_p = jnp.pad(di, ((0, 0), (0, 0), (0, q_pad))) if q_pad else di
+    # Broadcast row stats across lanes (the fwd residual layout).
+    lse_b = jnp.broadcast_to(lse_p[..., None], (*lse_p.shape, LANES))
+    di_b = jnp.broadcast_to(di_p[..., None], (*di_p.shape, LANES))
+    q_len_p, kv_len_p = q_len + q_pad, kv_len + kv_pad
+
+    q_spec = pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0))
+    stat_spec = pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, i, j: (b, h, i, 0))
+    common = dict(sm_scale=sm_scale, causal=causal, q_len=q_len, kv_len=kv_len,
+                  block_q=block_q, block_kv=block_kv, precision=precision)
+
+    # Pass 1 (kv-stationary): grid minor dim streams q blocks.
+    kv_spec_kvmajor = pl.BlockSpec(
+        (1, 1, block_kv, head_dim), lambda b, h, j, i: (b, h, j, 0))
+    q_spec_kvmajor = pl.BlockSpec(
+        (1, 1, block_q, head_dim), lambda b, h, j, i: (b, h, i, 0))
+    stat_spec_kvmajor = pl.BlockSpec(
+        (1, 1, block_q, LANES), lambda b, h, j, i: (b, h, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid=(batch, heads, kv_len_p // block_kv, q_len_p // block_q),
+        in_specs=[q_spec_kvmajor, kv_spec_kvmajor, kv_spec_kvmajor,
+                  q_spec_kvmajor, stat_spec_kvmajor, stat_spec_kvmajor],
+        out_specs=[kv_spec_kvmajor, kv_spec_kvmajor],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, heads, kv_len_p, head_dim), k.dtype),
+            jax.ShapeDtypeStruct((batch, heads, kv_len_p, head_dim), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, head_dim), jnp.float32),
+            pltpu.VMEM((block_kv, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_auto_interpret(interpret),
+    )(qp, kp, vp, dop, lse_b, di_b)
+
+    # Pass 2 (q-stationary): grid minor dim streams kv blocks.
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(batch, heads, q_len_p // block_q, kv_len_p // block_kv),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, heads, q_len_p, head_dim), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, head_dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_auto_interpret(interpret),
+    )(qp, kp, vp, dop, lse_b, di_b)
+
+    return (dq[:, :, :q_len, :], dk[:, :, :kv_len, :], dv[:, :, :kv_len, :])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_attention_custom(
     q, k, v, sm_scale, causal, block_q, block_kv, interpret
@@ -331,7 +552,8 @@ def _flash_fwd_rule(q, k, v, sm_scale, causal, block_q, block_kv, interpret):
 
 def _flash_bwd_rule(sm_scale, causal, block_q, block_kv, interpret, res, do):
     q, k, v, o, lse = res
-    return _bwd_reference(sm_scale, causal, q, k, v, o, lse, do)
+    return _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do,
+                       block_q=block_q, block_kv=block_kv, interpret=interpret)
 
 
 _flash_attention_custom.defvjp(_flash_fwd_rule, _flash_bwd_rule)
