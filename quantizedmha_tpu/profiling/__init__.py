@@ -20,6 +20,7 @@ from quantizedmha_tpu.profiling.roofline import (
     detect_chip,
     roofline,
 )
+from quantizedmha_tpu.profiling.memory import MemoryBudget, memory_budget
 from quantizedmha_tpu.profiling.trace import TraceCapture, annotate, capture
 
 __all__ = [
@@ -36,4 +37,6 @@ __all__ = [
     "TraceCapture",
     "annotate",
     "capture",
+    "MemoryBudget",
+    "memory_budget",
 ]

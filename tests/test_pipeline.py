@@ -1,0 +1,57 @@
+"""Pipeline-parallel tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from quantizedmha_tpu.models.llama import LlamaConfig, forward, init_params
+from quantizedmha_tpu.parallel.pipeline import pipeline_llama_forward, shard_layers
+
+
+def _mesh(pp):
+    return Mesh(np.asarray(jax.devices()[:pp]), ("pp",))
+
+
+@pytest.mark.parametrize("pp,n_micro", [(2, 2), (2, 4), (4, 2)])
+def test_pipeline_matches_plain_forward(pp, n_micro):
+    cfg = LlamaConfig.tiny(num_layers=4, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+
+    want = forward(cfg, params, tokens)
+
+    mesh = _mesh(pp)
+    sharded = dict(params)
+    sharded["layers"] = shard_layers(params["layers"], mesh)
+    got = jax.jit(
+        lambda p, t: pipeline_llama_forward(
+            cfg, p, t, mesh, n_microbatches=n_micro)
+    )(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_pipeline_validations():
+    cfg = LlamaConfig.tiny(num_layers=3, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jnp.zeros((4, 8), jnp.int32)
+    with pytest.raises(ValueError, match="layers"):
+        pipeline_llama_forward(cfg, params, tokens, _mesh(2), n_microbatches=2)
+    cfg4 = LlamaConfig.tiny(num_layers=4, dtype=jnp.float32)
+    params4 = init_params(cfg4, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="microbatches"):
+        pipeline_llama_forward(cfg4, params4, tokens, _mesh(2), n_microbatches=3)
+
+
+def test_pipeline_layer_shards_are_real():
+    cfg = LlamaConfig.tiny(num_layers=4, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = _mesh(4)
+    layers = shard_layers(params["layers"], mesh)
+    wq = layers["wq"]
+    assert {s.data.shape for s in wq.addressable_shards} == {
+        (1, *wq.shape[1:])
+    }

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,3 +92,15 @@ class TestCompare:
         assert rc == 0
         md = out.read_text()
         assert "> doubled the block size" in md
+
+
+class TestMemoryBudget:
+    def test_budget_fields(self):
+        from quantizedmha_tpu.profiling.memory import memory_budget
+
+        b = memory_budget(lambda x: jnp.tanh(x @ x), jnp.ones((256, 256)))
+        if b is None:
+            pytest.skip("backend exposes no memory analysis")
+        assert b.argument_bytes >= 256 * 256 * 4
+        assert b.output_bytes >= 256 * 256 * 4
+        assert "total" in str(b)
