@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8-tol", type=float, default=4e-2,
                    help="abs/rel tolerance used for int8 kernels (quantization "
                         "error budget; reference measured ~0.4%% deviation)")
+    p.add_argument("--bf16-tol", type=float, default=8e-3,
+                   help="abs/rel tolerance for bf16 kernels (bf16 has ~3 "
+                        "decimal digits; the fp32 default tol would flag "
+                        "plain rounding as a failure)")
     p.add_argument("--block-q", type=int, default=None)
     p.add_argument("--block-kv", type=int, default=None)
     p.add_argument("--cache-dir", default=".cache",
@@ -170,7 +174,11 @@ def run(argv=None) -> int:
             continue
 
         if args.check:
-            tol = args.int8_tol if "int8" in kernel else None
+            tol = None
+            if "int8" in kernel:
+                tol = args.int8_tol
+            elif "bf16" in kernel:
+                tol = args.bf16_tol
             report = compare(
                 np.asarray(out), golden,
                 abs_tol=tol or args.abs_tol, rel_tol=tol or args.rel_tol,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,9 +27,12 @@ def unfused_mha(
     """q, k, v: [batch, heads, seq, head_dim]. Materializes S and P in HBM."""
     head_dim = q.shape[-1]
     scale = sm_scale if sm_scale is not None else head_dim**-0.5
-    # Stage 1: S = Q K^T * scale (unfused.cu:46-83 `mma_A_Bt`).
+    # Stage 1: S = Q K^T * scale (unfused.cu:46-83 `mma_A_Bt`). HIGHEST so
+    # this is a true FP32 kernel like the reference's (the TPU default would
+    # run the MXU in bf16 passes and fail the 1e-3 gate on causal rows).
     s = jnp.einsum(
-        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     ) * scale
     if causal:
         q_len, kv_len = s.shape[-2], s.shape[-1]
@@ -40,5 +44,8 @@ def unfused_mha(
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     # Stage 3: O = P V (unfused.cu:7-44 `mma_A_B`).
-    o = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return o.astype(q.dtype)
