@@ -27,6 +27,7 @@ import numpy as np
 from quantizedmha_tpu.models.llama import LlamaConfig
 from quantizedmha_tpu.serving import llama_adapter
 from quantizedmha_tpu.serving.kv_cache import PageAllocator, PagedKVCacheState
+from quantizedmha_tpu.serving.sampling import SamplingParams, sample
 from quantizedmha_tpu.utils.metrics import Metrics
 
 
@@ -39,6 +40,7 @@ class EngineConfig:
     prefill_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048)
     eos_id: Optional[int] = None
     max_new_tokens: int = 64
+    sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
     # >1 enables the fused decode loop: decode_chunk tokens are generated
     # per host round-trip (on-device argmax feeding a lax.scan), with pages
     # pre-reserved per chunk. Past-EOS tokens within a chunk are discarded
@@ -73,13 +75,16 @@ class Engine:
         self.finished: Dict[int, List[int]] = {}
         self._next_id = 0
         self.metrics = Metrics()
+        self.sampling = ecfg.sampling.validate()
+        self._key = jax.random.PRNGKey(self.sampling.seed)
 
         self._prefill = jax.jit(
             functools.partial(llama_adapter.prefill_at, cfg),
         )
         self._decode = jax.jit(functools.partial(llama_adapter.decode_step, cfg))
         self._decode_loop = jax.jit(
-            functools.partial(llama_adapter.decode_loop, cfg),
+            functools.partial(llama_adapter.decode_loop, cfg,
+                              sampling=ecfg.sampling),
             static_argnames=("n_steps", "page_size"),
         )
         self._write = jax.jit(
@@ -127,9 +132,18 @@ class Engine:
             jnp.asarray(pages, jnp.int32),
             page_size=self.ecfg.page_size,
         )
-        first = int(jnp.argmax(logits[0]))
+        first = int(self._sample(logits))
         self.active.append(_Sequence(rid, prompt, [first], first, max_new))
         return True
+
+    def _sample_batch(self, logits) -> jnp.ndarray:
+        sub = None
+        if not self.sampling.greedy:
+            self._key, sub = jax.random.split(self._key)
+        return sample(logits, sub, self.sampling)
+
+    def _sample(self, logits) -> int:
+        return int(self._sample_batch(logits)[0])
 
     # -- one engine step -----------------------------------------------------
 
@@ -169,7 +183,7 @@ class Engine:
                 jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(page_ids),
                 jnp.asarray(slots), jnp.asarray(lengths), jnp.asarray(tables_full),
             )
-            next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+            next_tokens = np.asarray(self._sample_batch(logits))
         self.metrics.inc("decode_steps")
         self.metrics.inc("tokens_generated", nseq)
         self.metrics.set("active_sequences", nseq)
@@ -215,10 +229,11 @@ class Engine:
         tables_full[:nseq] = tables
 
         with self.metrics.timed("decode_chunk"):
+            self._key, loop_key = jax.random.split(self._key)
             out, self.cache = self._decode_loop(
                 self.params, self.cache,
                 jnp.asarray(tokens), jnp.asarray(lengths0),
-                jnp.asarray(tables_full),
+                jnp.asarray(tables_full), loop_key,
                 n_steps=chunk, page_size=self.ecfg.page_size,
             )
             out = np.asarray(out)  # [chunk, B] — the single host sync

@@ -215,13 +215,15 @@ def decode_loop(
     tokens: jnp.ndarray,    # [B] i32 — pending tokens (K/V not yet cached)
     lengths: jnp.ndarray,   # [B] i32 — context length EXCLUDING the pending token
     tables: jnp.ndarray,    # [B, max_pages] i32 — covers lengths + n_steps slots
+    key: Optional[jnp.ndarray] = None,  # PRNG key (only used when sampling)
     *,
     n_steps: int,
     page_size: int,
+    sampling=None,  # serving.sampling.SamplingParams; None -> greedy
     axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, PagedKVCacheState]:
-    """Fused greedy decode of `n_steps` tokens per sequence, entirely
-    on-device: argmax feeds the next step inside a lax.scan, and each
+    """Fused decode of `n_steps` tokens per sequence, entirely on-device:
+    the sampled token feeds the next step inside a lax.scan, and each
     step's (page, slot) is derived from the block table and the running
     length — no host round-trip per token. The host must pre-reserve the
     pages the loop will touch (engine does this at chunk granularity).
@@ -229,9 +231,14 @@ def decode_loop(
     Returns (tokens [n_steps, B], cache). tokens[i] is the token sampled
     AFTER the i-th cached append, i.e. the continuation sequence.
     """
+    from quantizedmha_tpu.serving.sampling import SamplingParams, sample
+
+    sampling = sampling or SamplingParams()
+    if key is None:
+        key = jax.random.PRNGKey(sampling.seed)
 
     def body(carry, _):
-        cache, toks, lens = carry
+        cache, toks, lens, key = carry
         pos = lens  # absolute position of the pending token
         pids = jnp.take_along_axis(tables, (pos // page_size)[:, None], axis=1)[:, 0]
         slots = pos % page_size
@@ -239,10 +246,11 @@ def decode_loop(
             cfg, params, cache, toks, pos, pids, slots, lens + 1, tables,
             axis_name,
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (cache, nxt, lens + 1), nxt
+        key, sub = jax.random.split(key)
+        nxt = sample(logits, sub, sampling)
+        return (cache, nxt, lens + 1, key), nxt
 
-    (cache, _, _), out = jax.lax.scan(
-        body, (cache, tokens, lengths), None, length=n_steps
+    (cache, _, _, _), out = jax.lax.scan(
+        body, (cache, tokens, lengths, key), None, length=n_steps
     )
     return out, cache

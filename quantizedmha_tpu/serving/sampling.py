@@ -1,0 +1,55 @@
+"""On-device token sampling for the serving engine.
+
+Greedy argmax, temperature, and top-k sampling as pure jittable functions —
+usable both per step and inside the fused decode loop's lax.scan (the PRNG
+key is part of the scan carry, so fused chunks replay exactly like
+step-at-a-time decoding with the same seed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """temperature == 0 -> greedy argmax (top_k ignored).
+    top_k == 0 -> no truncation."""
+
+    temperature: float = 0.0
+    top_k: int = 0
+    seed: int = 0
+
+    def validate(self) -> "SamplingParams":
+        if self.temperature < 0:
+            raise ValueError("temperature must be >= 0")
+        if self.top_k < 0:
+            raise ValueError("top_k must be >= 0")
+        return self
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0
+
+
+def sample(
+    logits: jnp.ndarray,
+    key: Optional[jax.Array],
+    params: SamplingParams,
+) -> jnp.ndarray:
+    """logits: [batch, vocab] -> tokens [batch] i32.
+
+    Statically specializes on params (it's a frozen dataclass captured at
+    trace time), so the greedy path compiles to a bare argmax.
+    """
+    if params.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / params.temperature
+    if params.top_k > 0:
+        kth = jax.lax.top_k(scaled, params.top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)

@@ -183,15 +183,18 @@ class TPEngine(Engine):
                 functools.partial(
                     llama_adapter.decode_loop, lcfg, axis_name=axis,
                     n_steps=n_steps, page_size=page_size,
+                    sampling=ecfg.sampling,
                 ),
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, rep1, rep1, rep2),
+                # The PRNG key is replicated: every shard samples the same
+                # token (logits are replicated post-psum).
+                in_specs=(pspecs, cspecs, rep1, rep1, rep2, rep1),
                 out_specs=(rep2, cspecs),
                 check_vma=False,
             )
 
         self._decode_loop = jax.jit(
-            lambda params, cache, toks, lens, tables, n_steps, page_size:
-                loop_sm(n_steps, page_size)(params, cache, toks, lens, tables),
+            lambda params, cache, toks, lens, tables, key, n_steps, page_size:
+                loop_sm(n_steps, page_size)(params, cache, toks, lens, tables, key),
             static_argnames=("n_steps", "page_size"),
         )

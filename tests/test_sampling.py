@@ -1,0 +1,101 @@
+"""Sampling tests: greedy/temperature/top-k, engine integration, and
+fused-vs-stepwise reproducibility with the same seed."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+from quantizedmha_tpu.serving.sampling import SamplingParams, sample
+
+
+class TestSample:
+    def test_greedy_is_argmax(self, rng):
+        logits = jnp.asarray(rng.normal(0, 1, (4, 32)), jnp.float32)
+        toks = sample(logits, None, SamplingParams())
+        np.testing.assert_array_equal(np.asarray(toks),
+                                      np.asarray(jnp.argmax(logits, -1)))
+
+    def test_temperature_sampling_spread(self, rng):
+        # near-uniform logits at high temperature -> many distinct tokens
+        logits = jnp.zeros((256, 64), jnp.float32)
+        toks = sample(logits, jax.random.PRNGKey(0),
+                      SamplingParams(temperature=1.0))
+        assert len(np.unique(np.asarray(toks))) > 16
+
+    def test_top_k_restricts_support(self, rng):
+        logits = jnp.asarray(rng.normal(0, 1, (512, 64)), jnp.float32)
+        params = SamplingParams(temperature=1.0, top_k=2)
+        toks = np.asarray(sample(logits, jax.random.PRNGKey(1), params))
+        top2 = np.asarray(jax.lax.top_k(logits, 2)[1])
+        for i in range(512):
+            assert toks[i] in top2[i]
+
+    def test_low_temperature_approaches_greedy(self, rng):
+        logits = jnp.asarray(rng.normal(0, 3, (64, 32)), jnp.float32)
+        toks = sample(logits, jax.random.PRNGKey(2),
+                      SamplingParams(temperature=1e-4))
+        np.testing.assert_array_equal(np.asarray(toks),
+                                      np.asarray(jnp.argmax(logits, -1)))
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            SamplingParams(temperature=-1.0).validate()
+        with pytest.raises(ValueError):
+            SamplingParams(top_k=-1).validate()
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
+    return cfg, init_params(cfg, jax.random.PRNGKey(0))
+
+
+def _ecfg(**kw):
+    base = dict(num_pages=32, page_size=16, max_batch=2,
+                prefill_buckets=(16,), max_new_tokens=6, max_pages_per_seq=4)
+    base.update(kw)
+    return EngineConfig(**base)
+
+
+class TestEngineSampling:
+    def test_sampled_engine_runs_and_differs_by_seed(self, model):
+        cfg, params = model
+        outs = []
+        for seed in (0, 1):
+            eng = Engine(cfg, params, _ecfg(
+                sampling=SamplingParams(temperature=5.0, seed=seed)))
+            eng.add_request([1, 2, 3])
+            outs.append(eng.run()[0])
+        assert all(len(o) == 6 for o in outs)
+        # tiny random model + very hot temperature: trajectories should differ
+        assert outs[0] != outs[1]
+
+    def test_greedy_default_unchanged(self, model):
+        cfg, params = model
+        a = Engine(cfg, params, _ecfg())
+        a.add_request([1, 2, 3])
+        b = Engine(cfg, params, _ecfg(sampling=SamplingParams(temperature=0.0)))
+        b.add_request([1, 2, 3])
+        assert a.run() == b.run()
+
+    def test_fused_greedy_matches_stepwise(self, model):
+        cfg, params = model
+        a = Engine(cfg, params, _ecfg(decode_chunk=3))
+        a.add_request([1, 2, 3])
+        b = Engine(cfg, params, _ecfg())
+        b.add_request([1, 2, 3])
+        assert a.run() == b.run()
+
+    def test_fused_sampled_reproducible_by_seed(self, model):
+        cfg, params = model
+        outs = []
+        for _ in range(2):
+            eng = Engine(cfg, params, _ecfg(
+                decode_chunk=3,
+                sampling=SamplingParams(temperature=2.0, seed=7)))
+            eng.add_request([1, 2, 3])
+            outs.append(eng.run()[0])
+        assert outs[0] == outs[1]
