@@ -312,23 +312,23 @@ def _bwd_reference(sm_scale, causal, q, k, v, o, lse, do):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-def _mk_mask(block_q, block_kv, q_idx, kv_idx, diag_offset, causal,
-             q_len, kv_len, block_q_dim=0):
-    """(q, kv) position mask for one backward tile; block_q_dim selects the
-    scores orientation ([bq, bkv] when 0)."""
-    qdim, kdim = (0, 1) if block_q_dim == 0 else (1, 0)
-    shape = (block_q, block_kv) if block_q_dim == 0 else (block_kv, block_q)
-    qpos = (jax.lax.broadcasted_iota(jnp.int32, shape, qdim)
-            + q_idx * block_q + diag_offset)
-    kpos = jax.lax.broadcasted_iota(jnp.int32, shape, kdim) + kv_idx * block_kv
-    mask = (qpos - diag_offset) < q_len
-    mask &= kpos < kv_len
+def _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off, causal,
+             q_len, kv_len):
+    """(q, kv) mask for one backward tile [bq, bkv]: local padding edges plus
+    the GLOBAL causal diagonal (offsets are traced scalars so ring-attention
+    steps can rotate them, like the forward's offs_ref)."""
+    shape = (block_q, block_kv)
+    qrow = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
+    kcol = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
+    mask = qrow < q_len
+    mask &= kcol < kv_len
     if causal:
-        mask &= kpos <= qpos
+        mask &= (kcol + kv_off) <= (qrow + q_off)
     return mask
 
 
 def _bwd_dkv_kernel(
+    offs_ref,                                       # [2] int32 SMEM
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,  # inputs
     dk_ref, dv_ref,                                 # outputs [1,1,bkv,d]
     dk_scratch, dv_scratch,                         # [bkv, d] f32
@@ -346,11 +346,11 @@ def _bwd_dkv_kernel(
         dk_scratch[...] = jnp.zeros_like(dk_scratch)
         dv_scratch[...] = jnp.zeros_like(dv_scratch)
 
-    diag_offset = kv_len - q_len
+    q_off, kv_off = offs_ref[0], offs_ref[1]
     if causal:
         # Skip q blocks wholly above the diagonal: they see no kv here.
-        last_q_pos = q_idx * block_q + diag_offset + block_q - 1
-        should_run = last_q_pos >= kv_idx * block_kv
+        last_q_pos = q_off + q_idx * block_q + block_q - 1
+        should_run = last_q_pos >= kv_off + kv_idx * block_kv
     else:
         should_run = True
 
@@ -368,7 +368,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         ) * sm_scale
         p = jnp.exp(s - lse)  # padded q rows carry lse=+big -> p == 0
-        mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, diag_offset,
+        mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off,
                         causal, q_len, kv_len)
         p = jnp.where(mask, p, 0.0)
 
@@ -396,6 +396,7 @@ def _bwd_dkv_kernel(
 
 
 def _bwd_dq_kernel(
+    offs_ref,                                       # [2] int32 SMEM
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     dq_ref,                                         # output [1,1,bq,d]
     dq_scratch,                                     # [bq, d] f32
@@ -411,10 +412,10 @@ def _bwd_dq_kernel(
     def _init():
         dq_scratch[...] = jnp.zeros_like(dq_scratch)
 
-    diag_offset = kv_len - q_len
+    q_off, kv_off = offs_ref[0], offs_ref[1]
     if causal:
-        last_q_pos = q_idx * block_q + diag_offset + block_q - 1
-        should_run = last_q_pos >= kv_idx * block_kv
+        last_q_pos = q_off + q_idx * block_q + block_q - 1
+        should_run = last_q_pos >= kv_off + kv_idx * block_kv
     else:
         should_run = True
 
@@ -432,7 +433,7 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         ) * sm_scale
         p = jnp.exp(s - lse)
-        mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, diag_offset,
+        mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off,
                         causal, q_len, kv_len)
         p = jnp.where(mask, p, 0.0)
         dp = jax.lax.dot_general(
@@ -450,10 +451,18 @@ def _bwd_dq_kernel(
         dq_ref[0, 0, :, :] = dq_scratch[...].astype(dq_ref.dtype)
 
 
-def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do,
+def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do, dlse=None,
+                q_offset=None, kv_offset=None,
                 block_q=None, block_kv=None, interpret=None):
     """Flash backward as two Pallas passes (kv-stationary for dK/dV,
-    q-stationary for dQ) + an XLA prepass for di = rowsum(dO * O)."""
+    q-stationary for dQ) + an XLA prepass for di = rowsum(dO * O).
+
+    dlse: optional cotangent of the lse residual. lse = logsumexp(S) has
+    dL/dS_ij += dlse_i * P_ij, which folds into the existing formula
+    dS = P * (dP - di) as di -> di - dlse — so the lse path costs nothing.
+    q_offset/kv_offset: global positions for causal masking (traced scalars
+    allowed — ring-attention steps differentiate through rotated shards).
+    """
     batch, heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
     block_q, block_kv = pick_blocks(
@@ -464,7 +473,17 @@ def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do,
     precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
 
+    if q_offset is None:
+        q_offset = kv_len - q_len
+    if kv_offset is None:
+        kv_offset = 0
+    offsets = jnp.stack(
+        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
+    )
+
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        di = di - dlse.astype(jnp.float32)
 
     q_pad = (-q_len) % block_q
     kv_pad = (-kv_len) % block_kv
@@ -497,7 +516,8 @@ def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
         grid=(batch, heads, kv_len_p // block_kv, q_len_p // block_q),
-        in_specs=[q_spec_kvmajor, kv_spec_kvmajor, kv_spec_kvmajor,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  q_spec_kvmajor, kv_spec_kvmajor, kv_spec_kvmajor,
                   q_spec_kvmajor, stat_spec_kvmajor, stat_spec_kvmajor],
         out_specs=[kv_spec_kvmajor, kv_spec_kvmajor],
         out_shape=[
@@ -512,13 +532,14 @@ def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
-    )(qp, kp, vp, dop, lse_b, di_b)
+    )(offsets, qp, kp, vp, dop, lse_b, di_b)
 
     # Pass 2 (q-stationary): grid minor dim streams kv blocks.
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid=(batch, heads, q_len_p // block_q, kv_len_p // block_kv),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((batch, heads, q_len_p, head_dim), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, head_dim), jnp.float32)],
@@ -526,7 +547,7 @@ def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
-    )(qp, kp, vp, dop, lse_b, di_b)
+    )(offsets, qp, kp, vp, dop, lse_b, di_b)
 
     return (dq[:, :, :q_len, :], dk[:, :, :kv_len, :], dv[:, :, :kv_len, :])
 
@@ -559,6 +580,46 @@ def _flash_bwd_rule(sm_scale, causal, block_q, block_kv, interpret, res, do):
 _flash_attention_custom.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+# Residual-returning variant: (o, lse) with BOTH differentiable, so
+# context-parallel / ring attention (which merge partials through lse) can
+# train. Offsets are primal args (they may be traced ring positions) with
+# symbolic-zero cotangents.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention_lse_custom(
+    q, k, v, q_offset, kv_offset, sm_scale, causal, block_q, block_kv, interpret
+):
+    return _fwd(
+        q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
+        block_kv=block_kv, save_residuals=True,
+        q_offset=q_offset, kv_offset=kv_offset, interpret=interpret,
+    )
+
+
+def _flash_lse_fwd_rule(q, k, v, q_offset, kv_offset, sm_scale, causal,
+                        block_q, block_kv, interpret):
+    o, lse = _fwd(
+        q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
+        block_kv=block_kv, save_residuals=True,
+        q_offset=q_offset, kv_offset=kv_offset, interpret=interpret,
+    )
+    return (o, lse), (q, k, v, o, lse, q_offset, kv_offset)
+
+
+def _flash_lse_bwd_rule(sm_scale, causal, block_q, block_kv, interpret,
+                        res, cotangents):
+    q, k, v, o, lse, q_offset, kv_offset = res
+    do, dlse = cotangents
+    dq, dk, dv = _bwd_pallas(
+        sm_scale, causal, q, k, v, o, lse, do, dlse=dlse,
+        q_offset=q_offset, kv_offset=kv_offset,
+        block_q=block_q, block_kv=block_kv, interpret=interpret,
+    )
+    return dq, dk, dv, None, None  # integer offsets: symbolic-zero cotangent
+
+
+_flash_attention_lse_custom.defvjp(_flash_lse_fwd_rule, _flash_lse_bwd_rule)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -586,10 +647,14 @@ def flash_attention(
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
     scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
     if save_residuals:
-        return _fwd(
-            q, k, v, sm_scale=scale, causal=causal, block_q=block_q,
-            block_kv=block_kv, save_residuals=True,
-            q_offset=q_offset, kv_offset=kv_offset, interpret=interpret,
+        kv_len = k.shape[2]
+        if q_offset is None:
+            q_offset = kv_len - q.shape[2]
+        if kv_offset is None:
+            kv_offset = 0
+        return _flash_attention_lse_custom(
+            q, k, v, q_offset, kv_offset, scale, causal, block_q, block_kv,
+            interpret,
         )
     if q_offset is not None or kv_offset is not None:
         raise ValueError("q_offset/kv_offset require save_residuals=True")

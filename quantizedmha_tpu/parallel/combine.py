@@ -47,7 +47,13 @@ def merge_partial_attention(
     """Merge partial attention outputs across a mesh axis (two all-reduces:
     pmax for the global max, psum for the corrected sums — boom guide 15)."""
     lse_local = lse_local.astype(jnp.float32)
-    m_global = jax.lax.pmax(lse_local, axis_name=axis_name)
+    # The global max is only a numerical-stability shift — the merged output
+    # is mathematically invariant to it — so treat it as a constant:
+    # stop_gradient both makes the merge differentiable (pmax has no diff
+    # rule) and is exact.
+    m_global = jax.lax.stop_gradient(
+        jax.lax.pmax(jax.lax.stop_gradient(lse_local), axis_name=axis_name)
+    )
     m_safe = jnp.where(jnp.isfinite(m_global), m_global, 0.0)
     w = jnp.exp(jnp.where(jnp.isfinite(lse_local), lse_local - m_safe, -jnp.inf))
     l_global = jax.lax.psum(w, axis_name=axis_name)

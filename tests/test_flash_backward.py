@@ -79,3 +79,67 @@ def test_bwd_padded_rows_zero_grad(qkv_factory):
         causal=False, block_q=128, block_kv=128)
     assert dq.shape == (1, 1, 100, 64) and dk.shape == (1, 1, 100, 64)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dvr), atol=2e-4)
+
+
+class TestDistributedGradients:
+    """Context-parallel / ring attention training: gradients through the
+    lse-merged partials must match the single-device golden exactly."""
+
+    def _setup(self, rng):
+        import functools
+        from jax.sharding import Mesh, PartitionSpec as P
+        from quantizedmha_tpu.parallel.ring import (
+            context_parallel_attention, ring_attention)
+
+        q = jnp.asarray(rng.normal(0, 0.5, (1, 2, 256, 64)), jnp.float32)
+        k = jnp.asarray(rng.normal(0, 0.5, (1, 2, 256, 64)), jnp.float32)
+        v = jnp.asarray(rng.normal(0, 0.5, (1, 2, 256, 64)), jnp.float32)
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("cp",))
+        cp = jax.shard_map(
+            functools.partial(context_parallel_attention, axis_name="cp",
+                              causal=True),
+            mesh=mesh,
+            in_specs=(P(None, None, None, None), P(None, None, "cp", None),
+                      P(None, None, "cp", None)),
+            out_specs=P(None, None, None, None), check_vma=False)
+        ring = jax.shard_map(
+            functools.partial(ring_attention, axis_name="cp", causal=True),
+            mesh=mesh, in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=P(None, None, "cp", None), check_vma=False)
+        return q, k, v, cp, ring
+
+    @pytest.mark.parametrize("which", ["context_parallel", "ring"])
+    def test_grad_matches_golden(self, rng, which):
+        q, k, v, cp, ring = self._setup(rng)
+        fn = cp if which == "context_parallel" else ring
+        g = jax.grad(lambda q, k, v: jnp.sum(fn(q, k, v) ** 2), (0, 1, 2))(q, k, v)
+        gr = jax.grad(
+            lambda q, k, v: jnp.sum(mha_reference_shaped(q, k, v, causal=True) ** 2),
+            (0, 1, 2))(q, k, v)
+        for got, want, name in zip(g, gr, "qkv"):
+            err = float(jnp.max(jnp.abs(got - want)))
+            assert err < 1e-4, f"{which} d{name}: {err}"
+
+
+def test_lse_cotangent_is_exact(qkv_factory):
+    """A loss depending on lse itself (not just o) must differentiate
+    correctly — the dlse term folds into di in the backward kernels."""
+    from quantizedmha_tpu.reference.mha import mha_with_intermediates
+
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=128, kv_len=128, head_dim=64)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+    def loss_k(q, k, v):
+        o, lse = fa_mod.flash_attention(q, k, v, causal=True, save_residuals=True)
+        return jnp.sum(o ** 2) + jnp.sum(jnp.sin(lse))
+
+    def loss_r(q, k, v):
+        o, s, _ = mha_with_intermediates(q, k, v, causal=True)
+        m = jnp.max(s, -1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(s - m[..., None]), -1))
+        return jnp.sum(o ** 2) + jnp.sum(jnp.sin(lse))
+
+    g = jax.grad(loss_k, (0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, (0, 1, 2))(q, k, v)
+    for got, want, name in zip(g, gr, "qkv"):
+        assert float(jnp.max(jnp.abs(got - want))) < 1e-4, name
