@@ -67,6 +67,7 @@ def _ln(x: float) -> float:
 
 
 def _int8_fwd_kernel(
+    offs_ref,  # [2] int32 SMEM: global (q_offset, kv_offset) for causal
     q_ref,   # [1, 1, block_q, head_dim] f32/bf16
     k_ref,   # [1, 1, block_kv, head_dim] int8
     v_ref,   # [1, 1, block_kv, head_dim] int8
@@ -105,10 +106,10 @@ def _int8_fwd_kernel(
         qi8_scratch[...] = jnp.clip(jnp.round(q / scale), -127.0, 127.0).astype(jnp.int8)
         sq_scratch[0] = scale
 
-    diag_offset = kv_len - q_len
+    q_off, kv_off = offs_ref[0], offs_ref[1]
     if causal:
-        last_q_row = q_idx * block_q + diag_offset + block_q - 1
-        should_run = last_q_row >= kv_idx * block_kv
+        last_q_pos = q_off + q_idx * block_q + block_q - 1
+        should_run = last_q_pos >= kv_off + kv_idx * block_kv
     else:
         should_run = True
 
@@ -128,7 +129,6 @@ def _int8_fwd_kernel(
             qpos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
                 + q_idx * block_q
-                + diag_offset
             )
             kpos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -136,7 +136,7 @@ def _int8_fwd_kernel(
             )
             mask = jnp.ones((block_q, block_kv), jnp.bool_)
             if causal:
-                mask &= kpos <= qpos
+                mask &= (kpos + kv_off) <= (qpos + q_off)
             if need_kv_edge_mask:
                 mask &= kpos < kv_len
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -189,6 +189,8 @@ def flash_attention_int8_prequant(
     block_kv: Optional[int] = None,
     scale_clamp: float = 1e-8,
     p_static_scale: float = 127.0,
+    q_offset=None,
+    kv_offset=None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused INT8 attention over pre-quantized K/V (the INT8 KV-cache path).
@@ -198,6 +200,9 @@ def flash_attention_int8_prequant(
     multiple of block_kv; k_scales, v_scales: [batch, heads, nkv] f32 with
     nkv = kv_len_padded // block_kv.
     kv_len: true (unpadded) kv length; defaults to the padded length.
+    q_offset/kv_offset: global positions for causal masking (traced scalars
+    allowed — chunked prefill passes the chunk's start position). Default
+    end-aligned, matching the non-offset behavior.
     """
     batch, heads, q_len, head_dim = q.shape
     kv_len_p = k_i8.shape[2]
@@ -215,6 +220,14 @@ def flash_attention_int8_prequant(
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, 0))) if q_pad else q
     q_len_p = q_len + q_pad
 
+    if q_offset is None:
+        q_offset = kv_len - q_len
+    if kv_offset is None:
+        kv_offset = 0
+    offsets = jnp.stack(
+        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
+    )
+
     grid = (batch, heads, q_len_p // block_q, kv_len_p // block_kv)
     kernel = functools.partial(
         _int8_fwd_kernel,
@@ -231,6 +244,7 @@ def flash_attention_int8_prequant(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
@@ -252,7 +266,7 @@ def flash_attention_int8_prequant(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
-    )(qp, k_i8, v_i8, k_scales, v_scales)
+    )(offsets, qp, k_i8, v_i8, k_scales, v_scales)
     return out[:, :, :q_len, :]
 
 

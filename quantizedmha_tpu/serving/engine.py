@@ -91,6 +91,10 @@ class Engine:
             functools.partial(llama_adapter.write_prefill, cfg),
             static_argnames=("page_size",),
         )
+        self._prefill_chunk = jax.jit(
+            functools.partial(llama_adapter.prefill_chunk, cfg),
+            static_argnames=("page_size",),
+        )
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -113,6 +117,16 @@ class Engine:
         n = len(prompt)
         if not self.alloc.can_admit(n):
             return False
+        if -(-n // self.ecfg.page_size) > self.ecfg.max_pages_per_seq:
+            self.queue.popleft()
+            raise ValueError(
+                f"request {rid} (len {n}) exceeds max_pages_per_seq"
+            )
+        if n > max(self.ecfg.prefill_buckets):
+            # Long prompt: chunked prefill through the paged INT8 cache.
+            self.queue.popleft()
+            self._admit_chunked(rid, prompt, max_new)
+            return True
         self.queue.popleft()
         pages = self.alloc.admit(rid, n)
         bucket = self._bucket(n)
@@ -135,6 +149,39 @@ class Engine:
         first = int(self._sample(logits))
         self.active.append(_Sequence(rid, prompt, [first], first, max_new))
         return True
+
+    def _admit_chunked(self, rid: int, prompt: List[int], max_new: int) -> None:
+        """Prefill a prompt longer than the largest bucket in fixed chunks:
+        each chunk's K/V is written to the paged INT8 cache, then the chunk
+        attends to the gathered prefix (itself included) with global causal
+        offsets. Shape-stable: every chunk reuses one jitted program."""
+        chunk = max(self.ecfg.prefill_buckets)
+        if chunk % self.ecfg.page_size:
+            raise ValueError(
+                "chunked prefill needs the largest bucket to be a multiple "
+                f"of page_size ({chunk} % {self.ecfg.page_size})"
+            )
+        n = len(prompt)
+        self.alloc.admit(rid, n)
+        table = self.alloc.block_table_array([rid], self.ecfg.max_pages_per_seq)[0]
+        table_j = jnp.asarray(table, jnp.int32)
+        n_chunks = -(-n // chunk)
+        logits = None
+        for ci in range(n_chunks):
+            part = prompt[ci * chunk:(ci + 1) * chunk]
+            toks = np.zeros((1, chunk), np.int32)
+            toks[0, :len(part)] = part
+            last_idx = len(part) - 1  # only consumed for the final chunk
+            with self.metrics.timed("prefill"):
+                logits, self.cache = self._prefill_chunk(
+                    self.params, self.cache, jnp.asarray(toks),
+                    jnp.int32(ci * chunk), table_j, jnp.int32(last_idx),
+                    page_size=self.ecfg.page_size,
+                )
+        self.metrics.inc("requests_admitted")
+        self.metrics.inc("prefill_tokens", n)
+        first = int(self._sample(logits))
+        self.active.append(_Sequence(rid, prompt, [first], first, max_new))
 
     def _sample_batch(self, logits) -> jnp.ndarray:
         sub = None

@@ -31,7 +31,7 @@ from quantizedmha_tpu.models.llama import LlamaConfig, rms_norm, _repeat_kv, _at
 from quantizedmha_tpu.quant.weights import qdense
 from quantizedmha_tpu.ops.decode import paged_decode_attention
 from quantizedmha_tpu.reference.mha import apply_rope
-from quantizedmha_tpu.serving.kv_cache import PagedKVCacheState
+from quantizedmha_tpu.serving.kv_cache import PagedKVCacheState, write_pages
 
 
 def make_cache(cfg: LlamaConfig, num_pages: int, page_size: int) -> PagedKVCacheState:
@@ -117,6 +117,87 @@ def write_prefill(
 
     _, cache = jax.lax.scan(body, None, (cache, k_all, v_all))
     return cache
+
+
+def prefill_chunk(
+    cfg: LlamaConfig,
+    params: Dict[str, Any],
+    cache: PagedKVCacheState,  # layer-stacked
+    tokens: jnp.ndarray,       # [1, C] i32 — one chunk, right-padded
+    chunk_start: jnp.ndarray,  # scalar i32, multiple of page_size
+    table: jnp.ndarray,        # [max_pages] i32 — this sequence's block table
+    last_index: jnp.ndarray,   # scalar i32 — last REAL token index within chunk
+    *,
+    page_size: int,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, PagedKVCacheState]:
+    """One chunk of a chunked prefill (prompts longer than the largest
+    bucket): per layer, project/RoPE the chunk, WRITE its K/V into the paged
+    INT8 cache, then attend the chunk's queries against the whole prefix
+    gathered from the cache — the chunk's own keys included, causally masked
+    by global offsets (the kernel's traced q_offset). Self-attention within
+    the prompt thus runs over INT8 K/V, the same error budget as decode.
+
+    Returns (logits [1, vocab] at `last_index`, updated cache).
+    """
+    from quantizedmha_tpu.ops.flash_attention_int8 import (
+        flash_attention_int8_prequant,
+    )
+
+    b, C = tokens.shape
+    assert b == 1, "chunked prefill is per-sequence"
+    hd = cfg.hd
+    max_pages = table.shape[0]
+    gathered_len = max_pages * page_size
+    n_rep = cfg.num_heads // cfg.num_kv_heads
+    reduce_tp = _psum_or_id(axis_name)
+    dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
+
+    positions = chunk_start + jnp.arange(C, dtype=jnp.int32)
+    x = params["embed"][tokens].astype(cfg.dtype)
+
+    def body(x, scanned):
+        p, cache_l = scanned
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        q = dense(h, p["wq"]).reshape(b, C, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = dense(h, p["wk"]).reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = dense(h, p["wv"]).reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cfg.rope_theta, positions)
+        k = apply_rope(k, cfg.rope_theta, positions)
+
+        # Write this chunk's K/V into its pages (chunk_start is page-aligned).
+        chunk_pages = jax.lax.dynamic_slice(
+            table, (chunk_start // page_size,), (C // page_size,)
+        )
+        cache_l = write_pages(cache_l, k[0], v[0], chunk_pages, page_size)
+
+        # Gather the full (static-length) table; causal offsets mask both the
+        # not-yet-written tail and the padding pages.
+        k_g = cache_l.k_pages[:, table]   # [Hkv, max_pages, page, hd] int8
+        v_g = cache_l.v_pages[:, table]
+        ks_g = cache_l.k_scales[:, table]  # [Hkv, max_pages]
+        vs_g = cache_l.v_scales[:, table]
+        k_g = _repeat_kv(k_g.reshape(1, cfg.num_kv_heads, gathered_len, hd), n_rep)
+        v_g = _repeat_kv(v_g.reshape(1, cfg.num_kv_heads, gathered_len, hd), n_rep)
+        ks_g = _repeat_kv(ks_g[None, :, :, None], n_rep)[..., 0]
+        vs_g = _repeat_kv(vs_g[None, :, :, None], n_rep)[..., 0]
+
+        o = flash_attention_int8_prequant(
+            q, k_g, ks_g, v_g, vs_g,
+            causal=True, block_kv=page_size,
+            q_offset=chunk_start, kv_offset=0,
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, C, cfg.num_heads * hd)
+        x = x + reduce_tp(dense(o.astype(cfg.dtype), p["wo"]))
+        h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+        gate = jax.nn.silu(dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + reduce_tp(dense(gate * dense(h, p["w_up"]), p["w_down"]))
+        return x, cache_l
+
+    x, cache = jax.lax.scan(body, x, (params["layers"], cache))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = (x[0, last_index] @ params["lm_head"]).astype(jnp.float32)
+    return logits[None], cache
 
 
 def _rope_single(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:

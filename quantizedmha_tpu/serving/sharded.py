@@ -178,6 +178,22 @@ class TPEngine(Engine):
         )
         self._decode = jax.jit(decode_sm)
 
+        def chunk_sm(page_size):
+            return jax.shard_map(
+                functools.partial(llama_adapter.prefill_chunk, lcfg,
+                                  page_size=page_size, axis_name=axis),
+                mesh=mesh,
+                in_specs=(pspecs, cspecs, rep2, P(), rep1, P()),
+                out_specs=(rep2, cspecs),
+                check_vma=False,
+            )
+
+        self._prefill_chunk = jax.jit(
+            lambda params, cache, toks, start, table, last, page_size:
+                chunk_sm(page_size)(params, cache, toks, start, table, last),
+            static_argnames=("page_size",),
+        )
+
         def loop_sm(n_steps, page_size):
             return jax.shard_map(
                 functools.partial(
