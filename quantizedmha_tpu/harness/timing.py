@@ -48,6 +48,12 @@ class Timing:
         return self.estimate_s * 1e3
 
     @property
+    def best_ms(self) -> float:
+        """Min over pair estimates — the stable statistic on a tunneled/
+        co-tenant chip where noise is one-sided positive (spikes only)."""
+        return min(self.pair_estimates_s, default=self.estimate_s) * 1e3
+
+    @property
     def spread(self) -> float:
         """Relative spread of the raw pair estimates (noise indicator)."""
         if len(self.pair_estimates_s) < 2:
