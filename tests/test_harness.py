@@ -59,3 +59,13 @@ def test_int8_peak_selected():
     chip = ChipSpec("test", 100.0, 200.0, 1000.0)
     r = roofline(0.01, 1e12, 0, dtype="int8", chip=chip)
     assert abs(r.pct_of_compute_sol - 50.0) < 1e-6
+
+
+def test_timing_best_ms_is_min_pair():
+    from quantizedmha_tpu.harness.timing import Timing
+
+    t = Timing(estimate_s=2e-3, pair_estimates_s=[3e-3, 1.5e-3, 2.5e-3])
+    assert t.best_ms == 1.5
+    assert t.median_ms == 2.0
+    t_empty = Timing(estimate_s=2e-3, pair_estimates_s=[])
+    assert t_empty.best_ms == 2.0
