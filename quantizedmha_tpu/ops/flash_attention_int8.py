@@ -74,6 +74,7 @@ def _int8_fwd_kernel(
     ks_ref,  # [batch, heads, nkv] f32, whole array in SMEM — K block scales
     vs_ref,  # [batch, heads, nkv] f32, whole array in SMEM — V block scales
     o_ref,   # [1, 1, block_q, head_dim]
+    lse_ref,  # [1, 1, block_q, LANES] or None — natural log-sum-exp residual
     m_scratch,    # [block_q, LANES] f32
     l_scratch,    # [block_q, LANES] f32
     acc_scratch,  # [block_q, head_dim] f32
@@ -173,6 +174,22 @@ def _int8_fwd_kernel(
         l = l_scratch[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # l carries the p_scale factor: lse = m + log(l') - log(p_scale).
+            # Fully masked rows (l == 0) get -inf so they drop out of
+            # cross-shard merges (parallel/combine).
+            lse = jnp.where(
+                l > 0.0,
+                m_scratch[:, :1] + jnp.log(l) - _ln(p_scale),
+                -jnp.inf,
+            )
+            lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _strip_lse_int8(kernel, offs_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                    o_ref, m_s, l_s, acc_s, qi8_s, sq_s):
+    return kernel(offs_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, None,
+                  m_s, l_s, acc_s, qi8_s, sq_s)
 
 
 def flash_attention_int8_prequant(
@@ -191,8 +208,9 @@ def flash_attention_int8_prequant(
     p_static_scale: float = 127.0,
     q_offset=None,
     kv_offset=None,
+    save_residuals: bool = False,
     interpret: Optional[bool] = None,
-) -> jnp.ndarray:
+):
     """Fused INT8 attention over pre-quantized K/V (the INT8 KV-cache path).
 
     q: [batch, heads, q_len, head_dim] f32/bf16.
@@ -240,7 +258,20 @@ def flash_attention_int8_prequant(
         scale_clamp=scale_clamp,
         p_scale=p_static_scale,
     )
-    out = pl.pallas_call(
+    if not save_residuals:
+        kernel = functools.partial(_strip_lse_int8, kernel)
+    out_shapes = [jax.ShapeDtypeStruct((batch, heads, q_len_p, head_dim), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0))
+    ]
+    if save_residuals:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((batch, heads, q_len_p, LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, i, j: (b, h, i, 0))
+        )
+    results = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -251,10 +282,8 @@ def flash_attention_int8_prequant(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch, heads, q_len_p, head_dim), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -267,7 +296,10 @@ def flash_attention_int8_prequant(
         ),
         interpret=_auto_interpret(interpret),
     )(offsets, qp, k_i8, v_i8, k_scales, v_scales)
-    return out[:, :, :q_len, :]
+    o = results[0][:, :, :q_len, :]
+    if save_residuals:
+        return o, results[1][:, :, :q_len, 0]
+    return o
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from quantizedmha_tpu.ops.flash_attention import flash_attention
+from quantizedmha_tpu.ops.flash_attention_int8 import flash_attention_int8_prequant
+from quantizedmha_tpu.ops.quantize import quantize_kv_blocks
 from quantizedmha_tpu.parallel.combine import merge_partial_attention, merge_two_partials
 
 
@@ -116,5 +118,66 @@ def ring_attention(
     lse0 = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)
     (o, _, _, _), _ = jax.lax.scan(
         step_fn, (o0, lse0, k_shard, v_shard), jnp.arange(n)
+    )
+    return o
+
+
+def ring_attention_int8(
+    q: jnp.ndarray,
+    k_shard: jnp.ndarray,
+    v_shard: jnp.ndarray,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_kv: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """INT8 ring attention: each device quantizes its KV shard ONCE
+    (per-(head, block) scales), then int8 payloads + scales rotate around
+    the ring — ~4x less ICI traffic than rotating f32 K/V (the dominant
+    cost of ring attention at long context) — and every step runs the fused
+    INT8 kernel with global causal offsets. Inference-path (no VJP).
+
+    Same calling convention as `ring_attention`; kv_shard must be a
+    multiple of block_kv.
+    """
+    n = jax.lax.psum(1, axis_name=axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    q_shard_len = q.shape[2]
+    kv_shard_len = k_shard.shape[2]
+    if kv_shard_len % block_kv:
+        block_kv = kv_shard_len  # degenerate shards: one block per shard
+    q_offset = (idx * q_shard_len).astype(jnp.int32)
+
+    k_i8, k_sc = quantize_kv_blocks(k_shard, block_kv)
+    v_i8, v_sc = quantize_kv_blocks(v_shard, block_kv)
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step_fn(carry, step):
+        o_acc, lse_acc, k_blk, ks, v_blk, vs = carry
+        src = jax.lax.rem(idx - step + n, n)
+        kv_offset = (src * kv_shard_len).astype(jnp.int32)
+
+        # Rotate int8 payloads + their scales (starts before the compute).
+        k_next = jax.lax.ppermute(k_blk, axis_name, perm)
+        ks_next = jax.lax.ppermute(ks, axis_name, perm)
+        v_next = jax.lax.ppermute(v_blk, axis_name, perm)
+        vs_next = jax.lax.ppermute(vs, axis_name, perm)
+
+        o_s, lse_s = flash_attention_int8_prequant(
+            q, k_blk, ks, v_blk, vs,
+            sm_scale=sm_scale, causal=causal, block_kv=block_kv,
+            q_offset=q_offset, kv_offset=kv_offset,
+            save_residuals=True, interpret=interpret,
+        )
+        o_new, lse_new = merge_two_partials(o_acc, lse_acc, o_s, lse_s)
+        return (o_new, lse_new, k_next, ks_next, v_next, vs_next), None
+
+    o0 = jnp.zeros(q.shape, q.dtype)
+    lse0 = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)
+    (o, _, _, _, _, _), _ = jax.lax.scan(
+        step_fn, (o0, lse0, k_i8, k_sc, v_i8, v_sc), jnp.arange(n)
     )
     return o

@@ -101,3 +101,52 @@ def test_ring_attention_matches_golden(rng, causal):
     out = sharded(q, k, v)
     ref = mha_reference_shaped(q, k, v, causal=causal)
     assert_close(out, ref, abs_tol=2e-3, rel_tol=2e-3, what=f"ring causal={causal}")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_int8_matches_golden(rng, causal):
+    from quantizedmha_tpu.parallel.ring import ring_attention_int8
+
+    mesh = make_mesh((4,), ("cp",))
+    q, k, v = _qkv(rng, b=1, h=2, s=256, d=32)
+
+    fn = functools.partial(ring_attention_int8, axis_name="cp", causal=causal,
+                           block_kv=32)
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, "cp", None),
+            P(None, None, "cp", None),
+            P(None, None, "cp", None),
+        ),
+        out_specs=P(None, None, "cp", None),
+        check_vma=False,
+    )
+    out = sharded(q, k, v)
+    ref = mha_reference_shaped(q, k, v, causal=causal)
+    # int8 error budget (same gate as the single-chip int8 kernel tests)
+    from quantizedmha_tpu.harness.verify import compare
+
+    report = compare(np.asarray(out), np.asarray(ref), abs_tol=4e-2, rel_tol=4e-2)
+    assert report.ok, f"int8 ring causal={causal}: {report}"
+
+
+def test_int8_prequant_save_residuals_lse_matches_fp(rng):
+    """The int8 kernel's lse residual must agree with the fp kernel's (it
+    feeds the same cross-shard merges)."""
+    from quantizedmha_tpu.ops.flash_attention import flash_attention
+    from quantizedmha_tpu.ops.flash_attention_int8 import (
+        flash_attention_int8_prequant,
+    )
+    from quantizedmha_tpu.ops.quantize import quantize_kv_blocks
+
+    q, k, v = _qkv(rng, b=1, h=2, s=256, d=32)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    k_i8, ks = quantize_kv_blocks(k, 64)
+    v_i8, vs = quantize_kv_blocks(v, 64)
+    o8, lse8 = flash_attention_int8_prequant(
+        q, k_i8, ks, v_i8, vs, block_kv=64, save_residuals=True)
+    of, lsef = flash_attention(q, k, v, save_residuals=True)
+    assert np.abs(np.asarray(lse8) - np.asarray(lsef)).max() < 2e-2
+    assert np.abs(np.asarray(o8) - np.asarray(of)).max() < 4e-2
