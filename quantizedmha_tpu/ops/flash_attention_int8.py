@@ -10,9 +10,9 @@ and of the INT8 algorithm documented in its run6 notes
     S_i32    = Qq_i8 @ Kq_i8^T on the MXU's int8 path   (wmma int8, :177-280)
     S_f32    = S_i32 * sQ * sK * sm_scale               (dequant, :150-174)
     online softmax in f32 (m, l in VMEM scratch)
-    Pq  int8 = round(P * 127)     P in (0,1] so the scale is static
+    Pq  int8 = round(P')  where P' = exp(s - (m - ln 127)) in (0, 127]
     O_i32    = Pq @ Vq_i8 on the MXU
-    acc_f32 += O_i32 * sV / 127                         (fp32 accum, :420-423)
+    acc_f32 += O_i32 * sV   (fp32 accum, :420-423; the 127 cancels vs l')
 
 Deliberate departures from the reference:
   * K/V are quantized ONCE per sequence in an O(S*D) host-side XLA pass
@@ -20,8 +20,9 @@ Deliberate departures from the reference:
     — half the K/V HBM traffic, no per-(q_block, kv_block) re-quantization
     VPU work (the reference re-quantized K and V inside every grid cell,
     fa_tc_int8_b.cu:495,517), and the natural format for an INT8 KV cache.
-  * Q is quantized once per q block and cached in VMEM scratch; the
-    reference re-quantized Q on every kv iteration (fa_tc_int8_b.cu:482).
+  * Q is quantized once per q block with PER-ROW scales and cached in
+    VMEM scratch; the reference re-quantized whole tiles on every kv
+    iteration (fa_tc_int8_b.cu:482).
   * Scales are per-(head, block) kernel inputs in SMEM — the reference kept
     them in global DRAM arrays keyed only by kv block, a true data race
     across q blocks (fa_tc_int8_a.cu:414,528-531; SURVEY.md 4.4).
@@ -67,7 +68,7 @@ def _ln(x: float) -> float:
 
 
 def _int8_fwd_kernel(
-    offs_ref,  # [2] int32 SMEM: global (q_offset, kv_offset) for causal
+    offs_ref,  # [batch, 2] int32 SMEM: per-sequence global (q_off, kv_off)
     q_ref,   # [1, 1, block_q, head_dim] f32/bf16
     k_ref,   # [1, 1, block_kv, head_dim] int8
     v_ref,   # [1, 1, block_kv, head_dim] int8
@@ -79,7 +80,7 @@ def _int8_fwd_kernel(
     l_scratch,    # [block_q, LANES] f32
     acc_scratch,  # [block_q, head_dim] f32
     qi8_scratch,  # [block_q, head_dim] int8 — Q quantized once per q block
-    sq_scratch,   # [1] f32 in SMEM — Q tile scale
+    sq_scratch,   # [block_q, LANES] f32 VMEM — per-ROW Q scales (col 0 live)
     *,
     sm_scale: float,
     causal: bool,
@@ -102,12 +103,16 @@ def _int8_fwd_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
         q = q_ref[0, 0, :, :].astype(jnp.float32)
-        amax = jnp.max(jnp.abs(q))
+        # PER-ROW symmetric scales: more accurate than one per-tile scale
+        # (the reference quantized whole tiles, fa_tc_int8_b.cu:482) and
+        # makes each row's result independent of its tile-mates — verified
+        # row logits don't depend on the speculation block size.
+        amax = jnp.max(jnp.abs(q), axis=1, keepdims=True)  # [block_q, 1]
         scale = jnp.maximum(amax, scale_clamp) / 127.0
         qi8_scratch[...] = jnp.clip(jnp.round(q / scale), -127.0, 127.0).astype(jnp.int8)
-        sq_scratch[0] = scale
+        sq_scratch[...] = jnp.broadcast_to(scale, sq_scratch.shape)
 
-    q_off, kv_off = offs_ref[0], offs_ref[1]
+    q_off, kv_off = offs_ref[b_idx, 0], offs_ref[b_idx, 1]
     if causal:
         last_q_pos = q_off + q_idx * block_q + block_q - 1
         should_run = last_q_pos >= kv_off + kv_idx * block_kv
@@ -122,7 +127,7 @@ def _int8_fwd_kernel(
             precision=_INT8_PRECISION,
         )
         s = s_i32.astype(jnp.float32) * (
-            sq_scratch[0] * ks_ref[b_idx, h_idx, kv_idx] * sm_scale
+            sq_scratch[:, :1] * (ks_ref[b_idx, h_idx, kv_idx] * sm_scale)
         )
 
         need_kv_edge_mask = kv_len % block_kv != 0
@@ -242,9 +247,10 @@ def flash_attention_int8_prequant(
         q_offset = kv_len - q_len
     if kv_offset is None:
         kv_offset = 0
-    offsets = jnp.stack(
-        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
-    )
+    # Per-sequence offsets [batch, 2]; scalars broadcast (the common case).
+    q_off_arr = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (batch,))
+    kv_off_arr = jnp.broadcast_to(jnp.asarray(kv_offset, jnp.int32), (batch,))
+    offsets = jnp.stack([q_off_arr, kv_off_arr], axis=1)
 
     grid = (batch, heads, q_len_p // block_q, kv_len_p // block_kv)
     kernel = functools.partial(
@@ -289,7 +295,7 @@ def flash_attention_int8_prequant(
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, head_dim), jnp.float32),
             pltpu.VMEM((block_q, head_dim), jnp.int8),
-            pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -326,7 +332,7 @@ def _int8_fwd_kernel_t(
     l_scratch,    # [SUBS, block_q] f32 (row 0 live)
     acc_scratch,  # [head_dim, block_q] f32 — O^T accumulator
     qi8_scratch,  # [head_dim, block_q] int8 — Q^T quantized once per q block
-    sq_scratch,   # [1] f32 in SMEM
+    sq_scratch,   # [_SUBS, block_q] f32 VMEM — per-Q-column scales (row 0 live)
     *,
     sm_scale: float,
     causal: bool,
@@ -349,10 +355,11 @@ def _int8_fwd_kernel_t(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
         qt = qt_ref[0, 0, :, :].astype(jnp.float32)
-        amax = jnp.max(jnp.abs(qt))
+        # Per-Q (column) scales — see the standard kernel's per-row note.
+        amax = jnp.max(jnp.abs(qt), axis=0, keepdims=True)  # [1, block_q]
         scale = jnp.maximum(amax, scale_clamp) / 127.0
         qi8_scratch[...] = jnp.clip(jnp.round(qt / scale), -127.0, 127.0).astype(jnp.int8)
-        sq_scratch[0] = scale
+        sq_scratch[...] = jnp.broadcast_to(scale, sq_scratch.shape)
 
     diag_offset = kv_len - q_len
     if causal:
@@ -370,7 +377,7 @@ def _int8_fwd_kernel_t(
             precision=_INT8_PRECISION,
         )
         st = st_i32.astype(jnp.float32) * (
-            sq_scratch[0] * ks_ref[b_idx, h_idx, kv_idx] * sm_scale
+            sq_scratch[:1, :] * (ks_ref[b_idx, h_idx, kv_idx] * sm_scale)
         )
 
         need_kv_edge_mask = kv_len % block_kv != 0
@@ -515,7 +522,7 @@ def flash_attention_int8_t(
             pltpu.VMEM((_SUBS, block_q_eff), jnp.float32),
             pltpu.VMEM((head_dim, block_q_eff), jnp.float32),
             pltpu.VMEM((head_dim, block_q_eff), jnp.int8),
-            pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((_SUBS, block_q_eff), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),

@@ -81,7 +81,10 @@ def mha_int8_reference(
     for qi in range(q_len // block_q):
         qs = slice(qi * block_q, (qi + 1) * block_q)
         q_tile = qf[..., qs, :]
-        q_q, s_q = quantize_int8_tile(q_tile, scale_clamp=scale_clamp)
+        # Q is quantized PER ROW (axis=-1): each query's result is then
+        # independent of its tile-mates (matches the kernel; K/V stay
+        # per-block, matching the KV-cache storage granularity).
+        q_q, s_q = quantize_int8_tile(q_tile, axis=(-1,), scale_clamp=scale_clamp)
         m = jnp.full((*lead, block_q, 1), -jnp.inf, jnp.float32)
         l = jnp.zeros((*lead, block_q, 1), jnp.float32)
         acc = jnp.zeros((*lead, block_q, head_dim), jnp.float32)
@@ -102,11 +105,14 @@ def mha_int8_reference(
             m_curr = jnp.max(s, axis=-1, keepdims=True)
             m_next = jnp.maximum(m, m_curr)
             alpha = jnp.exp(m - m_next)
-            p = jnp.exp(s - m_next)
+            # ln(p_scale) folded into the exponent, exactly like the kernel:
+            # P arrives in (0, 127], l carries the p_scale factor, and the
+            # factor cancels in the epilogue division.
+            p = jnp.exp(s - (m_next - jnp.log(jnp.float32(p_static_scale))))
             l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-            p_q = jnp.clip(jnp.round(p * p_static_scale), -127, 127).astype(jnp.int32)
+            p_q = jnp.clip(jnp.round(p), -127, 127).astype(jnp.int32)
             o_i32 = jnp.einsum("...qk,...kd->...qd", p_q, v_q.astype(jnp.int32))
-            acc = alpha * acc + o_i32.astype(jnp.float32) * (s_v / p_static_scale)
+            acc = alpha * acc + o_i32.astype(jnp.float32) * s_v
             m = m_next
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         out = out.at[..., qs, :].set(acc * l_inv)

@@ -170,6 +170,21 @@ class PageAllocator:
         self.lengths[seq_id] = n + 1
         return table[n // self.page_size], slot, new_page
 
+    def rollback(self, seq_id: int, new_len: int) -> None:
+        """Rewind a sequence to `new_len` tokens, freeing pages past the new
+        end. Slots between new_len and the old length keep stale K/V on
+        device — harmless, because slots are position-indexed and will be
+        overwritten before they are ever read (speculative decoding rejects
+        drafted tokens this way)."""
+        old = self.lengths[seq_id]
+        if not 0 <= new_len <= old:
+            raise ValueError(f"rollback to {new_len} outside [0, {old}]")
+        table = self.tables[seq_id]
+        keep = self.pages_needed(new_len)
+        while len(table) > max(keep, 1):
+            self._free.append(table.pop())
+        self.lengths[seq_id] = new_len
+
     def release(self, seq_id: int) -> None:
         self._free.extend(reversed(self.tables.pop(seq_id)))
         self.lengths.pop(seq_id)

@@ -242,6 +242,107 @@ def _append_batch(
     )
 
 
+def _rope_positions(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """RoPE with per-sequence absolute positions. x: [B, Hh, S, hd];
+    positions: [B, S]."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) * 2.0 / hd)
+    ang = positions.astype(jnp.float32)[..., None] * freqs  # [B, S, half]
+    cos = jnp.cos(ang)[:, None]  # [B, 1, S, half]
+    sin = jnp.sin(ang)[:, None]
+    xf = x.astype(jnp.float32)
+    xe, xo = xf[..., 0::2], xf[..., 1::2]
+    re = xe * cos - xo * sin
+    ro = xe * sin + xo * cos
+    return jnp.stack([re, ro], axis=-1).reshape(x.shape).astype(x.dtype)
+
+
+def verify_step(
+    cfg: LlamaConfig,
+    params: Dict[str, Any],
+    cache: PagedKVCacheState,   # layer-stacked
+    tokens: jnp.ndarray,        # [B, S] i32 — pending token + S-1 draft tokens
+    positions0: jnp.ndarray,    # [B] i32 — absolute position of tokens[:, 0]
+    page_sched: jnp.ndarray,    # [B, S] i32 — page receiving token j's K/V
+    slot_sched: jnp.ndarray,    # [B, S] i32 — slot within that page
+    tables: jnp.ndarray,        # [B, max_pages] i32
+    *,
+    page_size: int,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, PagedKVCacheState]:
+    """Speculative-decoding verification: process S tokens per sequence in
+    ONE forward — append their K/V to the paged cache (slots are position-
+    indexed, so rejected drafts are simply overwritten later after a host
+    rollback), attend causally against each sequence's gathered pages with
+    PER-SEQUENCE global offsets, and return logits at every position.
+
+    Returns (logits [B, S, vocab], cache).
+    """
+    from quantizedmha_tpu.ops.flash_attention_int8 import (
+        flash_attention_int8_prequant,
+    )
+
+    b, S = tokens.shape
+    hd = cfg.hd
+    max_pages = tables.shape[1]
+    gathered_len = max_pages * page_size
+    n_rep = cfg.num_heads // cfg.num_kv_heads
+    reduce_tp = _psum_or_id(axis_name)
+    dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
+
+    positions = positions0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    x = params["embed"][tokens].astype(cfg.dtype)  # [B, S, hid]
+
+    def body(x, scanned):
+        p, cache_l = scanned
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        q = dense(h, p["wq"]).reshape(b, S, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = dense(h, p["wk"]).reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = dense(h, p["wv"]).reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = _rope_positions(q, positions, cfg.rope_theta)
+        k = _rope_positions(k, positions, cfg.rope_theta)
+
+        # Append token-by-token (S is small and static) so the page-scale
+        # fit-at-slot-0 policy matches plain decode exactly.
+        for j in range(S):
+            cache_l = _append_batch(
+                cache_l, k[:, :, j].transpose(0, 1, 2), v[:, :, j],
+                page_sched[:, j], slot_sched[:, j],
+            )
+
+        # Gather each sequence's pages; repeat kv heads for GQA.
+        k_g = cache_l.k_pages[:, tables]   # [Hkv, B, max_pages, page, hd]
+        v_g = cache_l.v_pages[:, tables]
+        ks_g = cache_l.k_scales[:, tables]  # [Hkv, B, max_pages]
+        vs_g = cache_l.v_scales[:, tables]
+        k_g = k_g.transpose(1, 0, 2, 3, 4).reshape(b, cfg.num_kv_heads, gathered_len, hd)
+        v_g = v_g.transpose(1, 0, 2, 3, 4).reshape(b, cfg.num_kv_heads, gathered_len, hd)
+        ks_g = ks_g.transpose(1, 0, 2)
+        vs_g = vs_g.transpose(1, 0, 2)
+        k_g = _repeat_kv(k_g, n_rep)
+        v_g = _repeat_kv(v_g, n_rep)
+        ks_g = _repeat_kv(ks_g[..., None], n_rep)[..., 0]
+        vs_g = _repeat_kv(vs_g[..., None], n_rep)[..., 0]
+
+        o = flash_attention_int8_prequant(
+            q, k_g, ks_g, v_g, vs_g,
+            causal=True, block_kv=page_size,
+            q_offset=positions0, kv_offset=jnp.zeros_like(positions0),
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, S, cfg.num_heads * hd)
+        x = x + reduce_tp(dense(o.astype(cfg.dtype), p["wo"]))
+        h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+        gate = jax.nn.silu(dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + reduce_tp(dense(gate * dense(h, p["w_up"]), p["w_down"]))
+        return x, cache_l
+
+    x, cache = jax.lax.scan(body, x, (params["layers"], cache))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)  # [B, S, vocab]
+    return logits, cache
+
+
 def decode_step(
     cfg: LlamaConfig,
     params: Dict[str, Any],

@@ -1,0 +1,233 @@
+"""Greedy speculative decoding: a small draft model proposes, the target
+model verifies a whole block of tokens in one forward.
+
+Losslessness: with greedy sampling, speculative decoding is EXACT — the
+emitted token stream is identical to plain greedy decoding of the target
+model (the tests gate this token-for-token). The speedup comes from the
+target model reading its weights once per accepted block instead of once
+per token; the draft's cost is proportional to its (much smaller) size.
+
+Mechanics per round, for every active sequence in the batch:
+  1. draft proposes `k` tokens with its own fused decode loop (its own
+     paged cache);
+  2. target runs `verify_step`: ONE batched forward over [pending, d_1..d_k]
+     that appends K/V for all k+1 positions and returns k+1 logits;
+  3. host accepts the longest prefix where draft tokens match the target's
+     argmax; on a mismatch it emits the accepted drafts plus the target's
+     correction token, on full acceptance it emits all k drafts (no bonus
+     token — see the cache-alignment note in _step_speculate);
+  4. both caches ROLL BACK to the accepted length (allocator-only: slots
+     are position-indexed, stale K/V is overwritten later).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantizedmha_tpu.models.llama import LlamaConfig
+from quantizedmha_tpu.serving import llama_adapter
+from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+
+
+@dataclasses.dataclass
+class SpecConfig:
+    num_draft_tokens: int = 4  # k
+
+
+class SpecDecodeEngine(Engine):
+    """Continuous-batching engine with draft-model speculation.
+
+    Greedy sampling only (speculative decoding with temperature needs
+    rejection sampling — future work; a non-greedy config raises).
+    """
+
+    def __init__(self, cfg: LlamaConfig, params: Dict[str, Any],
+                 draft_cfg: LlamaConfig, draft_params: Dict[str, Any],
+                 ecfg: EngineConfig, scfg: SpecConfig = SpecConfig()):
+        if not ecfg.sampling.greedy:
+            raise ValueError("SpecDecodeEngine supports greedy sampling only")
+        if ecfg.decode_chunk != 1:
+            raise ValueError("decode_chunk and speculation are exclusive")
+        if draft_cfg.vocab_size != cfg.vocab_size:
+            raise ValueError("draft and target must share a vocabulary")
+        super().__init__(cfg, params, ecfg)
+        self.scfg = scfg
+        self.draft_cfg = draft_cfg
+        self.draft_params = draft_params
+        # The draft gets its own cache + allocator over the same page layout.
+        self.draft_cache = llama_adapter.make_cache(
+            draft_cfg, ecfg.num_pages, ecfg.page_size)
+        from quantizedmha_tpu.serving.kv_cache import PageAllocator
+
+        self.draft_alloc = PageAllocator(ecfg.num_pages, ecfg.page_size)
+        self.draft_alloc._free.remove(0)
+
+        self._draft_prefill = jax.jit(
+            functools.partial(llama_adapter.prefill_at, draft_cfg))
+        self._draft_write = jax.jit(
+            functools.partial(llama_adapter.write_prefill, draft_cfg),
+            static_argnames=("page_size",))
+        self._draft_loop = jax.jit(
+            functools.partial(llama_adapter.decode_loop, draft_cfg),
+            static_argnames=("n_steps", "page_size"))
+        self._verify = jax.jit(
+            functools.partial(llama_adapter.verify_step, cfg),
+            static_argnames=("page_size",))
+
+    # -- admission: prefill BOTH models ---------------------------------------
+
+    def _try_admit(self) -> bool:
+        if self.queue:
+            n_head = len(self.queue[0][1])
+            if n_head > max(self.ecfg.prefill_buckets):
+                raise NotImplementedError(
+                    "chunked prefill + speculation not wired up; raise the "
+                    "prefill bucket or use the plain Engine for long prompts")
+            if not self.draft_alloc.can_admit(n_head):
+                return False  # keep target and draft admission in lockstep
+        queued = list(self.queue)
+        admitted = super()._try_admit()
+        if not admitted:
+            return False
+        rid, prompt, _ = queued[0]
+        n = len(prompt)
+        pages = self.draft_alloc.admit(rid, n)
+        bucket = self._bucket(n)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = prompt
+        _, k_all, v_all = self._draft_prefill(
+            self.draft_params, jnp.asarray(toks), jnp.int32(n - 1))
+        n_write = len(pages) * self.ecfg.page_size
+        self.draft_cache = self._draft_write(
+            self.draft_cache, k_all[:, :, :n_write], v_all[:, :, :n_write],
+            jnp.asarray(pages, jnp.int32), page_size=self.ecfg.page_size)
+        return True
+
+    # -- one speculation round -------------------------------------------------
+
+    def step(self) -> None:
+        while self._try_admit():
+            pass
+        if not self.active:
+            return
+        self._step_speculate(self.scfg.num_draft_tokens)
+
+    def _reserve(self, alloc, seq_ids, count) -> None:
+        for sid in seq_ids:
+            for _ in range(count):
+                alloc.extend(sid)
+
+    def _step_speculate(self, k: int) -> None:
+        B = self.ecfg.max_batch
+        S = k + 1
+        nseq = len(self.active)
+        seq_ids = [s.seq_id for s in self.active]
+        page_size = self.ecfg.page_size
+        max_pages = self.ecfg.max_pages_per_seq
+
+        tokens0 = np.zeros(B, np.int32)
+        lengths0 = np.ones(B, np.int32)
+        d_lengths0 = np.ones(B, np.int32)
+        for i, seq in enumerate(self.active):
+            tokens0[i] = seq.pending
+            lengths0[i] = self.alloc.lengths[seq.seq_id]
+            # The draft cache may lag the target by one token (the bonus
+            # token of a fully accepted round); the pending token's stream
+            # position always equals the DRAFT's cached length, so the
+            # draft loop must run from its own lengths.
+            d_lengths0[i] = self.draft_alloc.lengths[seq.seq_id]
+            pages_after = -(-(int(lengths0[i]) + S) // page_size)
+            if pages_after > max_pages:
+                raise RuntimeError(
+                    f"seq {seq.seq_id}: speculation needs {pages_after} "
+                    f"pages > max_pages_per_seq")
+
+        # 1. draft proposes k tokens (fused loop on the draft cache).
+        self._reserve(self.draft_alloc, seq_ids, k)
+        d_tables = np.zeros((B, max_pages), np.int32)
+        d_tables[:nseq] = self.draft_alloc.block_table_array(seq_ids, max_pages)
+        with self.metrics.timed("draft"):
+            self._key, loop_key = jax.random.split(self._key)
+            drafts, self.draft_cache = self._draft_loop(
+                self.draft_params, self.draft_cache,
+                jnp.asarray(tokens0), jnp.asarray(d_lengths0),
+                jnp.asarray(d_tables), loop_key,
+                n_steps=k, page_size=page_size)
+            drafts = np.asarray(drafts)  # [k, B]
+
+        # 2. target verifies pending + drafts in one forward.
+        self._reserve(self.alloc, seq_ids, S)
+        t_tables = np.zeros((B, max_pages), np.int32)
+        t_tables[:nseq] = self.alloc.block_table_array(seq_ids, max_pages)
+        fed = np.zeros((B, S), np.int32)
+        fed[:, 0] = tokens0
+        fed[:, 1:] = drafts.T
+        pos = lengths0[:, None] + np.arange(S, dtype=np.int32)[None, :]
+        page_sched = np.take_along_axis(
+            t_tables, pos // page_size, axis=1).astype(np.int32)
+        slot_sched = (pos % page_size).astype(np.int32)
+        with self.metrics.timed("verify"):
+            logits, self.cache = self._verify(
+                self.params, self.cache, jnp.asarray(fed),
+                jnp.asarray(lengths0), jnp.asarray(page_sched),
+                jnp.asarray(slot_sched), jnp.asarray(t_tables),
+                page_size=page_size)
+            target = np.asarray(jnp.argmax(logits, axis=-1))  # [B, S]
+
+        # 3. host acceptance + 4. rollbacks.
+        #
+        # Cache-alignment invariant: the draft loop caches K/V for positions
+        # L..L+k-1 (pending + first k-1 drafts) — it never caches d_k. So on
+        # full acceptance the "bonus" token is NOT emitted; pending becomes
+        # d_k itself and both caches roll back to L+a(+1), staying aligned
+        # every round (d_k's K/V is recomputed as next round's pending —
+        # one token of recompute instead of a draft catch-up pass).
+        self.metrics.inc("spec_rounds")
+        still_active = []
+        for i, seq in enumerate(self.active):
+            accepted = 0
+            while accepted < k and drafts[accepted, i] == target[i, accepted]:
+                accepted += 1
+            if accepted < k:
+                # a accepted drafts + the target's correction token.
+                emitted = [int(t) for t in target[i, : accepted + 1]]
+                new_len = int(lengths0[i]) + accepted + 1
+            else:
+                # all k accepted: emit them; d_k becomes the new pending.
+                emitted = [int(t) for t in drafts[:, i]]
+                new_len = int(lengths0[i]) + k
+            self.metrics.inc("draft_tokens_proposed", k)
+            self.metrics.inc("draft_tokens_accepted", accepted)
+
+            self.alloc.rollback(seq.seq_id, new_len)
+            self.draft_alloc.rollback(seq.seq_id, new_len)
+
+            finished = False
+            for tok in emitted:
+                seq.out.append(tok)
+                seq.pending = tok
+                self.metrics.inc("tokens_generated")
+                eos = self.ecfg.eos_id is not None and tok == self.ecfg.eos_id
+                if seq.done_by_len or eos:
+                    finished = True
+                    break
+            if finished:
+                self.finished[seq.seq_id] = seq.out
+                self.alloc.release(seq.seq_id)
+                self.draft_alloc.release(seq.seq_id)
+                self.metrics.inc("requests_finished")
+            else:
+                still_active.append(seq)
+        self.active = still_active
+        self.metrics.set("free_pages", len(self.alloc._free))
+
+    @property
+    def acceptance_rate(self) -> float:
+        prop = self.metrics.counter("draft_tokens_proposed")
+        return self.metrics.counter("draft_tokens_accepted") / prop if prop else 0.0

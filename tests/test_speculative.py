@@ -1,0 +1,130 @@
+"""Speculative decoding tests.
+
+The invariant that proves the acceptance/rollback machinery correct:
+the emitted stream is IDENTICAL for every speculation length k, because all
+emissions come from verify-path logits over identical prefixes (greedy).
+Cross-kernel token agreement with the plain engine is NOT bit-exact by
+design — verify runs the fused INT8 kernel (P quantized) while plain decode
+runs the paged kernel (fp32 P) — so plain-engine comparisons are bounded,
+not exact (the ~0.5% logit delta can flip near-ties on tiny random models).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+from quantizedmha_tpu.serving.sampling import SamplingParams
+from quantizedmha_tpu.serving.speculative import SpecConfig, SpecDecodeEngine
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    draft_cfg = LlamaConfig.tiny(num_layers=1, hidden_size=64,
+                                 intermediate_size=128, dtype=jnp.float32)
+    draft_params = init_params(draft_cfg, jax.random.PRNGKey(7))
+    return cfg, params, draft_cfg, draft_params
+
+
+def _ecfg(**kw):
+    base = dict(num_pages=64, page_size=16, max_batch=3,
+                prefill_buckets=(16, 32), max_new_tokens=10,
+                max_pages_per_seq=8)
+    base.update(kw)
+    return EngineConfig(**base)
+
+
+def _run_spec(models, k, prompts, **ecfg_kw):
+    cfg, params, draft_cfg, draft_params = models
+    eng = SpecDecodeEngine(cfg, params, draft_cfg, draft_params,
+                           _ecfg(**ecfg_kw), SpecConfig(num_draft_tokens=k))
+    for p in prompts:
+        eng.add_request(p)
+    return eng, eng.run()
+
+
+def test_stream_invariant_under_k(models):
+    """THE losslessness gate: the output must not depend on how far the
+    draft speculates (k), only on the target model."""
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [11, 5]]
+    _, base = _run_spec(models, 1, prompts)
+    for k in (2, 3, 5):
+        _, got = _run_spec(models, k, prompts)
+        assert got == base, f"k={k} changed the output stream"
+
+
+def test_matches_plain_engine_first_tokens(models):
+    """Cross-kernel agreement: the first emitted token comes straight off
+    the (shared) prefill logits and must match the plain engine; later
+    tokens agree only within quantization noise (see module docstring)."""
+    cfg, params, *_ = models
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+    ref = Engine(cfg, params, _ecfg())
+    for p in prompts:
+        ref.add_request(p)
+    want = ref.run()
+    _, got = _run_spec(models, 3, prompts)
+    for rid in want:
+        assert got[rid][0] == want[rid][0]
+        assert len(got[rid]) == len(want[rid])
+
+
+def test_self_speculation_high_acceptance(models):
+    """Draft == target: acceptance is limited only by the draft-kernel vs
+    verify-kernel quantization delta on near-ties — it must be high."""
+    cfg, params, *_ = models
+    eng = SpecDecodeEngine(cfg, params, cfg, params,
+                           _ecfg(max_new_tokens=16),
+                           SpecConfig(num_draft_tokens=4))
+    eng.add_request([1, 2, 3])
+    out = eng.run()
+    assert len(out[0]) == 16
+    assert eng.acceptance_rate > 0.5, eng.acceptance_rate
+    # speculation must beat one-token-per-round: fewer rounds than tokens
+    assert eng.metrics.counter("spec_rounds") < 16
+
+
+def test_eos_mid_block(models):
+    """EOS inside an accepted block truncates the emission exactly there."""
+    _, first_run = _run_spec(models, 3, [[1, 2, 3]])
+    eos = first_run[0][2]
+    eng, out = _run_spec(models, 3, [[1, 2, 3]], eos_id=eos)
+    assert out[0][-1] == eos
+    assert len(out[0]) == 3
+    assert eng.alloc.free_pages == eng.ecfg.num_pages - 1  # all released
+
+
+def test_continuous_batching_with_speculation(models):
+    """More requests than max_batch: admission + page recycling + rollback
+    interleave; output must still be k-invariant."""
+    prompts = [[i + 1, i + 2, i + 3] for i in range(4)]
+    _, base = _run_spec(models, 1, prompts, max_batch=2, max_new_tokens=6)
+    _, got = _run_spec(models, 4, prompts, max_batch=2, max_new_tokens=6)
+    assert got == base
+
+
+def test_page_rollover_in_speculation(models):
+    """Speculation block spanning a page boundary: rollback must free the
+    overhang page and re-extend cleanly next round."""
+    prompts = [list(range(1, 14))]  # 13 tokens; page_size 16 -> boundary soon
+    _, base = _run_spec(models, 1, prompts, max_new_tokens=12)
+    _, got = _run_spec(models, 5, prompts, max_new_tokens=12)
+    assert got == base
+
+
+def test_guards(models):
+    cfg, params, draft_cfg, draft_params = models
+    with pytest.raises(ValueError, match="greedy"):
+        SpecDecodeEngine(cfg, params, draft_cfg, draft_params,
+                         _ecfg(sampling=SamplingParams(temperature=1.0)))
+    with pytest.raises(ValueError, match="exclusive"):
+        SpecDecodeEngine(cfg, params, draft_cfg, draft_params,
+                         _ecfg(decode_chunk=4))
+    bad_draft = LlamaConfig.tiny(vocab_size=128)
+    with pytest.raises(ValueError, match="vocab"):
+        SpecDecodeEngine(cfg, params, bad_draft,
+                         init_params(bad_draft, jax.random.PRNGKey(0)), _ecfg())
