@@ -5,13 +5,18 @@ from quantizedmha_tpu.serving.kv_cache import (
     append_token,
     write_pages,
 )
+from quantizedmha_tpu.serving.sampling import SamplingParams
 from quantizedmha_tpu.serving.sharded import TPEngine, make_tp_mesh
+from quantizedmha_tpu.serving.speculative import SpecConfig, SpecDecodeEngine
 
 __all__ = [
     "Engine",
     "EngineConfig",
     "TPEngine",
     "make_tp_mesh",
+    "SamplingParams",
+    "SpecConfig",
+    "SpecDecodeEngine",
     "PageAllocator",
     "PagedKVCacheState",
     "append_token",

@@ -307,7 +307,7 @@ def verify_step(
         # fit-at-slot-0 policy matches plain decode exactly.
         for j in range(S):
             cache_l = _append_batch(
-                cache_l, k[:, :, j].transpose(0, 1, 2), v[:, :, j],
+                cache_l, k[:, :, j], v[:, :, j],
                 page_sched[:, j], slot_sched[:, j],
             )
 
