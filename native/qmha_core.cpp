@@ -216,7 +216,10 @@ int qmha_quantize_int8(const float* x, int64_t rows, int64_t cols,
     float amax = 0.f;
     for (int64_t i = r0 * cols; i < r1 * cols; ++i)
       amax = std::max(amax, std::fabs(x[i]));
-    float scale = std::max(amax / 127.0f, scale_clamp);
+    // Clamp amax BEFORE dividing — the Python quantizers' semantics
+    // (ops/quantize.py: scale = max(amax, clamp) / 127), so near-zero
+    // tiles quantize identically across the native and jnp paths.
+    float scale = std::max(amax, scale_clamp) / 127.0f;
     scales[t] = scale;
     float inv = 1.0f / scale;
     for (int64_t i = r0 * cols; i < r1 * cols; ++i) {

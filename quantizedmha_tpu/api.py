@@ -17,6 +17,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from quantizedmha_tpu.configs.attention import AttentionConfig
+
 from quantizedmha_tpu.ops.flash_attention import flash_attention
 from quantizedmha_tpu.ops.flash_attention_int8 import flash_attention_int8
 from quantizedmha_tpu.ops.unfused import unfused_mha
@@ -34,11 +36,12 @@ def solve(
     k: jnp.ndarray,
     v: jnp.ndarray,
     d_model: int,
-    num_heads: int,
+    num_heads: Optional[int] = None,
     *,
     kernel: str = "fa_int8",
-    causal: bool = False,
-    use_rope: bool = False,
+    config: Optional[AttentionConfig] = None,
+    causal: Optional[bool] = None,
+    use_rope: Optional[bool] = None,
     sm_scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
@@ -53,6 +56,21 @@ def solve(
     """
     if kernel not in KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; choose from {KERNELS}")
+    # An AttentionConfig (the reference's config.h reborn as a runtime
+    # object) supplies defaults; explicit keyword arguments win.
+    if config is not None:
+        config.validate()
+        num_heads = num_heads if num_heads is not None else config.num_heads
+        causal = causal if causal is not None else config.causal
+        use_rope = use_rope if use_rope is not None else config.use_rope
+        sm_scale = sm_scale if sm_scale is not None else config.sm_scale
+        blocks = config.blocks.validate(q.shape[0], k.shape[0])
+        block_q = block_q if block_q is not None else blocks.block_q
+        block_kv = block_kv if block_kv is not None else blocks.block_kv
+    if num_heads is None:
+        raise ValueError("pass num_heads or a config")
+    causal = bool(causal) if causal is not None else False
+    use_rope = bool(use_rope) if use_rope is not None else False
     n = q.shape[0]
     d = d_model // num_heads
     if d * num_heads != d_model:

@@ -35,11 +35,13 @@ class BlockSizes:
     block_kv_major: Optional[int] = None  # defaults to block_kv
 
     def validate(self, q_len: int, kv_len: int) -> "BlockSizes":
+        _check(self.block_q >= 1 and self.block_kv >= 1, "blocks must be >= 1")
         bq = min(self.block_q, q_len)
         bkv = min(self.block_kv, kv_len)
-        bkvm = self.block_kv_major or bkv
-        bkvm = min(bkvm, kv_len)
-        _check(bkvm % bkv == 0 or bkvm == bkv, "block_kv must divide block_kv_major")
+        bkvm = min(self.block_kv_major or bkv, kv_len)
+        # Round the HBM-transfer granularity DOWN to a kernel-tile multiple
+        # (clamping to kv_len can break divisibility; never reject, round).
+        bkvm = max(bkv, (bkvm // bkv) * bkv)
         return BlockSizes(block_q=bq, block_kv=bkv, block_kv_major=bkvm)
 
 

@@ -199,7 +199,8 @@ def run(argv=None) -> int:
             print(f"[{kernel:>10}] xprof trace -> {tdir}")
 
         flops = attention_flops(1, h, n, n, d_model // h, causal=args.causal)
-        byts = attention_bytes(1, h, n, n, d_model // h)
+        bytes_per_el = {"int8": 1, "bf16": 2}.get(_dtype_for(kernel), 4)
+        byts = attention_bytes(1, h, n, n, d_model // h, bytes_per_el=bytes_per_el)
         rl = roofline(timing.median_s, flops, byts, dtype=_dtype_for(kernel), chip=chip)
         res.ms = timing.median_ms
         res.tflops = rl.tflops_achieved

@@ -90,6 +90,7 @@ def _int8_fwd_kernel(
     block_kv: int,
     scale_clamp: float,
     p_scale: float,
+    mask_kv_tail: bool,
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
@@ -130,7 +131,9 @@ def _int8_fwd_kernel(
             sq_scratch[:, :1] * (ks_ref[b_idx, h_idx, kv_idx] * sm_scale)
         )
 
-        need_kv_edge_mask = kv_len % block_kv != 0
+        # The caller may hand a cache padded BEYOND kv_len even when kv_len
+        # is block-aligned; the static gate comes from the wrapper.
+        need_kv_edge_mask = mask_kv_tail
         if causal or need_kv_edge_mask:
             qpos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
@@ -263,6 +266,7 @@ def flash_attention_int8_prequant(
         block_kv=block_kv,
         scale_clamp=scale_clamp,
         p_scale=p_static_scale,
+        mask_kv_tail=kv_len < kv_len_p,
     )
     if not save_residuals:
         kernel = functools.partial(_strip_lse_int8, kernel)

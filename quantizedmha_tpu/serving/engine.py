@@ -162,6 +162,17 @@ class Engine:
                 f"of page_size ({chunk} % {self.ecfg.page_size})"
             )
         n = len(prompt)
+        # Every chunk (including the padded last one) claims a full chunk of
+        # table entries; without this guard the final chunk's dynamic_slice
+        # of the block table would CLAMP and silently overwrite earlier
+        # prefix pages with padding K/V.
+        n_chunks_total = -(-n // chunk)
+        if n_chunks_total * chunk // self.ecfg.page_size > self.ecfg.max_pages_per_seq:
+            raise ValueError(
+                f"request {rid}: chunked prefill needs "
+                f"{n_chunks_total * chunk // self.ecfg.page_size} table slots "
+                f"> max_pages_per_seq ({self.ecfg.max_pages_per_seq})"
+            )
         self.alloc.admit(rid, n)
         table = self.alloc.block_table_array([rid], self.ecfg.max_pages_per_seq)[0]
         table_j = jnp.asarray(table, jnp.int32)
@@ -182,6 +193,23 @@ class Engine:
         self.metrics.inc("prefill_tokens", n)
         first = int(self._sample(logits))
         self.active.append(_Sequence(rid, prompt, [first], first, max_new))
+
+    def _check_extend_headroom(self, n_tokens: int) -> None:
+        """Raise BEFORE mutating the allocator if extending every active
+        sequence by n_tokens could exhaust the page pool mid-loop (which
+        would desync host lengths from device cache contents)."""
+        needed = 0
+        for seq in self.active:
+            length = self.alloc.lengths[seq.seq_id]
+            held = len(self.alloc.tables[seq.seq_id])
+            needed += max(0, -(-(length + n_tokens) // self.ecfg.page_size) - held)
+        if needed > self.alloc.free_pages:
+            raise RuntimeError(
+                f"page pool exhausted: decoding {n_tokens} token(s) for "
+                f"{len(self.active)} sequences needs {needed} new pages, "
+                f"{self.alloc.free_pages} free. Raise num_pages or lower "
+                f"max_batch/max_new_tokens."
+            )
 
     def _sample_batch(self, logits) -> jnp.ndarray:
         sub = None
@@ -205,6 +233,7 @@ class Engine:
 
         B = self.ecfg.max_batch
         nseq = len(self.active)
+        self._check_extend_headroom(1)
         tokens = np.zeros(B, np.int32)
         positions = np.zeros(B, np.int32)
         page_ids = np.zeros(B, np.int32)
@@ -258,15 +287,20 @@ class Engine:
         nseq = len(self.active)
         tokens = np.zeros(B, np.int32)
         lengths0 = np.ones(B, np.int32)
-        for i, seq in enumerate(self.active):
-            tokens[i] = seq.pending
-            lengths0[i] = self.alloc.lengths[seq.seq_id]
-            pages_after = -(-(int(lengths0[i]) + chunk) // self.ecfg.page_size)
+        # Validate EVERY sequence's budget before mutating the allocator, so
+        # a failure leaves lengths/pages untouched (atomic error path).
+        for seq in self.active:
+            pages_after = -(-(self.alloc.lengths[seq.seq_id] + chunk)
+                            // self.ecfg.page_size)
             if pages_after > self.ecfg.max_pages_per_seq:
                 raise RuntimeError(
                     f"seq {seq.seq_id}: chunk of {chunk} would need "
                     f"{pages_after} pages > max_pages_per_seq"
                 )
+        self._check_extend_headroom(chunk)
+        for i, seq in enumerate(self.active):
+            tokens[i] = seq.pending
+            lengths0[i] = self.alloc.lengths[seq.seq_id]
             for _ in range(chunk):  # reserve the chunk's cache slots now
                 self.alloc.extend(seq.seq_id)
         tables = self.alloc.block_table_array(

@@ -56,19 +56,17 @@ def prefill_at(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
     (causal attention makes its logits independent of the padding).
     Returns (logits [1, vocab], k_all, v_all [L, Hkv, n_pad, hd], post-RoPE).
     """
-    logits_all, k_all, v_all = _prefill_all(cfg, params, tokens, axis_name)
-    return logits_all[:, last_index], k_all, v_all
+    return _prefill_all(cfg, params, tokens, last_index, axis_name)
 
 
 def prefill(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
             axis_name: Optional[str] = None):
     """tokens: [1, n] -> (last_logits [1, vocab], k_all, v_all [L, Hkv, n, hd])."""
-    logits_all, k_all, v_all = _prefill_all(cfg, params, tokens, axis_name)
-    return logits_all[:, -1], k_all, v_all
+    return _prefill_all(cfg, params, tokens, tokens.shape[1] - 1, axis_name)
 
 
 def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
-                 axis_name: Optional[str] = None):
+                 last_index, axis_name: Optional[str] = None):
     b, n = tokens.shape
     hd = cfg.hd
     reduce_tp = _psum_or_id(axis_name)
@@ -95,7 +93,10 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
 
     x, (k_all, v_all) = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)  # [1, n, vocab]
+    # Project ONLY the requested position: the full [bucket, vocab] logits
+    # would be an extra ~2 TFLOP matmul + ~1 GiB buffer per prefill at
+    # Llama-3-8B scale, all discarded but one row.
+    logits = (x[:, last_index] @ params["lm_head"]).astype(jnp.float32)
     return logits, k_all, v_all
 
 
@@ -201,18 +202,11 @@ def prefill_chunk(
 
 
 def _rope_single(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """RoPE for one token per sequence. x: [B, H, hd]; positions: [B]."""
-    hd = x.shape[-1]
-    half = hd // 2
-    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) * 2.0 / hd)
-    ang = positions.astype(jnp.float32)[:, None] * freqs[None, :]  # [B, half]
-    cos = jnp.cos(ang)[:, None, :]  # [B, 1, half]
-    sin = jnp.sin(ang)[:, None, :]
-    xf = x.astype(jnp.float32)
-    xe, xo = xf[..., 0::2], xf[..., 1::2]
-    re = xe * cos - xo * sin
-    ro = xe * sin + xo * cos
-    return jnp.stack([re, ro], axis=-1).reshape(x.shape).astype(x.dtype)
+    """RoPE for one token per sequence. x: [B, H, hd]; positions: [B].
+    Thin wrapper over _rope_positions so there is exactly ONE per-batch
+    rotation implementation to keep in sync with reference.mha.apply_rope
+    (tests pin all of them together)."""
+    return _rope_positions(x[:, :, None, :], positions[:, None], theta)[:, :, 0, :]
 
 
 def _append_batch(

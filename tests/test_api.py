@@ -45,3 +45,37 @@ def test_unknown_kernel_rejected(flat_inputs):
     q, k, v, d_model, h = flat_inputs
     with pytest.raises(ValueError):
         solve(q, k, v, d_model, h, kernel="nope")
+
+
+def test_solve_with_attention_config(rng):
+    """AttentionConfig supplies defaults (config.h reborn, actually wired)."""
+    import jax.numpy as jnp
+
+    from quantizedmha_tpu.api import solve
+    from quantizedmha_tpu.configs import AttentionConfig, BlockSizes
+
+    n, d_model, h = 128, 64, 2
+    q, k, v = (jnp.asarray(rng.normal(0, 0.5, (n, d_model)), jnp.float32)
+               for _ in range(3))
+    cfg = AttentionConfig(num_heads=h, head_dim=d_model // h, causal=True,
+                          use_rope=True, blocks=BlockSizes(block_q=64, block_kv=64))
+    got = solve(q, k, v, d_model, kernel="fa", config=cfg)
+    want = solve(q, k, v, d_model, h, kernel="fa", causal=True, use_rope=True,
+                 block_q=64, block_kv=64)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # explicit kwargs win over the config
+    got2 = solve(q, k, v, d_model, kernel="fa", config=cfg, causal=False)
+    want2 = solve(q, k, v, d_model, h, kernel="fa", causal=False, use_rope=True,
+                  block_q=64, block_kv=64)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
+
+
+def test_block_sizes_validate_rounds_not_rejects():
+    from quantizedmha_tpu.configs import BlockSizes
+
+    b = BlockSizes(block_q=256, block_kv=256, block_kv_major=512).validate(300, 300)
+    assert b.block_kv_major % b.block_kv == 0
+    with pytest.raises(ValueError):
+        from quantizedmha_tpu.api import solve
+        import jax.numpy as jnp
+        solve(jnp.ones((8, 8)), jnp.ones((8, 8)), jnp.ones((8, 8)), 8)

@@ -81,3 +81,27 @@ def test_uneven_lengths(qkv_factory):
     ref = mha_reference_shaped(q, k, v)
     report = compare(out, ref, abs_tol=5e-2, rel_tol=5e-1)
     assert report.max_rel < 0.05, f"{report}"
+
+
+def test_prequant_masks_block_aligned_padding(qkv_factory):
+    """Regression: a cache padded beyond a BLOCK-ALIGNED true kv_len must
+    still mask the tail in non-causal attention (the old gate only fired
+    when kv_len % block_kv != 0)."""
+    from quantizedmha_tpu.ops.flash_attention_int8 import (
+        flash_attention_int8_prequant,
+    )
+    from quantizedmha_tpu.ops.quantize import quantize_kv_blocks
+    from quantizedmha_tpu.reference.mha import mha_reference_shaped
+
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=128, kv_len=128, head_dim=64)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    # Pad the cache to 256 with GARBAGE (ones, scale 1.0) beyond kv_len=128.
+    pad = jnp.ones((1, 2, 128, 64), jnp.float32) * 3.0
+    k_p = jnp.concatenate([k, pad], axis=2)
+    v_p = jnp.concatenate([v, pad], axis=2)
+    k_i8, ks = quantize_kv_blocks(k_p, 64)
+    v_i8, vs = quantize_kv_blocks(v_p, 64)
+    out = flash_attention_int8_prequant(
+        q, k_i8, ks, v_i8, vs, kv_len=128, block_kv=64, causal=False)
+    ref = mha_reference_shaped(q, k, v)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 4e-2

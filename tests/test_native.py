@@ -91,7 +91,9 @@ def test_quantizer_roundtrip_and_reference_clamp(rng):
         scales, np.abs(x).reshape(2, -1).max(axis=1) / 127.0, rtol=1e-6)
     deq = core.dequantize_int8(qi, scales, tile_rows=32)
     assert np.abs(deq - x).max() <= scales.max() * 0.5 + 1e-7
-    # Tiny inputs: scale clamps at 1e-8 instead of dividing by ~0.
+    # Tiny inputs: amax clamps at 1e-8 before the /127 — the same
+    # semantics as the Python quantizers (ops/quantize.py), so near-zero
+    # tiles quantize identically across the native and jnp paths.
     tiny = np.full((32, 8), 1e-12, np.float32)
     _, sc = core.quantize_int8(tiny, tile_rows=32)
-    assert sc[0] == pytest.approx(1e-8)
+    assert sc[0] == pytest.approx(1e-8 / 127.0)

@@ -99,3 +99,26 @@ def test_flat_abi_matches_shaped(rng):
     vh = v.reshape(n, h, d).transpose(1, 0, 2)
     want = numpy_mha(qh, kh, vh).transpose(1, 0, 2).reshape(n, d_model)
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-5, rtol=2e-5)
+
+
+def test_rope_implementations_agree(rng):
+    """The serving adapter's per-batch RoPE helpers must match the golden
+    apply_rope exactly — cached K written by one path is read against Q
+    rotated by another (SURVEY blind-spot §4.4 was exactly a RoPE split)."""
+    import jax.numpy as jnp
+
+    from quantizedmha_tpu.reference.mha import apply_rope
+    from quantizedmha_tpu.serving.llama_adapter import _rope_positions, _rope_single
+
+    B, H, S, hd = 2, 3, 8, 16
+    x = jnp.asarray(rng.normal(0, 1, (B, H, S, hd)), jnp.float32)
+    golden = apply_rope(x)  # positions = arange(S), shared across batch
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    got = _rope_positions(x, pos, 10000.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden), atol=1e-6)
+
+    # _rope_single at position p == column p of the full rotation.
+    p = 5
+    single = _rope_single(x[:, :, p, :], jnp.full((B,), p, jnp.int32), 10000.0)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(golden[:, :, p, :]), atol=1e-6)
