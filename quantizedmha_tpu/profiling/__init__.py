@@ -22,6 +22,7 @@ from quantizedmha_tpu.profiling.roofline import (
 )
 from quantizedmha_tpu.profiling.memory import MemoryBudget, memory_budget
 from quantizedmha_tpu.profiling.trace import TraceCapture, annotate, capture
+from quantizedmha_tpu.profiling.trace_summary import OpStat, TraceSummary, summarize_trace
 
 __all__ = [
     "compare_files",
@@ -39,4 +40,7 @@ __all__ = [
     "capture",
     "MemoryBudget",
     "memory_budget",
+    "OpStat",
+    "TraceSummary",
+    "summarize_trace",
 ]

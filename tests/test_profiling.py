@@ -104,3 +104,27 @@ class TestMemoryBudget:
         assert b.argument_bytes >= 256 * 256 * 4
         assert b.output_bytes >= 256 * 256 * 4
         assert "total" in str(b)
+
+
+class TestTraceSummary:
+    def test_summarize_captured_trace(self, tmp_path):
+        pytest.importorskip("tensorflow.tsl.profiler.protobuf.xplane_pb2")
+        from quantizedmha_tpu.profiling.trace_summary import summarize_trace
+
+        def fn(x):
+            return jnp.tanh(x @ x) @ x
+
+        x = jnp.ones((256, 256))
+        tr.capture(fn, x, trace_dir=tmp_path / "t", iters=2, warmup=1)
+        summary = summarize_trace(str(tmp_path / "t"))
+        assert summary.ops, "no ops aggregated"
+        assert summary.total_ms > 0
+        md = summary.to_markdown(top=5)
+        assert "| op |" in md and summary.plane in md
+
+    def test_missing_trace_raises(self, tmp_path):
+        pytest.importorskip("tensorflow.tsl.profiler.protobuf.xplane_pb2")
+        from quantizedmha_tpu.profiling.trace_summary import summarize_trace
+
+        with pytest.raises(FileNotFoundError):
+            summarize_trace(str(tmp_path / "empty"))
