@@ -99,3 +99,28 @@ def test_engine_rejects_oversized_prompt(tiny_model):
     engine.add_request(list(range(500)))  # needs 4 pages; only 3 free
     with pytest.raises(RuntimeError):
         engine.run()
+
+
+def test_decode_headroom_guard_is_atomic():
+    """Page-pool exhaustion during decode must raise BEFORE any allocator
+    mutation (host lengths stay in sync with device cache contents)."""
+    import jax
+
+    from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+    from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+
+    cfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    # 3 usable pages (page 0 is scrap): two 16-token prompts fill 2 pages;
+    # the first decode boundary-cross needs 2 new pages but only 1 is free.
+    eng = Engine(cfg, params, EngineConfig(
+        num_pages=4, page_size=16, max_batch=2,
+        prefill_buckets=(16,), max_new_tokens=8, max_pages_per_seq=4))
+    eng.add_request(list(range(1, 17)))
+    eng.add_request(list(range(2, 18)))
+    with pytest.raises(RuntimeError, match="page pool exhausted"):
+        for _ in range(64):
+            lengths_before = dict(eng.alloc.lengths)
+            eng.step()
+    # the failing step must not have advanced any sequence
+    assert dict(eng.alloc.lengths) == lengths_before
