@@ -120,7 +120,8 @@ def test_decode_headroom_guard_is_atomic():
     eng.add_request(list(range(2, 18)))
     with pytest.raises(RuntimeError, match="page pool exhausted"):
         for _ in range(64):
-            lengths_before = dict(eng.alloc.lengths)
             eng.step()
-    # the failing step must not have advanced any sequence
-    assert dict(eng.alloc.lengths) == lengths_before
+    # Admission completed (16 tokens cached each) but the failing decode
+    # step must not have advanced ANY sequence or taken any page.
+    assert dict(eng.alloc.lengths) == {0: 16, 1: 16}
+    assert eng.alloc.free_pages == 1
