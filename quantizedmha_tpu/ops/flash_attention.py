@@ -25,7 +25,7 @@ exp(s - m_new) @ V, defer the 1/l normalization to the epilogue
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +78,6 @@ def _fwd_kernel(
     *,
     sm_scale: float,
     causal: bool,
-    q_len: int,
     kv_len: int,
     block_q: int,
     block_kv: int,
@@ -152,6 +151,13 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next)
+        if causal or need_kv_edge_mask:
+            # A row masked across the WHOLE block (but whose block still ran
+            # because other rows are live) has every s == MASK_VALUE, so
+            # p = exp(0) = 1 per entry — mean(V) garbage. Zero such rows;
+            # their l stays 0 and the epilogue emits o = 0, lse = -inf.
+            row_live = m_next > DEFAULT_MASK_VALUE * 0.5
+            p = jnp.where(row_live, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
@@ -228,7 +234,6 @@ def _fwd(
         _fwd_kernel,
         sm_scale=sm_scale,
         causal=causal,
-        q_len=q_len,
         kv_len=kv_len,
         block_q=block_q,
         block_kv=block_kv,

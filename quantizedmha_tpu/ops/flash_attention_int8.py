@@ -162,6 +162,11 @@ def _int8_fwd_kernel(
         # scale is applied inside the exponent — P arrives in (0, 127] —
         # and l is tracked rescaled by p_scale, cancelling in the epilogue.
         p = jnp.exp(s - (m_next - _ln(p_scale)))
+        if causal or need_kv_edge_mask:
+            # Rows masked across the whole block would get p = p_scale per
+            # entry (mean-of-V garbage); zero them so l stays 0 and the
+            # epilogue emits o = 0, lse = -inf.
+            p = jnp.where(m_next > DEFAULT_MASK_VALUE * 0.5, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
@@ -410,6 +415,10 @@ def _int8_fwd_kernel_t(
         # ln(p_scale) folded into the exponent offset: P arrives in
         # (0, 127] and l is tracked rescaled (cancels in the epilogue).
         p = jnp.exp(st - (m_next - _ln(p_scale)))
+        if causal or need_kv_edge_mask:
+            # Columns (= q rows) masked across the whole block: see the
+            # standard kernel's note.
+            p = jnp.where(m_next > DEFAULT_MASK_VALUE * 0.5, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)

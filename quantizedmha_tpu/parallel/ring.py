@@ -53,8 +53,13 @@ def context_parallel_attention(
     the axis (pmax + psum), so every q row covers the full sequence.
     """
     idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.psum(1, axis_name=axis_name)
     kv_shard_len = k_shard.shape[2]
-    q_offset = jnp.int32(0)
+    # End-align q: when q is a SUFFIX of the sequence (a prefill chunk under
+    # CP), its rows sit at positions [total - q_len, total). Full-length q
+    # (the common replicated case) gives offset 0, unchanged.
+    total = seq_len if seq_len is not None else kv_shard_len * n
+    q_offset = jnp.asarray(total - q.shape[2], jnp.int32)
     kv_offset = (idx * kv_shard_len).astype(jnp.int32)
     o, lse = flash_attention(
         q, k_shard, v_shard,
@@ -93,17 +98,11 @@ def ring_attention(
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def step_fn(carry, step):
-        o_acc, lse_acc, k_blk, v_blk = carry
+    def compute(step, o_acc, lse_acc, k_blk, v_blk):
         # Which device this kv block originated from, after `step` rotations
         # to the right: src = idx - step (mod n).
         src = jax.lax.rem(idx - step + n, n)
         kv_offset = (src * kv_shard_len).astype(jnp.int32)
-
-        # Kick off the rotation for the next step first (overlaps compute).
-        k_next = jax.lax.ppermute(k_blk, axis_name, perm)
-        v_next = jax.lax.ppermute(v_blk, axis_name, perm)
-
         o_s, lse_s = flash_attention(
             q, k_blk, v_blk,
             sm_scale=sm_scale, causal=causal,
@@ -111,15 +110,26 @@ def ring_attention(
             q_offset=q_offset, kv_offset=kv_offset,
             interpret=interpret,
         )
-        o_new, lse_new = merge_two_partials(o_acc, lse_acc, o_s, lse_s)
+        return merge_two_partials(o_acc, lse_acc, o_s, lse_s)
+
+    def step_fn(carry, step):
+        o_acc, lse_acc, k_blk, v_blk = carry
+        # Kick off the rotation for the next step first (overlaps compute).
+        k_next = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_next = jax.lax.ppermute(v_blk, axis_name, perm)
+        o_new, lse_new = compute(step, o_acc, lse_acc, k_blk, v_blk)
         return (o_new, lse_new, k_next, v_next), None
 
-    o0 = jnp.zeros(q.shape, q.dtype)
+    # Accumulate in f32 across ring steps (merge weights are f32; carrying
+    # the bf16 output dtype would round at every merge). The final step is
+    # peeled out of the scan so no useless n-th rotation rides the ICI.
+    o0 = jnp.zeros(q.shape, jnp.float32)
     lse0 = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)
-    (o, _, _, _), _ = jax.lax.scan(
-        step_fn, (o0, lse0, k_shard, v_shard), jnp.arange(n)
+    (o, lse, k_last, v_last), _ = jax.lax.scan(
+        step_fn, (o0, lse0, k_shard, v_shard), jnp.arange(n - 1)
     )
-    return o
+    o, _ = compute(jnp.int32(n - 1), o, lse, k_last, v_last)
+    return o.astype(q.dtype)
 
 
 def ring_attention_int8(
@@ -155,29 +165,33 @@ def ring_attention_int8(
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def step_fn(carry, step):
-        o_acc, lse_acc, k_blk, ks, v_blk, vs = carry
+    def compute(step, o_acc, lse_acc, k_blk, ks, v_blk, vs):
         src = jax.lax.rem(idx - step + n, n)
         kv_offset = (src * kv_shard_len).astype(jnp.int32)
-
-        # Rotate int8 payloads + their scales (starts before the compute).
-        k_next = jax.lax.ppermute(k_blk, axis_name, perm)
-        ks_next = jax.lax.ppermute(ks, axis_name, perm)
-        v_next = jax.lax.ppermute(v_blk, axis_name, perm)
-        vs_next = jax.lax.ppermute(vs, axis_name, perm)
-
         o_s, lse_s = flash_attention_int8_prequant(
             q, k_blk, ks, v_blk, vs,
             sm_scale=sm_scale, causal=causal, block_kv=block_kv,
             q_offset=q_offset, kv_offset=kv_offset,
             save_residuals=True, interpret=interpret,
         )
-        o_new, lse_new = merge_two_partials(o_acc, lse_acc, o_s, lse_s)
+        return merge_two_partials(o_acc, lse_acc, o_s, lse_s)
+
+    def step_fn(carry, step):
+        o_acc, lse_acc, k_blk, ks, v_blk, vs = carry
+        # Rotate int8 payloads + their scales (starts before the compute).
+        k_next = jax.lax.ppermute(k_blk, axis_name, perm)
+        ks_next = jax.lax.ppermute(ks, axis_name, perm)
+        v_next = jax.lax.ppermute(v_blk, axis_name, perm)
+        vs_next = jax.lax.ppermute(vs, axis_name, perm)
+        o_new, lse_new = compute(step, o_acc, lse_acc, k_blk, ks, v_blk, vs)
         return (o_new, lse_new, k_next, ks_next, v_next, vs_next), None
 
-    o0 = jnp.zeros(q.shape, q.dtype)
+    # f32 accumulator + peeled final step (no useless n-th rotation), as in
+    # ring_attention above.
+    o0 = jnp.zeros(q.shape, jnp.float32)
     lse0 = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)
-    (o, _, _, _, _, _), _ = jax.lax.scan(
-        step_fn, (o0, lse0, k_i8, k_sc, v_i8, v_sc), jnp.arange(n)
+    (o, lse, k_l, ks_l, v_l, vs_l), _ = jax.lax.scan(
+        step_fn, (o0, lse0, k_i8, k_sc, v_i8, v_sc), jnp.arange(n - 1)
     )
-    return o
+    o, _ = compute(jnp.int32(n - 1), o, lse, k_l, ks_l, v_l, vs_l)
+    return o.astype(q.dtype)

@@ -84,6 +84,35 @@ def test_gradients_match_golden(qkv_factory, causal):
         assert_close(a, b, abs_tol=2e-3, rel_tol=2e-3, what=f"d{name} causal={causal}")
 
 
+def test_fully_masked_rows_in_live_block(qkv_factory):
+    """Ring-attention geometry: the kv shard sits AHEAD of half the q rows
+    (kv_offset > q_offset), so those rows are fully masked inside a kv block
+    that still runs (other rows are live). They must emit o = 0 / lse = -inf
+    — not exp(0)=1-weighted mean(V) garbage — so the cross-shard lse merge
+    drops them."""
+    q, k, v = qkv_factory(q_len=128, kv_len=128)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    kv_off = 64
+    out, lse = flash_attention(q, k, v, causal=True, save_residuals=True,
+                               q_offset=0, kv_offset=kv_off,
+                               block_q=128, block_kv=128)
+    out, lse = np.asarray(out), np.asarray(lse)
+    # Rows 0..63 see no kv position (all kv are in their future).
+    np.testing.assert_array_equal(out[:, :, :kv_off], 0.0)
+    assert np.all(np.isneginf(lse[:, :, :kv_off]))
+    # Live rows match a masked jnp reference.
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (q.shape[-1] ** -0.5)
+    qpos = jnp.arange(q.shape[2])[:, None]
+    kpos = jnp.arange(k.shape[2])[None, :] + kv_off
+    s = jnp.where(kpos <= qpos, s, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s[:, :, kv_off:], axis=-1), v)
+    assert_close(out[:, :, kv_off:], ref, abs_tol=1e-3, rel_tol=1e-3,
+                 what="live rows with shifted kv shard")
+    want_lse = jax.nn.logsumexp(s[:, :, kv_off:], axis=-1)
+    np.testing.assert_allclose(lse[:, :, kv_off:], np.asarray(want_lse),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_rejects_bad_rank():
     x = jnp.zeros((4, 8, 16))
     with pytest.raises(ValueError):

@@ -105,3 +105,36 @@ def test_prequant_masks_block_aligned_padding(qkv_factory):
         q, k_i8, ks, v_i8, vs, kv_len=128, block_kv=64, causal=False)
     ref = mha_reference_shaped(q, k, v)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 4e-2
+
+
+def test_fully_masked_rows_in_live_block(qkv_factory):
+    """Ring-attention geometry: the kv shard sits ahead of half the q rows
+    (kv_offset > q_offset), fully masking them inside a kv block that still
+    runs. INT8 path must emit o = 0 / lse = -inf for those rows (the static
+    P scale would otherwise leave p = p_scale per entry -> mean(V) garbage)."""
+    from quantizedmha_tpu.ops.flash_attention_int8 import (
+        flash_attention_int8_prequant,
+    )
+    from quantizedmha_tpu.ops.quantize import quantize_kv_blocks
+
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=128, kv_len=128, head_dim=64)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    kv_off = 64
+    k_i8, ks = quantize_kv_blocks(k, 128)
+    v_i8, vs = quantize_kv_blocks(v, 128)
+    out, lse = flash_attention_int8_prequant(
+        q, k_i8, ks, v_i8, vs, causal=True, block_q=128, block_kv=128,
+        q_offset=0, kv_offset=kv_off, save_residuals=True)
+    out, lse = np.asarray(out), np.asarray(lse)
+    np.testing.assert_array_equal(out[:, :, :kv_off], 0.0)
+    assert np.all(np.isneginf(lse[:, :, :kv_off]))
+    # Live rows stay within the int8 budget of a masked fp32 reference.
+    import jax
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (q.shape[-1] ** -0.5)
+    qpos = jnp.arange(q.shape[2])[:, None]
+    kpos = jnp.arange(k.shape[2])[None, :] + kv_off
+    s = jnp.where(kpos <= qpos, s, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhkd->bhqd",
+                     jax.nn.softmax(s[:, :, kv_off:], axis=-1), v)
+    assert np.abs(out[:, :, kv_off:] - np.asarray(ref)).max() < 4e-2

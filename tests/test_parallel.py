@@ -150,3 +150,27 @@ def test_int8_prequant_save_residuals_lse_matches_fp(rng):
     of, lsef = flash_attention(q, k, v, save_residuals=True)
     assert np.abs(np.asarray(lse8) - np.asarray(lsef)).max() < 2e-2
     assert np.abs(np.asarray(o8) - np.asarray(of)).max() < 4e-2
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_context_parallel_suffix_q(rng, causal):
+    """q as a SUFFIX of the sharded sequence (a prefill chunk under CP):
+    q rows must be end-aligned against the global kv positions, not
+    anchored at 0 (which would causally mask kv the chunk can see)."""
+    mesh = make_mesh((4,), ("cp",))
+    q_full, k, v = _qkv(rng, b=1, h=2, s=256, d=32)
+    q = q_full[:, :, -64:]  # the last 64 rows of the sequence
+
+    fn = functools.partial(context_parallel_attention, axis_name="cp",
+                           causal=causal)
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, None, None, None), P(None, None, "cp", None),
+                  P(None, None, "cp", None)),
+        out_specs=P(None, None, None, None),
+        check_vma=False,
+    )
+    out = sharded(q, k, v)
+    ref = mha_reference_shaped(q_full, k, v, causal=causal)[:, :, -64:]
+    assert_close(out, ref, what=f"CP suffix q causal={causal}")
