@@ -97,11 +97,17 @@ def benchmark(
 
     k1 = max(1, runs // 4)
     t1s, t2s = [], []
-    for _ in range(repeats):
-        t1s.append(_timed_batch(fn, args, k1))
-        t2s.append(_timed_batch(fn, args, runs))
-    est = max(
-        (statistics.median(t2s) - statistics.median(t1s)) / (runs - k1), 1e-9
-    )
+    # A tunnel spike landing in a small-K batch can push median t(K1) above
+    # median t(K2), collapsing the fit to the clamp floor and reporting a
+    # nonsense ~0 latency. Resample (up to 2 extra rounds of batches) until
+    # the difference is positive rather than silently clamping.
+    for _attempt in range(3):
+        for _ in range(repeats):
+            t1s.append(_timed_batch(fn, args, k1))
+            t2s.append(_timed_batch(fn, args, runs))
+        raw = (statistics.median(t2s) - statistics.median(t1s)) / (runs - k1)
+        if raw > 0:
+            break
+    est = max(raw, 1e-9)
     pairs = [max((t2 - t1) / (runs - k1), 1e-9) for t1, t2 in zip(t1s, t2s)]
     return Timing(est, pairs)

@@ -143,6 +143,10 @@ def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
 
 
 def _attention(cfg: LlamaConfig, q, k, v, *, causal=True):
+    """k/v may carry num_kv_heads < num_heads: the flash kernels are
+    GQA-native (BlockSpec index maps share each kv head across its query
+    group — no materialized repeat); only the jnp reference needs the
+    expansion."""
     if cfg.attention_impl == "flash":
         return flash_attention(
             q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv
@@ -153,7 +157,9 @@ def _attention(cfg: LlamaConfig, q, k, v, *, causal=True):
         )
     from quantizedmha_tpu.reference.mha import mha_reference_shaped
 
-    return mha_reference_shaped(q, k, v, causal=causal)
+    n_rep = q.shape[1] // k.shape[1]
+    return mha_reference_shaped(
+        q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep), causal=causal)
 
 
 def decoder_layer(cfg: LlamaConfig, p: Dict[str, Any], x: jnp.ndarray,
@@ -169,8 +175,6 @@ def decoder_layer(cfg: LlamaConfig, p: Dict[str, Any], x: jnp.ndarray,
     v = dense(h, p["wv"]).reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
     q = apply_rope(q, cfg.rope_theta, positions)
     k = apply_rope(k, cfg.rope_theta, positions)
-    k = _repeat_kv(k, cfg.num_heads // cfg.num_kv_heads)
-    v = _repeat_kv(v, cfg.num_heads // cfg.num_kv_heads)
     o = _attention(cfg, q, k, v, causal=True)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * hd)
     x = x + dense(o, p["wo"])

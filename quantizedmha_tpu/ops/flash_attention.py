@@ -204,6 +204,14 @@ def _fwd(
 ):
     batch, heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
+    # GQA: k/v may carry FEWER heads than q (num_kv_heads divides num_heads);
+    # each group of `group` consecutive q heads reads the same kv head via
+    # the BlockSpec index map — no materialized repeat (the _repeat_kv the
+    # XLA path needs writes + re-reads the expanded K/V through HBM).
+    kv_heads = k.shape[1]
+    if heads % kv_heads:
+        raise ValueError(f"q heads {heads} not a multiple of kv heads {kv_heads}")
+    group = heads // kv_heads
     block_q, block_kv = pick_blocks(
         q_len, kv_len, head_dim,
         fp32_inputs=(q.dtype == jnp.float32),
@@ -260,8 +268,10 @@ def _fwd(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, head_dim),
+                         lambda b, h, i, j: (b, h // group, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, head_dim),
+                         lambda b, h, i, j: (b, h // group, j, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -338,15 +348,19 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,                                 # outputs [1,1,bkv,d]
     dk_scratch, dv_scratch,                         # [bkv, d] f32
     *, sm_scale, causal, q_len, kv_len, block_q, block_kv, precision,
+    num_q_blocks,
 ):
-    """Grid (b, h, kv_block, q_block-minor): accumulate dK, dV for one kv
-    block while streaming q blocks (FlashAttention-2 backward, kv-stationary
-    pass)."""
-    q_idx = pl.program_id(3)
+    """Grid (b, kv_head, kv_block, group*q_block-minor): accumulate dK, dV
+    for one kv block while streaming q blocks (FlashAttention-2 backward,
+    kv-stationary pass). Under GQA the minor dim walks every q block of
+    every q head in the kv head's group (t = g * num_q_blocks + i), so the
+    group's contributions accumulate in the same scratch."""
+    t = pl.program_id(3)
+    q_idx = jax.lax.rem(t, num_q_blocks)
     kv_idx = pl.program_id(2)
-    num_q = pl.num_programs(3)
+    num_t = pl.num_programs(3)  # == group * num_q_blocks
 
-    @pl.when(q_idx == 0)
+    @pl.when(t == 0)
     def _init():
         dk_scratch[...] = jnp.zeros_like(dk_scratch)
         dv_scratch[...] = jnp.zeros_like(dv_scratch)
@@ -394,7 +408,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when(q_idx == num_q - 1)
+    @pl.when(t == num_t - 1)
     def _epilogue():
         dk_ref[0, 0, :, :] = dk_scratch[...].astype(dk_ref.dtype)
         dv_ref[0, 0, :, :] = dv_scratch[...].astype(dv_ref.dtype)
@@ -470,6 +484,8 @@ def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do, dlse=None,
     """
     batch, heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
+    kv_heads = k.shape[1]
+    group = heads // kv_heads  # GQA: validated in _fwd
     block_q, block_kv = pick_blocks(
         q_len, kv_len, head_dim,
         fp32_inputs=(q.dtype == jnp.float32),
@@ -506,28 +522,34 @@ def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do, dlse=None,
     q_len_p, kv_len_p = q_len + q_pad, kv_len + kv_pad
 
     q_spec = pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0))
-    kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_kv, head_dim),
+                           lambda b, h, i, j: (b, h // group, j, 0))
     stat_spec = pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, i, j: (b, h, i, 0))
     common = dict(sm_scale=sm_scale, causal=causal, q_len=q_len, kv_len=kv_len,
                   block_q=block_q, block_kv=block_kv, precision=precision)
 
-    # Pass 1 (kv-stationary): grid minor dim streams q blocks.
+    # Pass 1 (kv-stationary): grid over KV heads; the minor dim streams
+    # every q block of every q head in the kv head's GQA group
+    # (t = g * nq + i), so the whole group accumulates into one scratch.
+    nq = q_len_p // block_q
     kv_spec_kvmajor = pl.BlockSpec(
-        (1, 1, block_kv, head_dim), lambda b, h, j, i: (b, h, j, 0))
+        (1, 1, block_kv, head_dim), lambda b, h, j, t: (b, h, j, 0))
     q_spec_kvmajor = pl.BlockSpec(
-        (1, 1, block_q, head_dim), lambda b, h, j, i: (b, h, i, 0))
+        (1, 1, block_q, head_dim),
+        lambda b, h, j, t: (b, h * group + t // nq, t % nq, 0))
     stat_spec_kvmajor = pl.BlockSpec(
-        (1, 1, block_q, LANES), lambda b, h, j, i: (b, h, i, 0))
+        (1, 1, block_q, LANES),
+        lambda b, h, j, t: (b, h * group + t // nq, t % nq, 0))
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, **common),
-        grid=(batch, heads, kv_len_p // block_kv, q_len_p // block_q),
+        functools.partial(_bwd_dkv_kernel, num_q_blocks=nq, **common),
+        grid=(batch, kv_heads, kv_len_p // block_kv, group * nq),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   q_spec_kvmajor, kv_spec_kvmajor, kv_spec_kvmajor,
                   q_spec_kvmajor, stat_spec_kvmajor, stat_spec_kvmajor],
         out_specs=[kv_spec_kvmajor, kv_spec_kvmajor],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, heads, kv_len_p, head_dim), k.dtype),
-            jax.ShapeDtypeStruct((batch, heads, kv_len_p, head_dim), v.dtype),
+            jax.ShapeDtypeStruct((batch, kv_heads, kv_len_p, head_dim), k.dtype),
+            jax.ShapeDtypeStruct((batch, kv_heads, kv_len_p, head_dim), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_kv, head_dim), jnp.float32),
@@ -641,7 +663,12 @@ def flash_attention(
 ):
     """Fused FlashAttention-2 forward on TPU.
 
-    q: [batch, heads, q_len, head_dim]; k, v: [batch, heads, kv_len, head_dim].
+    q: [batch, heads, q_len, head_dim]; k, v: [batch, kv_heads, kv_len,
+    head_dim] where kv_heads divides heads (GQA/MQA: each group of
+    heads//kv_heads consecutive q heads attends to one kv head via the
+    kernel's BlockSpec index maps — K/V are never materialized per q head,
+    unlike an XLA-level repeat which writes + re-reads the expansion
+    through HBM).
     Differentiable (custom VJP). Set `save_residuals=True` to also get the
     log-sum-exp [batch, heads, q_len] (used for cross-chip/context-parallel
     softmax merging, see quantizedmha_tpu.parallel). q_offset/kv_offset are

@@ -91,9 +91,11 @@ def _int8_fwd_kernel(
     scale_clamp: float,
     p_scale: float,
     mask_kv_tail: bool,
+    group: int,
 ):
     b_idx = pl.program_id(0)
-    h_idx = pl.program_id(1)
+    h_idx = pl.program_id(1)      # q head; kv head = h_idx // group (GQA)
+    kvh_idx = h_idx // group
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
@@ -128,7 +130,7 @@ def _int8_fwd_kernel(
             precision=_INT8_PRECISION,
         )
         s = s_i32.astype(jnp.float32) * (
-            sq_scratch[:, :1] * (ks_ref[b_idx, h_idx, kv_idx] * sm_scale)
+            sq_scratch[:, :1] * (ks_ref[b_idx, kvh_idx, kv_idx] * sm_scale)
         )
 
         # The caller may hand a cache padded BEYOND kv_len even when kv_len
@@ -178,7 +180,7 @@ def _int8_fwd_kernel(
             precision=_INT8_PRECISION,
         )
         acc_scratch[...] = acc_scratch[...] * alpha + pv_i32.astype(jnp.float32) * (
-            vs_ref[b_idx, h_idx, kv_idx]
+            vs_ref[b_idx, kvh_idx, kv_idx]
         )
 
     @pl.when(kv_idx == num_kv - 1)
@@ -227,8 +229,9 @@ def flash_attention_int8_prequant(
     """Fused INT8 attention over pre-quantized K/V (the INT8 KV-cache path).
 
     q: [batch, heads, q_len, head_dim] f32/bf16.
-    k_i8, v_i8: [batch, heads, kv_len_padded, head_dim] int8, kv_len_padded a
-    multiple of block_kv; k_scales, v_scales: [batch, heads, nkv] f32 with
+    k_i8, v_i8: [batch, kv_heads, kv_len_padded, head_dim] int8 with
+    kv_heads dividing q's heads (GQA-native), kv_len_padded a multiple of
+    block_kv; k_scales, v_scales: [batch, kv_heads, nkv] f32 with
     nkv = kv_len_padded // block_kv.
     kv_len: true (unpadded) kv length; defaults to the padded length.
     q_offset/kv_offset: global positions for causal masking (traced scalars
@@ -238,6 +241,12 @@ def flash_attention_int8_prequant(
     batch, heads, q_len, head_dim = q.shape
     kv_len_p = k_i8.shape[2]
     kv_len = kv_len if kv_len is not None else kv_len_p
+    # GQA: the quantized cache may carry fewer heads than q; each group of
+    # consecutive q heads reads one kv head via the BlockSpec index map.
+    kv_heads = k_i8.shape[1]
+    if heads % kv_heads:
+        raise ValueError(f"q heads {heads} not a multiple of kv heads {kv_heads}")
+    group = heads // kv_heads
     scale = sm_scale if sm_scale is not None else head_dim**-0.5
     nkv = k_scales.shape[-1]
     block_kv = kv_len_p // nkv if block_kv is None else min(block_kv, kv_len_p)
@@ -272,6 +281,7 @@ def flash_attention_int8_prequant(
         scale_clamp=scale_clamp,
         p_scale=p_static_scale,
         mask_kv_tail=kv_len < kv_len_p,
+        group=group,
     )
     if not save_residuals:
         kernel = functools.partial(_strip_lse_int8, kernel)
@@ -292,8 +302,10 @@ def flash_attention_int8_prequant(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, head_dim),
+                         lambda b, h, i, j: (b, h // group, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, head_dim),
+                         lambda b, h, i, j: (b, h // group, j, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -351,9 +363,11 @@ def _int8_fwd_kernel_t(
     block_kv: int,
     scale_clamp: float,
     p_scale: float,
+    group: int,
 ):
     b_idx = pl.program_id(0)
-    h_idx = pl.program_id(1)
+    h_idx = pl.program_id(1)      # q head; kv head = h_idx // group (GQA)
+    kvh_idx = h_idx // group
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
@@ -386,7 +400,7 @@ def _int8_fwd_kernel_t(
             precision=_INT8_PRECISION,
         )
         st = st_i32.astype(jnp.float32) * (
-            sq_scratch[:1, :] * (ks_ref[b_idx, h_idx, kv_idx] * sm_scale)
+            sq_scratch[:1, :] * (ks_ref[b_idx, kvh_idx, kv_idx] * sm_scale)
         )
 
         need_kv_edge_mask = kv_len % block_kv != 0
@@ -432,7 +446,7 @@ def _int8_fwd_kernel_t(
             precision=_INT8_PRECISION,
         )
         acc_scratch[...] = acc_scratch[...] * alpha + pv_i32.astype(jnp.float32) * (
-            vs_ref[b_idx, h_idx, kv_idx]
+            vs_ref[b_idx, kvh_idx, kv_idx]
         )
 
     @pl.when(kv_idx == num_kv - 1)
@@ -483,6 +497,10 @@ def flash_attention_int8_t(
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
     batch, heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
+    kv_heads = k.shape[1]
+    if heads % kv_heads:
+        raise ValueError(f"q heads {heads} not a multiple of kv heads {kv_heads}")
+    group = heads // kv_heads
     scale = sm_scale if sm_scale is not None else head_dim**-0.5
     if causal and q_len > kv_len:
         raise ValueError("causal attention requires q_len <= kv_len")
@@ -515,14 +533,17 @@ def flash_attention_int8_t(
         block_kv=block_kv_eff,
         scale_clamp=scale_clamp,
         p_scale=p_static_scale,
+        group=group,
     )
     out_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, head_dim, block_q_eff), lambda b, h, i, j: (b, h, 0, i)),
-            pl.BlockSpec((1, 1, block_kv_eff, head_dim), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, head_dim, block_kv_eff), lambda b, h, i, j: (b, h, 0, j)),
+            pl.BlockSpec((1, 1, block_kv_eff, head_dim),
+                         lambda b, h, i, j: (b, h // group, j, 0)),
+            pl.BlockSpec((1, 1, head_dim, block_kv_eff),
+                         lambda b, h, i, j: (b, h // group, 0, j)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -565,7 +586,8 @@ def flash_attention_int8(
     out (matching the reference's FP32-in/FP32-out ABI with internal INT8,
     reference mha_kernels/fa_tc_int8_b.cu). K/V are block-quantized in a
     fused O(S*D) prepass; both attention matmuls run on the MXU's
-    int8 x int8 -> int32 path.
+    int8 x int8 -> int32 path. GQA: k/v may carry fewer heads than q
+    (kv_heads divides heads) — shared across each query group in-kernel.
     """
     if q.ndim != 4:
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")

@@ -34,9 +34,10 @@ def head_parallel_attention(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Run fused attention with heads sharded over `head_axis` (and batch
-    over `batch_axis` if given). q/k/v: [batch, heads, seq, head_dim]; the
-    head counts must divide the axis size (GQA: pass k/v already repeated
-    or shard num_kv_heads co-located)."""
+    over `batch_axis` if given). q/k/v: [batch, heads, seq, head_dim].
+    GQA-native: k/v may carry fewer heads than q; sharding both head dims
+    over the same axis co-locates each query group with its kv head
+    (requires the axis size to divide num_kv_heads)."""
     impl = {
         "fa": flash_attention,
         "fa_int8": flash_attention_int8,

@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from quantizedmha_tpu.models.llama import LlamaConfig, rms_norm, _repeat_kv, _attention
+from quantizedmha_tpu.models.llama import LlamaConfig, rms_norm, _attention
 from quantizedmha_tpu.quant.weights import qdense
 from quantizedmha_tpu.ops.decode import paged_decode_attention
 from quantizedmha_tpu.reference.mha import apply_rope
@@ -81,9 +81,7 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
         q = apply_rope(q, cfg.rope_theta)
         k = apply_rope(k, cfg.rope_theta)
         kv_k, kv_v = k, v  # cached post-RoPE
-        k = _repeat_kv(k, cfg.num_heads // cfg.num_kv_heads)
-        v = _repeat_kv(v, cfg.num_heads // cfg.num_kv_heads)
-        o = _attention(cfg, q, k, v, causal=True)
+        o = _attention(cfg, q, k, v, causal=True)  # GQA-native kernels
         o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
         x = x + reduce_tp(dense(o, p["wo"]))
         h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
@@ -150,7 +148,6 @@ def prefill_chunk(
     hd = cfg.hd
     max_pages = table.shape[0]
     gathered_len = max_pages * page_size
-    n_rep = cfg.num_heads // cfg.num_kv_heads
     reduce_tp = _psum_or_id(axis_name)
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
 
@@ -178,10 +175,9 @@ def prefill_chunk(
         v_g = cache_l.v_pages[:, table]
         ks_g = cache_l.k_scales[:, table]  # [Hkv, max_pages]
         vs_g = cache_l.v_scales[:, table]
-        k_g = _repeat_kv(k_g.reshape(1, cfg.num_kv_heads, gathered_len, hd), n_rep)
-        v_g = _repeat_kv(v_g.reshape(1, cfg.num_kv_heads, gathered_len, hd), n_rep)
-        ks_g = _repeat_kv(ks_g[None, :, :, None], n_rep)[..., 0]
-        vs_g = _repeat_kv(vs_g[None, :, :, None], n_rep)[..., 0]
+        k_g = k_g.reshape(1, cfg.num_kv_heads, gathered_len, hd)
+        v_g = v_g.reshape(1, cfg.num_kv_heads, gathered_len, hd)
+        ks_g, vs_g = ks_g[None], vs_g[None]
 
         o = flash_attention_int8_prequant(
             q, k_g, ks_g, v_g, vs_g,
@@ -281,7 +277,6 @@ def verify_step(
     hd = cfg.hd
     max_pages = tables.shape[1]
     gathered_len = max_pages * page_size
-    n_rep = cfg.num_heads // cfg.num_kv_heads
     reduce_tp = _psum_or_id(axis_name)
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
 
@@ -305,7 +300,8 @@ def verify_step(
                 page_sched[:, j], slot_sched[:, j],
             )
 
-        # Gather each sequence's pages; repeat kv heads for GQA.
+        # Gather each sequence's pages (kv heads stay compact — the
+        # prequant kernel is GQA-native).
         k_g = cache_l.k_pages[:, tables]   # [Hkv, B, max_pages, page, hd]
         v_g = cache_l.v_pages[:, tables]
         ks_g = cache_l.k_scales[:, tables]  # [Hkv, B, max_pages]
@@ -314,10 +310,6 @@ def verify_step(
         v_g = v_g.transpose(1, 0, 2, 3, 4).reshape(b, cfg.num_kv_heads, gathered_len, hd)
         ks_g = ks_g.transpose(1, 0, 2)
         vs_g = vs_g.transpose(1, 0, 2)
-        k_g = _repeat_kv(k_g, n_rep)
-        v_g = _repeat_kv(v_g, n_rep)
-        ks_g = _repeat_kv(ks_g[..., None], n_rep)[..., 0]
-        vs_g = _repeat_kv(vs_g[..., None], n_rep)[..., 0]
 
         o = flash_attention_int8_prequant(
             q, k_g, ks_g, v_g, vs_g,

@@ -117,3 +117,38 @@ def test_rejects_bad_rank():
     x = jnp.zeros((4, 8, 16))
     with pytest.raises(ValueError):
         flash_attention(x, x, x)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gqa_matches_repeat_kv(qkv_factory, causal):
+    """GQA-native path (kv heads < q heads via BlockSpec index maps) must
+    equal attention over explicitly repeated K/V — forward and gradients
+    (dK/dV accumulate across the query group inside the kv-stationary
+    backward pass)."""
+    q, _, _ = qkv_factory(batch=1, heads=4, q_len=128, kv_len=128, head_dim=32)
+    _, k, v = qkv_factory(batch=1, heads=2, q_len=128, kv_len=128, head_dim=32)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    rep = lambda x: jnp.repeat(x, 2, axis=1)
+
+    out = flash_attention(q, k, v, causal=causal, block_q=64, block_kv=64)
+    ref = flash_attention(q, rep(k), rep(v), causal=causal, block_q=64, block_kv=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    g = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, causal=causal, block_q=64, block_kv=64) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, rep(k), rep(v), causal=causal,
+                        block_q=64, block_kv=64) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gr):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_gqa_rejects_indivisible(qkv_factory):
+    q, _, _ = qkv_factory(batch=1, heads=3, q_len=128, kv_len=128, head_dim=32)
+    _, k, v = qkv_factory(batch=1, heads=2, q_len=128, kv_len=128, head_dim=32)
+    with pytest.raises(ValueError):
+        flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))

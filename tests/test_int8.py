@@ -138,3 +138,20 @@ def test_fully_masked_rows_in_live_block(qkv_factory):
     ref = jnp.einsum("bhqk,bhkd->bhqd",
                      jax.nn.softmax(s[:, :, kv_off:], axis=-1), v)
     assert np.abs(out[:, :, kv_off:] - np.asarray(ref)).max() < 4e-2
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+def test_gqa_int8_matches_repeat_kv(qkv_factory, transposed):
+    """Both INT8 orientations are GQA-native: quantized K/V with fewer
+    heads must match explicitly repeated K/V exactly (same scales, same
+    integer math)."""
+    q, _, _ = qkv_factory(batch=1, heads=4, q_len=128, kv_len=128, head_dim=64)
+    _, k, v = qkv_factory(batch=1, heads=2, q_len=128, kv_len=128, head_dim=64)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    rep = lambda x: jnp.repeat(x, 2, axis=1)
+    out = flash_attention_int8(q, k, v, causal=True, transposed=transposed,
+                               block_q=128, block_kv=128)
+    ref = flash_attention_int8(q, rep(k), rep(v), causal=True,
+                               transposed=transposed,
+                               block_q=128, block_kv=128)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

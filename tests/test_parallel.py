@@ -174,3 +174,15 @@ def test_context_parallel_suffix_q(rng, causal):
     out = sharded(q, k, v)
     ref = mha_reference_shaped(q_full, k, v, causal=causal)[:, :, -64:]
     assert_close(out, ref, what=f"CP suffix q causal={causal}")
+
+
+def test_head_parallel_gqa(rng):
+    """GQA under head parallelism: q and (fewer) kv heads shard over the
+    same axis, co-locating each query group with its kv head — no repeat."""
+    mesh = make_mesh((2, 2), ("dp", "tp"))
+    q, _, _ = _qkv(rng, b=2, h=8, s=128, d=32)
+    _, k, v = _qkv(rng, b=2, h=4, s=128, d=32)
+    out = head_parallel_attention(q, k, v, mesh, causal=True)
+    rep = jnp.repeat(k, 2, axis=1), jnp.repeat(v, 2, axis=1)
+    ref = mha_reference_shaped(q, *rep, causal=True)
+    assert_close(out, ref, what="head-parallel GQA")
