@@ -45,6 +45,12 @@ class LlamaConfig:
     # "w8a16" dequantizes into the activation dtype; "w8a8" also quantizes
     # activations per row and runs int8 x int8 on the MXU.
     weight_quant_mode: str = "w8a16"
+    # Mistral-style causal sliding window (positions within the last
+    # `sliding_window` attend; None = full causal) and Gemma-2-style
+    # attention logit soft-cap (None = off). Both honored by every
+    # attention_impl, differentiable under "flash".
+    sliding_window: Optional[int] = None
+    logit_softcap: Optional[float] = None
 
     @property
     def hd(self) -> int:
@@ -62,6 +68,15 @@ class LlamaConfig:
         return LlamaConfig(
             vocab_size=128256, hidden_size=8192, intermediate_size=28672,
             num_layers=80, num_heads=64, num_kv_heads=8,
+        )
+
+    @staticmethod
+    def mistral_7b() -> "LlamaConfig":
+        # Mistral-7B-v0.1 shape: GQA 32/8, sliding window 4096.
+        return LlamaConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8,
+            rope_theta=10000.0, sliding_window=4096,
         )
 
     @staticmethod
@@ -147,19 +162,37 @@ def _attention(cfg: LlamaConfig, q, k, v, *, causal=True):
     GQA-native (BlockSpec index maps share each kv head across its query
     group — no materialized repeat); only the jnp reference needs the
     expansion."""
+    window = cfg.sliding_window if causal else None
     if cfg.attention_impl == "flash":
         return flash_attention(
-            q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv
+            q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv,
+            window=window, logit_softcap=cfg.logit_softcap,
         )
     if cfg.attention_impl == "flash_int8":
         return flash_attention_int8(
-            q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv
+            q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv,
+            window=window, logit_softcap=cfg.logit_softcap,
         )
-    from quantizedmha_tpu.reference.mha import mha_reference_shaped
-
+    # jnp golden path: expand GQA and apply window/soft-cap explicitly.
     n_rep = q.shape[1] // k.shape[1]
-    return mha_reference_shaped(
-        q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep), causal=causal)
+    kf, vf = _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
+    sc = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   kf.astype(jnp.float32)) * sc
+    if cfg.logit_softcap is not None:
+        s = cfg.logit_softcap * jnp.tanh(s / cfg.logit_softcap)
+    q_len, kv_len = s.shape[-2], s.shape[-1]
+    qi = jnp.arange(q_len)[:, None] + (kv_len - q_len)
+    ki = jnp.arange(kv_len)[None, :]
+    mask = jnp.ones((q_len, kv_len), bool)
+    if causal:
+        mask &= ki <= qi
+        if window is not None:
+            mask &= (qi - ki) < window
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      vf.astype(jnp.float32)).astype(q.dtype)
 
 
 def decoder_layer(cfg: LlamaConfig, p: Dict[str, Any], x: jnp.ndarray,

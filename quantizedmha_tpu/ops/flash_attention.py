@@ -82,6 +82,8 @@ def _fwd_kernel(
     block_q: int,
     block_kv: int,
     save_residuals: bool,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -105,6 +107,13 @@ def _fwd_kernel(
         last_q_pos = q_off + q_idx * block_q + block_q - 1
         first_kv_pos = kv_off + kv_idx * block_kv
         should_run = last_q_pos >= first_kv_pos
+        if window is not None:
+            # Sliding window: also skip kv blocks entirely BEHIND the
+            # window of every q row in this block (the block-skip that
+            # makes long-context windowed attention O(seq * window)).
+            first_q_pos = q_off + q_idx * block_q
+            last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
+            should_run &= (first_q_pos - last_kv_pos) < window
     else:
         should_run = True
 
@@ -128,6 +137,12 @@ def _fwd_kernel(
             precision=mxu_precision,
         )
 
+        if softcap is not None:
+            # Gemma-2-style logit soft-capping on the SCALED logits:
+            # s -> cap * tanh(s / cap). Applied before masking (masked
+            # entries are overwritten anyway).
+            s = softcap * jnp.tanh(s / softcap)
+
         need_kv_edge_mask = kv_len % block_kv != 0
         if causal or need_kv_edge_mask:
             qpos = (
@@ -141,6 +156,8 @@ def _fwd_kernel(
             mask = jnp.ones((block_q, block_kv), jnp.bool_)
             if causal:
                 mask &= (kpos + offs_ref[1]) <= (qpos + offs_ref[0])
+                if window is not None:
+                    mask &= ((qpos + offs_ref[0]) - (kpos + offs_ref[1])) < window
             if need_kv_edge_mask:
                 mask &= kpos < kv_len
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -200,6 +217,8 @@ def _fwd(
     save_residuals: bool,
     q_offset=None,
     kv_offset=None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
     interpret: Optional[bool] = None,
 ):
     batch, heads, q_len, head_dim = q.shape
@@ -246,6 +265,8 @@ def _fwd(
         block_q=block_q,
         block_kv=block_kv,
         save_residuals=save_residuals,
+        window=window,
+        softcap=softcap,
     )
     if not save_residuals:
         kernel = functools.partial(_strip_lse, kernel)
@@ -328,10 +349,11 @@ def _bwd_reference(sm_scale, causal, q, k, v, o, lse, do):
 
 
 def _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off, causal,
-             q_len, kv_len):
+             q_len, kv_len, window=None):
     """(q, kv) mask for one backward tile [bq, bkv]: local padding edges plus
-    the GLOBAL causal diagonal (offsets are traced scalars so ring-attention
-    steps can rotate them, like the forward's offs_ref)."""
+    the GLOBAL causal diagonal and optional sliding window (offsets are
+    traced scalars so ring-attention steps can rotate them, like the
+    forward's offs_ref)."""
     shape = (block_q, block_kv)
     qrow = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
     kcol = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
@@ -339,6 +361,8 @@ def _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off, causal,
     mask &= kcol < kv_len
     if causal:
         mask &= (kcol + kv_off) <= (qrow + q_off)
+        if window is not None:
+            mask &= ((qrow + q_off) - (kcol + kv_off)) < window
     return mask
 
 
@@ -348,7 +372,7 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,                                 # outputs [1,1,bkv,d]
     dk_scratch, dv_scratch,                         # [bkv, d] f32
     *, sm_scale, causal, q_len, kv_len, block_q, block_kv, precision,
-    num_q_blocks,
+    num_q_blocks, window=None, softcap=None,
 ):
     """Grid (b, kv_head, kv_block, group*q_block-minor): accumulate dK, dV
     for one kv block while streaming q blocks (FlashAttention-2 backward,
@@ -370,6 +394,10 @@ def _bwd_dkv_kernel(
         # Skip q blocks wholly above the diagonal: they see no kv here.
         last_q_pos = q_off + q_idx * block_q + block_q - 1
         should_run = last_q_pos >= kv_off + kv_idx * block_kv
+        if window is not None:
+            first_q_pos = q_off + q_idx * block_q
+            last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
+            should_run &= (first_q_pos - last_kv_pos) < window
     else:
         should_run = True
 
@@ -386,9 +414,14 @@ def _bwd_dkv_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         ) * sm_scale
+        if softcap is not None:
+            # u = pre-cap scaled logits; s = cap*tanh(u/cap). The chain
+            # factor d(s)/d(u) = 1 - tanh^2 multiplies dS below.
+            t = jnp.tanh(s / softcap)
+            s = softcap * t
         p = jnp.exp(s - lse)  # padded q rows carry lse=+big -> p == 0
         mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off,
-                        causal, q_len, kv_len)
+                        causal, q_len, kv_len, window=window)
         p = jnp.where(mask, p, 0.0)
 
         # dV += P^T @ dO
@@ -402,6 +435,8 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
         ds = p * (dp - di) * sm_scale
+        if softcap is not None:
+            ds = ds * (1.0 - t * t)
         # dK += dS^T @ Q
         dk_scratch[...] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
@@ -420,6 +455,7 @@ def _bwd_dq_kernel(
     dq_ref,                                         # output [1,1,bq,d]
     dq_scratch,                                     # [bq, d] f32
     *, sm_scale, causal, q_len, kv_len, block_q, block_kv, precision,
+    window=None, softcap=None,
 ):
     """Grid (b, h, q_block, kv_block-minor): accumulate dQ for one q block
     while streaming kv blocks (q-stationary pass)."""
@@ -435,6 +471,10 @@ def _bwd_dq_kernel(
     if causal:
         last_q_pos = q_off + q_idx * block_q + block_q - 1
         should_run = last_q_pos >= kv_off + kv_idx * block_kv
+        if window is not None:
+            first_q_pos = q_off + q_idx * block_q
+            last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
+            should_run &= (first_q_pos - last_kv_pos) < window
     else:
         should_run = True
 
@@ -451,15 +491,20 @@ def _bwd_dq_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         ) * sm_scale
+        if softcap is not None:
+            t = jnp.tanh(s / softcap)
+            s = softcap * t
         p = jnp.exp(s - lse)
         mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off,
-                        causal, q_len, kv_len)
+                        causal, q_len, kv_len, window=window)
         p = jnp.where(mask, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
         ds = p * (dp - di) * sm_scale
+        if softcap is not None:
+            ds = ds * (1.0 - t * t)
         dq_scratch[...] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -472,7 +517,8 @@ def _bwd_dq_kernel(
 
 def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do, dlse=None,
                 q_offset=None, kv_offset=None,
-                block_q=None, block_kv=None, interpret=None):
+                block_q=None, block_kv=None,
+                window=None, softcap=None, interpret=None):
     """Flash backward as two Pallas passes (kv-stationary for dK/dV,
     q-stationary for dQ) + an XLA prepass for di = rowsum(dO * O).
 
@@ -526,7 +572,8 @@ def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do, dlse=None,
                            lambda b, h, i, j: (b, h // group, j, 0))
     stat_spec = pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, i, j: (b, h, i, 0))
     common = dict(sm_scale=sm_scale, causal=causal, q_len=q_len, kv_len=kv_len,
-                  block_q=block_q, block_kv=block_kv, precision=precision)
+                  block_q=block_q, block_kv=block_kv, precision=precision,
+                  window=window, softcap=softcap)
 
     # Pass 1 (kv-stationary): grid over KV heads; the minor dim streams
     # every q block of every q head in the kv head's GQA group
@@ -579,29 +626,34 @@ def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do, dlse=None,
     return (dq[:, :, :q_len, :], dk[:, :, :kv_len, :], dv[:, :, :kv_len, :])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _flash_attention_custom(
-    q, k, v, sm_scale, causal, block_q, block_kv, interpret
+    q, k, v, sm_scale, causal, block_q, block_kv, window, softcap, interpret
 ):
     o, _ = _fwd(
         q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_kv=block_kv, save_residuals=False, interpret=interpret,
+        block_kv=block_kv, save_residuals=False,
+        window=window, softcap=softcap, interpret=interpret,
     )
     return o
 
 
-def _flash_fwd_rule(q, k, v, sm_scale, causal, block_q, block_kv, interpret):
+def _flash_fwd_rule(q, k, v, sm_scale, causal, block_q, block_kv, window,
+                    softcap, interpret):
     o, lse = _fwd(
         q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_kv=block_kv, save_residuals=True, interpret=interpret,
+        block_kv=block_kv, save_residuals=True,
+        window=window, softcap=softcap, interpret=interpret,
     )
     return o, (q, k, v, o, lse)
 
 
-def _flash_bwd_rule(sm_scale, causal, block_q, block_kv, interpret, res, do):
+def _flash_bwd_rule(sm_scale, causal, block_q, block_kv, window, softcap,
+                    interpret, res, do):
     q, k, v, o, lse = res
     return _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do,
-                       block_q=block_q, block_kv=block_kv, interpret=interpret)
+                       block_q=block_q, block_kv=block_kv,
+                       window=window, softcap=softcap, interpret=interpret)
 
 
 _flash_attention_custom.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -611,35 +663,39 @@ _flash_attention_custom.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 # context-parallel / ring attention (which merge partials through lse) can
 # train. Offsets are primal args (they may be traced ring positions) with
 # symbolic-zero cotangents.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash_attention_lse_custom(
-    q, k, v, q_offset, kv_offset, sm_scale, causal, block_q, block_kv, interpret
+    q, k, v, q_offset, kv_offset, sm_scale, causal, block_q, block_kv,
+    window, softcap, interpret
 ):
     return _fwd(
         q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
         block_kv=block_kv, save_residuals=True,
-        q_offset=q_offset, kv_offset=kv_offset, interpret=interpret,
+        q_offset=q_offset, kv_offset=kv_offset,
+        window=window, softcap=softcap, interpret=interpret,
     )
 
 
 def _flash_lse_fwd_rule(q, k, v, q_offset, kv_offset, sm_scale, causal,
-                        block_q, block_kv, interpret):
+                        block_q, block_kv, window, softcap, interpret):
     o, lse = _fwd(
         q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
         block_kv=block_kv, save_residuals=True,
-        q_offset=q_offset, kv_offset=kv_offset, interpret=interpret,
+        q_offset=q_offset, kv_offset=kv_offset,
+        window=window, softcap=softcap, interpret=interpret,
     )
     return (o, lse), (q, k, v, o, lse, q_offset, kv_offset)
 
 
-def _flash_lse_bwd_rule(sm_scale, causal, block_q, block_kv, interpret,
-                        res, cotangents):
+def _flash_lse_bwd_rule(sm_scale, causal, block_q, block_kv, window, softcap,
+                        interpret, res, cotangents):
     q, k, v, o, lse, q_offset, kv_offset = res
     do, dlse = cotangents
     dq, dk, dv = _bwd_pallas(
         sm_scale, causal, q, k, v, o, lse, do, dlse=dlse,
         q_offset=q_offset, kv_offset=kv_offset,
-        block_q=block_q, block_kv=block_kv, interpret=interpret,
+        block_q=block_q, block_kv=block_kv,
+        window=window, softcap=softcap, interpret=interpret,
     )
     return dq, dk, dv, None, None  # integer offsets: symbolic-zero cotangent
 
@@ -659,6 +715,8 @@ def flash_attention(
     save_residuals: bool = False,
     q_offset=None,
     kv_offset=None,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
     interpret: Optional[bool] = None,
 ):
     """Fused FlashAttention-2 forward on TPU.
@@ -674,9 +732,20 @@ def flash_attention(
     softmax merging, see quantizedmha_tpu.parallel). q_offset/kv_offset are
     global positions for causal masking (traced scalars allowed; requires
     save_residuals=True when used, e.g. by ring attention).
+
+    window: sliding-window size W (Mistral-style): each q row attends only
+    the last W positions (q_pos - kv_pos < W); requires causal=True. Blocks
+    wholly behind the window are skipped, so long-context cost is
+    O(seq * W). logit_softcap: Gemma-2-style cap*tanh(s/cap) on the scaled
+    logits. Both are differentiable.
     """
     if q.ndim != 4:
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
     scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
     if save_residuals:
         kv_len = k.shape[2]
@@ -686,10 +755,11 @@ def flash_attention(
             kv_offset = 0
         return _flash_attention_lse_custom(
             q, k, v, q_offset, kv_offset, scale, causal, block_q, block_kv,
-            interpret,
+            window, logit_softcap, interpret,
         )
     if q_offset is not None or kv_offset is not None:
         raise ValueError("q_offset/kv_offset require save_residuals=True")
     return _flash_attention_custom(
-        q, k, v, scale, causal, block_q, block_kv, interpret
+        q, k, v, scale, causal, block_q, block_kv, window, logit_softcap,
+        interpret
     )

@@ -92,6 +92,8 @@ def _int8_fwd_kernel(
     p_scale: float,
     mask_kv_tail: bool,
     group: int,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)      # q head; kv head = h_idx // group (GQA)
@@ -119,6 +121,12 @@ def _int8_fwd_kernel(
     if causal:
         last_q_pos = q_off + q_idx * block_q + block_q - 1
         should_run = last_q_pos >= kv_off + kv_idx * block_kv
+        if window is not None:
+            # Sliding window: skip kv blocks entirely behind every q row's
+            # window (long-context cost becomes O(seq * window)).
+            first_q_pos = q_off + q_idx * block_q
+            last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
+            should_run &= (first_q_pos - last_kv_pos) < window
     else:
         should_run = True
 
@@ -132,6 +140,9 @@ def _int8_fwd_kernel(
         s = s_i32.astype(jnp.float32) * (
             sq_scratch[:, :1] * (ks_ref[b_idx, kvh_idx, kv_idx] * sm_scale)
         )
+        if softcap is not None:
+            # Gemma-2-style cap*tanh(s/cap) on the scaled dequantized logits.
+            s = softcap * jnp.tanh(s / softcap)
 
         # The caller may hand a cache padded BEYOND kv_len even when kv_len
         # is block-aligned; the static gate comes from the wrapper.
@@ -148,6 +159,8 @@ def _int8_fwd_kernel(
             mask = jnp.ones((block_q, block_kv), jnp.bool_)
             if causal:
                 mask &= (kpos + kv_off) <= (qpos + q_off)
+                if window is not None:
+                    mask &= ((qpos + q_off) - (kpos + kv_off)) < window
             if need_kv_edge_mask:
                 mask &= kpos < kv_len
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -224,6 +237,8 @@ def flash_attention_int8_prequant(
     q_offset=None,
     kv_offset=None,
     save_residuals: bool = False,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
     interpret: Optional[bool] = None,
 ):
     """Fused INT8 attention over pre-quantized K/V (the INT8 KV-cache path).
@@ -282,6 +297,8 @@ def flash_attention_int8_prequant(
         p_scale=p_static_scale,
         mask_kv_tail=kv_len < kv_len_p,
         group=group,
+        window=window,
+        softcap=logit_softcap,
     )
     if not save_residuals:
         kernel = functools.partial(_strip_lse_int8, kernel)
@@ -364,6 +381,8 @@ def _int8_fwd_kernel_t(
     scale_clamp: float,
     p_scale: float,
     group: int,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)      # q head; kv head = h_idx // group (GQA)
@@ -388,6 +407,10 @@ def _int8_fwd_kernel_t(
     if causal:
         last_q_row = q_idx * block_q + diag_offset + block_q - 1
         should_run = last_q_row >= kv_idx * block_kv
+        if window is not None:
+            first_q_row = q_idx * block_q + diag_offset
+            last_kv_row = kv_idx * block_kv + block_kv - 1
+            should_run &= (first_q_row - last_kv_row) < window
     else:
         should_run = True
 
@@ -402,6 +425,8 @@ def _int8_fwd_kernel_t(
         st = st_i32.astype(jnp.float32) * (
             sq_scratch[:1, :] * (ks_ref[b_idx, kvh_idx, kv_idx] * sm_scale)
         )
+        if softcap is not None:
+            st = softcap * jnp.tanh(st / softcap)
 
         need_kv_edge_mask = kv_len % block_kv != 0
         if causal or need_kv_edge_mask:
@@ -417,6 +442,8 @@ def _int8_fwd_kernel_t(
             mask = jnp.ones((block_kv, block_q), jnp.bool_)
             if causal:
                 mask &= kpos <= qpos
+                if window is not None:
+                    mask &= (qpos - kpos) < window
             if need_kv_edge_mask:
                 mask &= kpos < kv_len
             st = jnp.where(mask, st, DEFAULT_MASK_VALUE)
@@ -490,6 +517,8 @@ def flash_attention_int8_t(
     block_kv: Optional[int] = None,
     scale_clamp: float = 1e-8,
     p_static_scale: float = 127.0,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Transposed-score fused INT8 attention (optimal for head_dim <= 64)."""
@@ -534,6 +563,8 @@ def flash_attention_int8_t(
         scale_clamp=scale_clamp,
         p_scale=p_static_scale,
         group=group,
+        window=window,
+        softcap=logit_softcap,
     )
     out_t = pl.pallas_call(
         kernel,
@@ -578,6 +609,8 @@ def flash_attention_int8(
     scale_clamp: float = 1e-8,
     p_static_scale: float = 127.0,
     transposed: Optional[bool] = None,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused INT8-quantized FlashAttention forward on TPU.
@@ -591,6 +624,11 @@ def flash_attention_int8(
     """
     if q.ndim != 4:
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
     q_len = q.shape[2]
     kv_len = k.shape[2]
     head_dim = q.shape[-1]
@@ -601,6 +639,7 @@ def flash_attention_int8(
             q, k, v, sm_scale=sm_scale, causal=causal,
             block_q=block_q, block_kv=block_kv,
             scale_clamp=scale_clamp, p_static_scale=p_static_scale,
+            window=window, logit_softcap=logit_softcap,
             interpret=interpret,
         )
     _, block_kv_eff = pick_blocks(q_len, kv_len, q.shape[-1], block_q=block_q, block_kv=block_kv)
@@ -615,5 +654,6 @@ def flash_attention_int8(
         kv_len=kv_len, sm_scale=sm_scale, causal=causal,
         block_q=block_q, block_kv=block_kv_eff,
         scale_clamp=scale_clamp, p_static_scale=p_static_scale,
+        window=window, logit_softcap=logit_softcap,
         interpret=interpret,
     )

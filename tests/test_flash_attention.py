@@ -152,3 +152,49 @@ def test_gqa_rejects_indivisible(qkv_factory):
     _, k, v = qkv_factory(batch=1, heads=2, q_len=128, kv_len=128, head_dim=32)
     with pytest.raises(ValueError):
         flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+
+
+def _ref_masked(q, k, v, *, window=None, softcap=None):
+    sc = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sc
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
+    qi = jnp.arange(q.shape[2])[:, None]
+    ki = jnp.arange(k.shape[2])[None, :]
+    m = ki <= qi
+    if window:
+        m &= (qi - ki) < window
+    s = jnp.where(m, s, -jnp.inf)
+    return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+
+@pytest.mark.parametrize("window,softcap", [(128, None), (200, None),
+                                            (None, 30.0), (128, 30.0)])
+def test_window_and_softcap(qkv_factory, window, softcap):
+    """Sliding-window (Mistral) + logit soft-cap (Gemma-2) forward AND
+    gradients vs an explicit jnp mask/tanh reference. Window sizes straddle
+    block boundaries to exercise the behind-the-window block skip."""
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=512, kv_len=512, head_dim=32)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    kw = dict(causal=True, window=window, logit_softcap=softcap,
+              block_q=128, block_kv=128)
+    out = flash_attention(q, k, v, **kw)
+    ref = _ref_masked(q, k, v, window=window, softcap=softcap)
+    assert_close(out, ref, abs_tol=1e-4, rel_tol=1e-4,
+                 what=f"window={window} softcap={softcap}")
+
+    g = jax.grad(lambda q, k, v: jnp.sum(flash_attention(q, k, v, **kw) ** 2),
+                 argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        _ref_masked(q, k, v, window=window, softcap=softcap) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gr):
+        assert_close(a, b, abs_tol=1e-4, rel_tol=1e-3,
+                     what=f"d{name} window={window} softcap={softcap}")
+
+
+def test_window_requires_causal(qkv_factory):
+    q, k, v = qkv_factory(q_len=128, kv_len=128)
+    with pytest.raises(ValueError):
+        flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        window=64)

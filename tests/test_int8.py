@@ -155,3 +155,30 @@ def test_gqa_int8_matches_repeat_kv(qkv_factory, transposed):
                                transposed=transposed,
                                block_q=128, block_kv=128)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+@pytest.mark.parametrize("window,softcap", [(128, None), (None, 30.0),
+                                            (128, 30.0)])
+def test_int8_window_and_softcap(qkv_factory, transposed, window, softcap):
+    """Sliding window + logit soft-cap in both INT8 orientations stay within
+    the int8 budget of an explicit jnp reference."""
+    import jax
+
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=512, kv_len=512, head_dim=64)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    out = flash_attention_int8(q, k, v, causal=True, transposed=transposed,
+                               window=window, logit_softcap=softcap,
+                               block_q=128, block_kv=128)
+    sc = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sc
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
+    qi = jnp.arange(512)[:, None]
+    ki = jnp.arange(512)[None, :]
+    m = ki <= qi
+    if window:
+        m &= (qi - ki) < window
+    s = jnp.where(m, s, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 4e-2

@@ -57,3 +57,24 @@ def test_gqa_head_counts():
     tokens = jnp.zeros((1, 32), jnp.int32)
     logits = forward(cfg, params, tokens)
     assert logits.shape == (1, 32, cfg.vocab_size)
+
+
+def test_sliding_window_softcap_consistent_across_impls():
+    """Mistral-style sliding window + Gemma-2 soft-cap: the flash kernel
+    path must agree with the jnp reference path at the model level."""
+    import jax
+    import numpy as np
+    from quantizedmha_tpu.models import llama
+
+    params = llama.init_params(
+        llama.LlamaConfig.tiny(sliding_window=16, logit_softcap=20.0),
+        jax.random.key(0))
+    toks = jax.random.randint(jax.random.key(1), (2, 64), 0, 256)
+    lf = llama.forward(
+        llama.LlamaConfig.tiny(sliding_window=16, logit_softcap=20.0),
+        params, toks)
+    lr = llama.forward(
+        llama.LlamaConfig.tiny(sliding_window=16, logit_softcap=20.0,
+                               attention_impl="reference"), params, toks)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lr),
+                               atol=0.06, rtol=0.05)
