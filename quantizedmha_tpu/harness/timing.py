@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import statistics
 import time
+import warnings
 from typing import Callable, List
 
 import numpy as np
@@ -108,6 +109,14 @@ def benchmark(
         raw = (statistics.median(t2s) - statistics.median(t1s)) / (runs - k1)
         if raw > 0:
             break
+    else:
+        warnings.warn(
+            "benchmark: two-point fit non-positive after 3 resample rounds "
+            "(tunnel noise swamped the measurement); reporting the clamp "
+            "floor — treat this Timing as unreliable.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     est = max(raw, 1e-9)
     pairs = [max((t2 - t1) / (runs - k1), 1e-9) for t1, t2 in zip(t1s, t2s)]
     return Timing(est, pairs)

@@ -173,26 +173,10 @@ def _attention(cfg: LlamaConfig, q, k, v, *, causal=True):
             q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv,
             window=window, logit_softcap=cfg.logit_softcap,
         )
-    # jnp golden path: expand GQA and apply window/soft-cap explicitly.
-    n_rep = q.shape[1] // k.shape[1]
-    kf, vf = _repeat_kv(k, n_rep), _repeat_kv(v, n_rep)
-    sc = q.shape[-1] ** -0.5
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                   kf.astype(jnp.float32)) * sc
-    if cfg.logit_softcap is not None:
-        s = cfg.logit_softcap * jnp.tanh(s / cfg.logit_softcap)
-    q_len, kv_len = s.shape[-2], s.shape[-1]
-    qi = jnp.arange(q_len)[:, None] + (kv_len - q_len)
-    ki = jnp.arange(kv_len)[None, :]
-    mask = jnp.ones((q_len, kv_len), bool)
-    if causal:
-        mask &= ki <= qi
-        if window is not None:
-            mask &= (qi - ki) < window
-    s = jnp.where(mask, s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p,
-                      vf.astype(jnp.float32)).astype(q.dtype)
+    from quantizedmha_tpu.reference.mha import mha_masked_reference
+
+    return mha_masked_reference(
+        q, k, v, causal=causal, window=window, softcap=cfg.logit_softcap)
 
 
 def decoder_layer(cfg: LlamaConfig, p: Dict[str, Any], x: jnp.ndarray,

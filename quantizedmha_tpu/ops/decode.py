@@ -56,6 +56,8 @@ def _decode_kernel(
     sm_scale: float,
     page_size: int,
     group_p: int,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -69,7 +71,13 @@ def _decode_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    @pl.when(i * page_size < length)
+    in_ctx = i * page_size < length
+    if window is not None:
+        # Sliding window: the new token (position length-1) sees positions
+        # >= length - window; skip pages entirely behind that.
+        in_ctx &= (i + 1) * page_size > length - window
+
+    @pl.when(in_ctx)
     def _run():
         page = tables_ref[b, i]
         q = q_ref[0, 0, :, :].astype(jnp.float32) * sm_scale
@@ -80,10 +88,17 @@ def _decode_kernel(
             q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * ks_ref[h, page]
+        if softcap is not None:
+            # Gemma-2-style cap*tanh(s/cap) on the scaled logits.
+            s = softcap * jnp.tanh(s / softcap)
 
-        # Mask positions beyond the sequence length within this page.
+        # Mask positions beyond the sequence length within this page (and
+        # behind the sliding window, if any).
         pos = jax.lax.broadcasted_iota(jnp.int32, (group_p, page_size), 1) + i * page_size
-        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+        valid = pos < length
+        if window is not None:
+            valid &= pos >= length - window
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scratch[:, :1]
         l_prev = l_scratch[:, :1]
@@ -119,9 +134,15 @@ def paged_decode_attention(
     block_tables: jnp.ndarray,
     *,
     sm_scale: Optional[float] = None,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token attention against a paged INT8 KV cache.
+
+    window/logit_softcap: sliding-window size and Gemma-2 soft-cap, matching
+    ops.flash_attention semantics (decode is causal by construction; pages
+    wholly behind the window are skipped).
 
     q:            [batch, num_q_heads, head_dim] (the new token's queries)
     k/v_pages:    [num_kv_heads, num_pages, page_size, head_dim] int8
@@ -144,11 +165,15 @@ def paged_decode_attention(
     if group_p != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
 
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     kernel = functools.partial(
         _decode_kernel,
         sm_scale=scale,
         page_size=page_size,
         group_p=group_p,
+        window=window,
+        softcap=logit_softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -65,6 +65,16 @@ def pick_blocks(
     return min(block_q, q_len), min(block_kv, kv_len)
 
 
+def _window_start(q_idx, q_off, kv_off, window, block_q, block_kv,
+                  nkv_total, nkv_win):
+    """First kv block a windowed-causal q block needs: the block holding
+    position q_first - window + 1, clamped so start + nkv_win - 1 stays in
+    range (out-of-range tail blocks are masked by causality anyway)."""
+    first_needed = q_off + q_idx * block_q - (window - 1) - kv_off
+    start = jnp.maximum(first_needed, 0) // block_kv
+    return jnp.minimum(start, max(nkv_total - nkv_win, 0))
+
+
 def _fwd_kernel(
     offs_ref,  # [2] int32 in SMEM: (q_offset, kv_offset) global positions
     q_ref,  # [1, 1, block_q, head_dim]
@@ -84,12 +94,26 @@ def _fwd_kernel(
     save_residuals: bool,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    windowed_grid: Optional[tuple] = None,
 ):
     q_idx = pl.program_id(2)
-    kv_idx = pl.program_id(3)
+    j = pl.program_id(3)  # local step along the (possibly shrunk) kv grid
+    if windowed_grid is not None:
+        # Shrunk kv grid (true O(seq*window)): the minor grid dim only spans
+        # the blocks a q block can see; recover the REAL kv block index with
+        # the same formula as the BlockSpec index maps (_window_start).
+        # Init/epilogue key on the LOCAL step j — kv_idx is block-offset.
+        q_off_s, kv_off_s, nkv_tot = windowed_grid
+        start = _window_start(
+            q_idx, q_off_s, kv_off_s, window, block_q, block_kv,
+            nkv_tot, pl.num_programs(3),
+        )
+        kv_idx = start + j
+    else:
+        kv_idx = j
     num_kv = pl.num_programs(3)
 
-    @pl.when(kv_idx == 0)
+    @pl.when(j == 0)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         l_scratch[...] = jnp.zeros_like(l_scratch)
@@ -188,7 +212,7 @@ def _fwd_kernel(
         )
         acc_scratch[...] = acc_scratch[...] * alpha + pv
 
-    @pl.when(kv_idx == num_kv - 1)
+    @pl.when(j == num_kv - 1)
     def _epilogue():
         l = l_scratch[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -255,7 +279,34 @@ def _fwd(
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad), (0, 0))) if kv_pad else v
     q_len_p, kv_len_p = q_len + q_pad, kv_len + kv_pad
 
-    grid = (batch, heads, q_len_p // block_q, kv_len_p // block_kv)
+    nkv_tot = kv_len_p // block_kv
+    # True O(seq * window) grid: when the window and the global offsets are
+    # STATIC (not ring-rotated tracers), the kv grid dim shrinks to just the
+    # blocks a q block can see — skipped blocks are never even DMA'd, unlike
+    # the pl.when compute-skip which still pays grid steps + K/V fetches.
+    static_offsets = isinstance(q_offset, int) and isinstance(kv_offset, int)
+    windowed_grid = None
+    if window is not None and causal and static_offsets:
+        # A q block spans block_q + window - 1 positions of kv; worst-case
+        # alignment straddles one extra block.
+        nkv_win = min(nkv_tot, (block_q + window - 2) // block_kv + 2)
+        if nkv_win < nkv_tot:
+            windowed_grid = (int(q_offset), int(kv_offset), nkv_tot)
+            nkv_grid = nkv_win
+        else:
+            nkv_grid = nkv_tot
+    else:
+        nkv_grid = nkv_tot
+    grid = (batch, heads, q_len_p // block_q, nkv_grid)
+
+    def _kv_block(b, h, i, j):
+        if windowed_grid is None:
+            return (b, h // group, j, 0)
+        start = _window_start(
+            i, windowed_grid[0], windowed_grid[1], window, block_q,
+            block_kv, nkv_tot, nkv_grid,
+        )
+        return (b, h // group, start + j, 0)
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -267,6 +318,7 @@ def _fwd(
         save_residuals=save_residuals,
         window=window,
         softcap=softcap,
+        windowed_grid=windowed_grid,
     )
     if not save_residuals:
         kernel = functools.partial(_strip_lse, kernel)
@@ -289,10 +341,8 @@ def _fwd(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, head_dim),
-                         lambda b, h, i, j: (b, h // group, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, head_dim),
-                         lambda b, h, i, j: (b, h // group, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, head_dim), _kv_block),
+            pl.BlockSpec((1, 1, block_kv, head_dim), _kv_block),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -416,9 +466,10 @@ def _bwd_dkv_kernel(
         ) * sm_scale
         if softcap is not None:
             # u = pre-cap scaled logits; s = cap*tanh(u/cap). The chain
-            # factor d(s)/d(u) = 1 - tanh^2 multiplies dS below.
-            t = jnp.tanh(s / softcap)
-            s = softcap * t
+            # factor d(s)/d(u) = 1 - tanh^2 multiplies dS below. (Named th,
+            # not t: t is this kernel's grid program id.)
+            th = jnp.tanh(s / softcap)
+            s = softcap * th
         p = jnp.exp(s - lse)  # padded q rows carry lse=+big -> p == 0
         mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off,
                         causal, q_len, kv_len, window=window)
@@ -436,7 +487,7 @@ def _bwd_dkv_kernel(
         )
         ds = p * (dp - di) * sm_scale
         if softcap is not None:
-            ds = ds * (1.0 - t * t)
+            ds = ds * (1.0 - th * th)
         # dK += dS^T @ Q
         dk_scratch[...] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
@@ -492,8 +543,8 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         ) * sm_scale
         if softcap is not None:
-            t = jnp.tanh(s / softcap)
-            s = softcap * t
+            th = jnp.tanh(s / softcap)
+            s = softcap * th
         p = jnp.exp(s - lse)
         mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off,
                         causal, q_len, kv_len, window=window)
@@ -504,7 +555,7 @@ def _bwd_dq_kernel(
         )
         ds = p * (dp - di) * sm_scale
         if softcap is not None:
-            ds = ds * (1.0 - t * t)
+            ds = ds * (1.0 - th * th)
         dq_scratch[...] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -734,10 +785,12 @@ def flash_attention(
     save_residuals=True when used, e.g. by ring attention).
 
     window: sliding-window size W (Mistral-style): each q row attends only
-    the last W positions (q_pos - kv_pos < W); requires causal=True. Blocks
-    wholly behind the window are skipped, so long-context cost is
-    O(seq * W). logit_softcap: Gemma-2-style cap*tanh(s/cap) on the scaled
-    logits. Both are differentiable.
+    the last W positions (q_pos - kv_pos < W); requires causal=True. With
+    static offsets the forward shrinks its kv grid to the visible blocks
+    (out-of-window tiles are never DMA'd -> true O(seq * W) time and HBM
+    traffic); with traced offsets (ring steps) and in the backward, blocks
+    are compute-skipped instead. logit_softcap: Gemma-2-style
+    cap*tanh(s/cap) on the scaled logits. Both are differentiable.
     """
     if q.ndim != 4:
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")

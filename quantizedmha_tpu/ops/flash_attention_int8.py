@@ -253,6 +253,11 @@ def flash_attention_int8_prequant(
     allowed — chunked prefill passes the chunk's start position). Default
     end-aligned, matching the non-offset behavior.
     """
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
     batch, heads, q_len, head_dim = q.shape
     kv_len_p = k_i8.shape[2]
     kv_len = kv_len if kv_len is not None else kv_len_p

@@ -142,3 +142,45 @@ def mha_reference(
         causal=causal, use_rope=use_rope,
     )
     return oh.transpose(1, 0, 2).reshape(n, d_model)
+
+
+def mha_masked_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    causal: bool = False,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+) -> jnp.ndarray:
+    """Golden for masked-variant attention: end-aligned causal, Mistral-style
+    sliding window ((q_pos - kv_pos) < window) and Gemma-2 logit soft-cap
+    (cap * tanh(s / cap) on the SCALED logits, applied before masking).
+    GQA-aware: k/v with fewer heads are expanded here (the kernels share
+    them in-place instead). The single source of truth for these semantics —
+    the kernel tests and the model's jnp fallback both gate against it.
+    """
+    n_rep = q.shape[1] // k.shape[1]
+    if n_rep > 1:
+        k = jnp.repeat(k, n_rep, axis=1)
+        v = jnp.repeat(v, n_rep, axis=1)
+    scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
+    q_len, kv_len = s.shape[-2], s.shape[-1]
+    qi = jnp.arange(q_len)[:, None] + (kv_len - q_len)  # end-aligned
+    ki = jnp.arange(kv_len)[None, :]
+    mask = jnp.ones((q_len, kv_len), bool)
+    if causal:
+        mask &= ki <= qi
+        if window is not None:
+            mask &= (qi - ki) < window
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v.astype(jnp.float32)
+    ).astype(q.dtype)

@@ -182,6 +182,7 @@ def prefill_chunk(
         o = flash_attention_int8_prequant(
             q, k_g, ks_g, v_g, vs_g,
             causal=True, block_kv=page_size,
+            window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
             q_offset=chunk_start, kv_offset=0,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, C, cfg.num_heads * hd)
@@ -314,6 +315,7 @@ def verify_step(
         o = flash_attention_int8_prequant(
             q, k_g, ks_g, v_g, vs_g,
             causal=True, block_kv=page_size,
+            window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
             q_offset=positions0, kv_offset=jnp.zeros_like(positions0),
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, S, cfg.num_heads * hd)
@@ -361,6 +363,7 @@ def decode_step(
         o = paged_decode_attention(
             q, cache_l.k_pages, cache_l.v_pages,
             cache_l.k_scales, cache_l.v_scales, lengths, tables,
+            window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
         )
         x = x + reduce_tp(
             dense(o.reshape(b, 1, cfg.num_heads * hd).astype(cfg.dtype), p["wo"])

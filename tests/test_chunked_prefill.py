@@ -111,3 +111,42 @@ def test_tp_engine_chunked(model, rng):
     eng.add_request(prompt)
     got = eng.run()
     assert got[0] == want[0]
+
+
+def test_prefill_chunk_honors_sliding_window(rng):
+    """A windowed config must produce windowed attention through the
+    CHUNKED path too (regression: the serving paths used to silently
+    ignore cfg.sliding_window while whole prefill honored it)."""
+    cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32,
+                           sliding_window=24, logit_softcap=30.0)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    page_size, chunk, max_pages = 16, 32, 8
+    n = 64
+    prompt = rng.integers(1, cfg.vocab_size, n).tolist()
+
+    cache = llama_adapter.make_cache(cfg, 32, page_size)
+    alloc = PageAllocator(32, page_size)
+    alloc._free.remove(0)
+    alloc.admit(0, n)
+    table = jnp.asarray(alloc.block_table_array([0], max_pages)[0], jnp.int32)
+
+    logits = None
+    for ci in range(-(-n // chunk)):
+        part = prompt[ci * chunk:(ci + 1) * chunk]
+        toks = np.zeros((1, chunk), np.int32)
+        toks[0, :len(part)] = part
+        logits, cache = llama_adapter.prefill_chunk(
+            cfg, params, cache, jnp.asarray(toks), jnp.int32(ci * chunk),
+            table, jnp.int32(len(part) - 1), page_size=page_size,
+        )
+
+    full = forward(cfg, params, jnp.asarray([prompt], jnp.int32))[0, -1]
+    got, want = np.asarray(logits[0]), np.asarray(full)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 0.05
+    assert int(np.argmax(got)) == int(np.argmax(want))
+
+    # And it must DIFFER from the unwindowed forward (the window is real).
+    cfg_full = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)
+    unwindowed = forward(cfg_full, params, jnp.asarray([prompt], jnp.int32))[0, -1]
+    assert np.abs(np.asarray(unwindowed) - want).max() / scale > 0.01

@@ -129,3 +129,40 @@ def test_quantize_page_roundtrip(rng):
     q, s = quantize_page(x)
     got = q.astype(jnp.float32) * s[:, None, None]
     assert float(jnp.max(jnp.abs(got - x))) <= float(jnp.max(s)) * 0.5 + 1e-6
+
+
+def test_paged_decode_sliding_window_and_softcap(rng):
+    """Decode against the paged cache with a sliding window + soft-cap must
+    match a jnp reference attending only the last W positions."""
+    import jax
+    from quantizedmha_tpu.ops.decode import paged_decode_attention
+    from quantizedmha_tpu.ops.quantize import quantize_kv_blocks
+
+    hkv, hq, d, page, npages = 2, 4, 64, 16, 8
+    length, W, cap = 100, 40, 25.0
+    kf = jnp.asarray(rng.normal(0, .5, (1, hkv, npages * page, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(0, .5, (1, hkv, npages * page, d)), jnp.float32)
+    q = jnp.asarray(rng.normal(0, .5, (1, hq, d)), jnp.float32)
+    k8, ks = quantize_kv_blocks(kf, page)
+    v8, vs = quantize_kv_blocks(vf, page)
+    k_pages = k8[0].reshape(hkv, npages, page, d)
+    v_pages = v8[0].reshape(hkv, npages, page, d)
+    out = paged_decode_attention(
+        q, k_pages, v_pages, ks[0], vs[0],
+        jnp.asarray([length], jnp.int32),
+        jnp.arange(npages, dtype=jnp.int32)[None, :],
+        window=W, logit_softcap=cap,
+    )
+    # jnp reference over the DEQUANTIZED cache (isolates masking semantics).
+    kd = (k_pages.astype(jnp.float32)
+          * ks[0][:, :, None, None]).reshape(hkv, -1, d)
+    vd = (v_pages.astype(jnp.float32)
+          * vs[0][:, :, None, None]).reshape(hkv, -1, d)
+    kd = jnp.repeat(kd, hq // hkv, 0)
+    vd = jnp.repeat(vd, hq // hkv, 0)
+    s = jnp.einsum("hd,hkd->hk", q[0] * d ** -0.5, kd)
+    s = cap * jnp.tanh(s / cap)
+    pos = jnp.arange(npages * page)
+    s = jnp.where((pos < length) & (pos >= length - W), s, -jnp.inf)
+    ref = jnp.einsum("hk,hkd->hd", jax.nn.softmax(s, -1), vd)
+    assert np.abs(np.asarray(out[0]) - np.asarray(ref)).max() < 2e-2

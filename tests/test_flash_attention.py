@@ -155,17 +155,10 @@ def test_gqa_rejects_indivisible(qkv_factory):
 
 
 def _ref_masked(q, k, v, *, window=None, softcap=None):
-    sc = q.shape[-1] ** -0.5
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sc
-    if softcap:
-        s = softcap * jnp.tanh(s / softcap)
-    qi = jnp.arange(q.shape[2])[:, None]
-    ki = jnp.arange(k.shape[2])[None, :]
-    m = ki <= qi
-    if window:
-        m &= (qi - ki) < window
-    s = jnp.where(m, s, -jnp.inf)
-    return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+    from quantizedmha_tpu.reference.mha import mha_masked_reference
+
+    return mha_masked_reference(q, k, v, causal=True, window=window,
+                                softcap=softcap)
 
 
 @pytest.mark.parametrize("window,softcap", [(128, None), (200, None),

@@ -170,15 +170,8 @@ def test_int8_window_and_softcap(qkv_factory, transposed, window, softcap):
     out = flash_attention_int8(q, k, v, causal=True, transposed=transposed,
                                window=window, logit_softcap=softcap,
                                block_q=128, block_kv=128)
-    sc = q.shape[-1] ** -0.5
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sc
-    if softcap:
-        s = softcap * jnp.tanh(s / softcap)
-    qi = jnp.arange(512)[:, None]
-    ki = jnp.arange(512)[None, :]
-    m = ki <= qi
-    if window:
-        m &= (qi - ki) < window
-    s = jnp.where(m, s, -jnp.inf)
-    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+    from quantizedmha_tpu.reference.mha import mha_masked_reference
+
+    ref = mha_masked_reference(q, k, v, causal=True, window=window,
+                               softcap=softcap)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 4e-2
