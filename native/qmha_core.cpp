@@ -182,7 +182,10 @@ int qmha_verify(const float* got, const float* ref, int64_t count,
   int64_t n_mismatch = 0, n_nonfinite = 0, first_bad = -1;
   for (int64_t i = 0; i < count; ++i) {
     double g = got[i], r = ref[i];
-    if (!std::isfinite(g)) {
+    // Non-finite on EITHER side fails the gate (a NaN reference would
+    // otherwise slip through: NaN comparisons are all false, and
+    // std::max drops NaN from the stats).
+    if (!std::isfinite(g) || !std::isfinite(r)) {
       ++n_nonfinite;
       if (first_bad < 0) first_bad = i;
       continue;

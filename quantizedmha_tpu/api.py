@@ -45,6 +45,9 @@ def solve(
     sm_scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Multi-head attention over flat [N, d_model] Q/K/V (reference ABI).
@@ -84,24 +87,38 @@ def solve(
         qh = apply_rope(qh)
         kh = apply_rope(kh)
 
+    masked_kw = dict(window=window, logit_softcap=logit_softcap,
+                     attention_sinks=attention_sinks)
     if kernel == "unfused":
+        if window is not None or logit_softcap is not None:
+            raise ValueError("unfused kernel has no window/softcap support")
         oh = unfused_mha(qh, kh, vh, sm_scale=sm_scale, causal=causal)
     elif kernel == "fa":
         oh = flash_attention(
             qh, kh, vh, sm_scale=sm_scale, causal=causal,
             block_q=block_q, block_kv=block_kv, interpret=interpret,
+            **masked_kw,
         )
     elif kernel == "fa_bf16":
         oh = flash_attention(
             qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
             sm_scale=sm_scale, causal=causal,
             block_q=block_q, block_kv=block_kv, interpret=interpret,
+            **masked_kw,
         ).astype(qh.dtype)
     elif kernel == "fa_int8":
         oh = flash_attention_int8(
             qh, kh, vh, sm_scale=sm_scale, causal=causal,
             block_q=block_q, block_kv=block_kv, interpret=interpret,
+            **masked_kw,
         )
+    elif window is not None or logit_softcap is not None:
+        from quantizedmha_tpu.reference.mha import mha_masked_reference
+
+        oh = mha_masked_reference(
+            qh, kh, vh, sm_scale=sm_scale, causal=causal,
+            window=window if causal else None,
+            softcap=logit_softcap, sinks=attention_sinks)
     else:  # reference
         oh = mha_reference_shaped(qh, kh, vh, sm_scale=sm_scale, causal=causal)
 

@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--d-model", type=int, default=1024)
     p.add_argument("--heads", type=int, default=32)
     p.add_argument("--causal", action="store_true")
+    p.add_argument("--window", type=int, default=None,
+                   help="sliding-window size (requires --causal)")
+    p.add_argument("--softcap", type=float, default=None,
+                   help="Gemma-2-style logit soft-cap")
+    p.add_argument("--sinks", type=int, default=0,
+                   help="StreamingLLM attention sinks (requires --window)")
     p.add_argument("--rope", action="store_true",
                    help="apply RoPE to Q,K in kernel AND golden (the reference's "
                         "golden applied RoPE but its kernels did not, SURVEY §4.4)")
@@ -96,6 +102,7 @@ class KernelResult:
     pct_hbm_sol: Optional[float] = None
     check: Optional[dict] = None
     error: Optional[str] = None
+    skipped: Optional[str] = None  # deliberate skip — not a failure
 
 
 def _dtype_for(kernel: str) -> str:
@@ -124,6 +131,12 @@ def run(argv=None) -> int:
         roofline,
     )
 
+    if args.window is not None and not args.causal:
+        print("error: --window requires --causal", file=sys.stderr)
+        return 2
+    if args.sinks and args.window is None:
+        print("error: --sinks require --window", file=sys.stderr)
+        return 2
     kernels = list(KERNELS) if args.kernel == "all" else [args.kernel]
     for k in kernels:
         if k not in KERNELS:
@@ -133,7 +146,12 @@ def run(argv=None) -> int:
     n, d_model, h = args.n, args.d_model, args.heads
     chip = detect_chip()
     print(f"device: {chip.name} | workload: N={n} d_model={d_model} h={h} "
-          f"(d={d_model // h}) causal={args.causal} rope={args.rope}")
+          f"(d={d_model // h}) causal={args.causal} rope={args.rope}"
+          + (f" window={args.window}" if args.window else "")
+          + (f" softcap={args.softcap}" if args.softcap else "")
+          + (f" sinks={args.sinks}" if args.sinks else ""))
+    masked_kw = dict(window=args.window, logit_softcap=args.softcap,
+                     attention_sinks=args.sinks)
 
     cache = pathlib.Path(args.cache_dir)
     data = cached_inputs(cache, n, d_model, seed=args.seed, random=args.random)
@@ -145,12 +163,15 @@ def run(argv=None) -> int:
     if args.check:
         key = (f"N{n}_d{d_model}_h{h}_s{args.seed}"
                f"_{'rand' if args.random else 'const'}"
-               f"{'_causal' if args.causal else ''}{'_rope' if args.rope else ''}")
+               f"{'_causal' if args.causal else ''}{'_rope' if args.rope else ''}"
+               + (f"_w{args.window}" if args.window else "")
+               + (f"_cap{args.softcap}" if args.softcap else "")
+               + (f"_sink{args.sinks}" if args.sinks else ""))
         golden = cached_reference(
             cache, key, (n, d_model),
             lambda: np.asarray(
                 solve(q, k_, v, d_model, h, kernel="reference",
-                      causal=args.causal, use_rope=args.rope)
+                      causal=args.causal, use_rope=args.rope, **masked_kw)
             ),
         )
 
@@ -158,11 +179,15 @@ def run(argv=None) -> int:
     for kernel in kernels:
         res = KernelResult(kernel=kernel)
         results.append(res)
+        if kernel == "unfused" and (args.window or args.softcap):
+            res.skipped = "unfused kernel has no window/softcap support"
+            print(f"[{kernel:>10}] skipped: {res.skipped}")
+            continue
         fn = jax.jit(
             lambda q, k, v, kern=kernel: solve(
                 q, k, v, d_model, h, kernel=kern, causal=args.causal,
                 use_rope=args.rope, block_q=args.block_q, block_kv=args.block_kv,
-                interpret=args.interpret or None,
+                interpret=args.interpret or None, **masked_kw,
             )
         )
         try:
@@ -198,9 +223,17 @@ def run(argv=None) -> int:
                 out.block_until_ready()
             print(f"[{kernel:>10}] xprof trace -> {tdir}")
 
-        flops = attention_flops(1, h, n, n, d_model // h, causal=args.causal)
-        bytes_per_el = {"int8": 1, "bf16": 2}.get(_dtype_for(kernel), 4)
-        byts = attention_bytes(1, h, n, n, d_model // h, bytes_per_el=bytes_per_el)
+        flops = attention_flops(1, h, n, n, d_model // h, causal=args.causal,
+                                window=args.window, sinks=args.sinks)
+        # Mixed precision: fa_int8 reads fp32 Q and writes fp32 O around
+        # its int8 K/V; charging 1 B everywhere understates traffic ~2.5x.
+        dt = _dtype_for(kernel)
+        if dt == "int8":
+            byts = attention_bytes(1, h, n, n, d_model // h,
+                                   q_bytes=4, kv_bytes=1, o_bytes=4)
+        else:
+            byts = attention_bytes(1, h, n, n, d_model // h,
+                                   bytes_per_el={"bf16": 2}.get(dt, 4))
         rl = roofline(timing.median_s, flops, byts, dtype=_dtype_for(kernel), chip=chip)
         res.ms = timing.median_ms
         res.tflops = rl.tflops_achieved
@@ -213,6 +246,8 @@ def run(argv=None) -> int:
             "device": chip.name,
             "workload": {"n": n, "d_model": d_model, "heads": h,
                          "causal": args.causal, "rope": args.rope,
+                         "window": args.window, "softcap": args.softcap,
+                         "sinks": args.sinks,
                          "random": args.random, "seed": args.seed},
             "results": [dataclasses.asdict(r) for r in results],
         }

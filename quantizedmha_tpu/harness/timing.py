@@ -91,6 +91,8 @@ def benchmark(
     runs:   K2 of the two-point fit (K1 = max(1, runs // 4)).
     repeats: batch-time samples per K; medians are differenced.
     """
+    if runs < 2:
+        raise ValueError(f"runs must be >= 2 for the two-point fit, got {runs}")
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)

@@ -53,15 +53,22 @@ def compare(
     ref = np.asarray(ref, dtype=np.float64)
     if got.shape != ref.shape:
         raise ValueError(f"shape mismatch: {got.shape} vs {ref.shape}")
-    nonfinite = int(np.sum(~np.isfinite(got)))
+    # Non-finites in EITHER tensor fail the gate: a NaN in the reference
+    # makes diff NaN, and `NaN > tol` is False — without this, elements
+    # where the golden itself is broken would silently pass unverified.
+    # (Each such element counts once, as nonfinite — matching the native
+    # gate's semantics, qmha_core.cpp qmha_verify.)
+    finite = np.isfinite(got) & np.isfinite(ref)
+    nonfinite = int(finite.size - np.sum(finite))
     diff = np.abs(got - ref)
     tol = np.maximum(abs_tol, rel_tol * np.abs(ref))
-    mismatch = int(np.sum(diff > tol))
+    mismatch = int(np.sum(finite & (diff > tol)))
+    finite_diff = diff[finite]
     ref_scale = float(np.max(np.abs(ref))) or 1.0
     return ErrorReport(
-        max_abs=float(np.max(diff)) if diff.size else 0.0,
-        mean_abs=float(np.mean(diff)) if diff.size else 0.0,
-        max_rel=float(np.max(diff)) / ref_scale,
+        max_abs=float(np.max(finite_diff)) if finite_diff.size else 0.0,
+        mean_abs=float(np.mean(finite_diff)) if finite_diff.size else 0.0,
+        max_rel=(float(np.max(finite_diff)) if finite_diff.size else 0.0) / ref_scale,
         n_mismatch=mismatch,
         n_nonfinite=nonfinite,
         abs_tol=abs_tol,

@@ -51,6 +51,9 @@ class LlamaConfig:
     # attention_impl, differentiable under "flash".
     sliding_window: Optional[int] = None
     logit_softcap: Optional[float] = None
+    # StreamingLLM attention sinks: first N positions stay visible beyond
+    # the sliding window (only meaningful with sliding_window set).
+    attention_sinks: int = 0
 
     @property
     def hd(self) -> int:
@@ -163,20 +166,24 @@ def _attention(cfg: LlamaConfig, q, k, v, *, causal=True):
     group — no materialized repeat); only the jnp reference needs the
     expansion."""
     window = cfg.sliding_window if causal else None
+    sinks = cfg.attention_sinks if window is not None else 0
     if cfg.attention_impl == "flash":
         return flash_attention(
             q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv,
             window=window, logit_softcap=cfg.logit_softcap,
+            attention_sinks=sinks,
         )
     if cfg.attention_impl == "flash_int8":
         return flash_attention_int8(
             q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv,
             window=window, logit_softcap=cfg.logit_softcap,
+            attention_sinks=sinks,
         )
     from quantizedmha_tpu.reference.mha import mha_masked_reference
 
     return mha_masked_reference(
-        q, k, v, causal=causal, window=window, softcap=cfg.logit_softcap)
+        q, k, v, causal=causal, window=window, softcap=cfg.logit_softcap,
+        sinks=sinks)
 
 
 def decoder_layer(cfg: LlamaConfig, p: Dict[str, Any], x: jnp.ndarray,

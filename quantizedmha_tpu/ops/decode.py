@@ -58,6 +58,7 @@ def _decode_kernel(
     group_p: int,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: int = 0,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -74,8 +75,12 @@ def _decode_kernel(
     in_ctx = i * page_size < length
     if window is not None:
         # Sliding window: the new token (position length-1) sees positions
-        # >= length - window; skip pages entirely behind that.
-        in_ctx &= (i + 1) * page_size > length - window
+        # >= length - window; skip pages entirely behind that — except
+        # pages holding attention-sink positions.
+        in_win = (i + 1) * page_size > length - window
+        if sinks:
+            in_win |= i * page_size < sinks
+        in_ctx &= in_win
 
     @pl.when(in_ctx)
     def _run():
@@ -97,7 +102,10 @@ def _decode_kernel(
         pos = jax.lax.broadcasted_iota(jnp.int32, (group_p, page_size), 1) + i * page_size
         valid = pos < length
         if window is not None:
-            valid &= pos >= length - window
+            in_win = pos >= length - window
+            if sinks:
+                in_win |= pos < sinks
+            valid &= in_win
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scratch[:, :1]
@@ -136,6 +144,7 @@ def paged_decode_attention(
     sm_scale: Optional[float] = None,
     window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token attention against a paged INT8 KV cache.
@@ -174,6 +183,7 @@ def paged_decode_attention(
         group_p=group_p,
         window=window,
         softcap=logit_softcap,
+        sinks=attention_sinks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -94,6 +94,7 @@ def _fwd_kernel(
     save_residuals: bool,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: int = 0,
     windowed_grid: Optional[tuple] = None,
 ):
     q_idx = pl.program_id(2)
@@ -134,10 +135,14 @@ def _fwd_kernel(
         if window is not None:
             # Sliding window: also skip kv blocks entirely BEHIND the
             # window of every q row in this block (the block-skip that
-            # makes long-context windowed attention O(seq * window)).
+            # makes long-context windowed attention O(seq * window)) —
+            # unless the block holds attention-sink positions.
             first_q_pos = q_off + q_idx * block_q
             last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
-            should_run &= (first_q_pos - last_kv_pos) < window
+            in_window = (first_q_pos - last_kv_pos) < window
+            if sinks:
+                in_window |= first_kv_pos < sinks
+            should_run &= in_window
     else:
         should_run = True
 
@@ -181,7 +186,12 @@ def _fwd_kernel(
             if causal:
                 mask &= (kpos + offs_ref[1]) <= (qpos + offs_ref[0])
                 if window is not None:
-                    mask &= ((qpos + offs_ref[0]) - (kpos + offs_ref[1])) < window
+                    in_win = ((qpos + offs_ref[0]) - (kpos + offs_ref[1])) < window
+                    if sinks:
+                        # StreamingLLM attention sinks: the first `sinks`
+                        # positions stay visible beyond the window.
+                        in_win |= (kpos + offs_ref[1]) < sinks
+                    mask &= in_win
             if need_kv_edge_mask:
                 mask &= kpos < kv_len
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -243,6 +253,7 @@ def _fwd(
     kv_offset=None,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: int = 0,
     interpret: Optional[bool] = None,
 ):
     batch, heads, q_len, head_dim = q.shape
@@ -286,7 +297,9 @@ def _fwd(
     # the pl.when compute-skip which still pays grid steps + K/V fetches.
     static_offsets = isinstance(q_offset, int) and isinstance(kv_offset, int)
     windowed_grid = None
-    if window is not None and causal and static_offsets:
+    # (Sinks keep early blocks visible, so the contiguous shrunk range does
+    # not apply — those configs use the compute-skip path.)
+    if window is not None and causal and static_offsets and not sinks:
         # A q block spans block_q + window - 1 positions of kv; worst-case
         # alignment straddles one extra block.
         nkv_win = min(nkv_tot, (block_q + window - 2) // block_kv + 2)
@@ -318,6 +331,7 @@ def _fwd(
         save_residuals=save_residuals,
         window=window,
         softcap=softcap,
+        sinks=sinks,
         windowed_grid=windowed_grid,
     )
     if not save_residuals:
@@ -399,7 +413,7 @@ def _bwd_reference(sm_scale, causal, q, k, v, o, lse, do):
 
 
 def _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off, causal,
-             q_len, kv_len, window=None):
+             q_len, kv_len, window=None, sinks=0):
     """(q, kv) mask for one backward tile [bq, bkv]: local padding edges plus
     the GLOBAL causal diagonal and optional sliding window (offsets are
     traced scalars so ring-attention steps can rotate them, like the
@@ -412,7 +426,10 @@ def _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off, causal,
     if causal:
         mask &= (kcol + kv_off) <= (qrow + q_off)
         if window is not None:
-            mask &= ((qrow + q_off) - (kcol + kv_off)) < window
+            in_win = ((qrow + q_off) - (kcol + kv_off)) < window
+            if sinks:
+                in_win |= (kcol + kv_off) < sinks
+            mask &= in_win
     return mask
 
 
@@ -422,7 +439,7 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,                                 # outputs [1,1,bkv,d]
     dk_scratch, dv_scratch,                         # [bkv, d] f32
     *, sm_scale, causal, q_len, kv_len, block_q, block_kv, precision,
-    num_q_blocks, window=None, softcap=None,
+    num_q_blocks, window=None, softcap=None, sinks=0,
 ):
     """Grid (b, kv_head, kv_block, group*q_block-minor): accumulate dK, dV
     for one kv block while streaming q blocks (FlashAttention-2 backward,
@@ -447,7 +464,10 @@ def _bwd_dkv_kernel(
         if window is not None:
             first_q_pos = q_off + q_idx * block_q
             last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
-            should_run &= (first_q_pos - last_kv_pos) < window
+            in_window = (first_q_pos - last_kv_pos) < window
+            if sinks:
+                in_window |= kv_off + kv_idx * block_kv < sinks
+            should_run &= in_window
     else:
         should_run = True
 
@@ -472,7 +492,7 @@ def _bwd_dkv_kernel(
             s = softcap * th
         p = jnp.exp(s - lse)  # padded q rows carry lse=+big -> p == 0
         mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off,
-                        causal, q_len, kv_len, window=window)
+                        causal, q_len, kv_len, window=window, sinks=sinks)
         p = jnp.where(mask, p, 0.0)
 
         # dV += P^T @ dO
@@ -506,7 +526,7 @@ def _bwd_dq_kernel(
     dq_ref,                                         # output [1,1,bq,d]
     dq_scratch,                                     # [bq, d] f32
     *, sm_scale, causal, q_len, kv_len, block_q, block_kv, precision,
-    window=None, softcap=None,
+    window=None, softcap=None, sinks=0,
 ):
     """Grid (b, h, q_block, kv_block-minor): accumulate dQ for one q block
     while streaming kv blocks (q-stationary pass)."""
@@ -525,7 +545,10 @@ def _bwd_dq_kernel(
         if window is not None:
             first_q_pos = q_off + q_idx * block_q
             last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
-            should_run &= (first_q_pos - last_kv_pos) < window
+            in_window = (first_q_pos - last_kv_pos) < window
+            if sinks:
+                in_window |= kv_off + kv_idx * block_kv < sinks
+            should_run &= in_window
     else:
         should_run = True
 
@@ -547,7 +570,7 @@ def _bwd_dq_kernel(
             s = softcap * th
         p = jnp.exp(s - lse)
         mask = _mk_mask(block_q, block_kv, q_idx, kv_idx, q_off, kv_off,
-                        causal, q_len, kv_len, window=window)
+                        causal, q_len, kv_len, window=window, sinks=sinks)
         p = jnp.where(mask, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
@@ -569,7 +592,7 @@ def _bwd_dq_kernel(
 def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do, dlse=None,
                 q_offset=None, kv_offset=None,
                 block_q=None, block_kv=None,
-                window=None, softcap=None, interpret=None):
+                window=None, softcap=None, sinks=0, interpret=None):
     """Flash backward as two Pallas passes (kv-stationary for dK/dV,
     q-stationary for dQ) + an XLA prepass for di = rowsum(dO * O).
 
@@ -624,7 +647,7 @@ def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do, dlse=None,
     stat_spec = pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, i, j: (b, h, i, 0))
     common = dict(sm_scale=sm_scale, causal=causal, q_len=q_len, kv_len=kv_len,
                   block_q=block_q, block_kv=block_kv, precision=precision,
-                  window=window, softcap=softcap)
+                  window=window, softcap=softcap, sinks=sinks)
 
     # Pass 1 (kv-stationary): grid over KV heads; the minor dim streams
     # every q block of every q head in the kv head's GQA group
@@ -677,34 +700,36 @@ def _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do, dlse=None,
     return (dq[:, :, :q_len, :], dk[:, :, :kv_len, :], dv[:, :, :kv_len, :])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _flash_attention_custom(
-    q, k, v, sm_scale, causal, block_q, block_kv, window, softcap, interpret
+    q, k, v, sm_scale, causal, block_q, block_kv, window, softcap, sinks,
+    interpret
 ):
     o, _ = _fwd(
         q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
         block_kv=block_kv, save_residuals=False,
-        window=window, softcap=softcap, interpret=interpret,
+        window=window, softcap=softcap, sinks=sinks, interpret=interpret,
     )
     return o
 
 
 def _flash_fwd_rule(q, k, v, sm_scale, causal, block_q, block_kv, window,
-                    softcap, interpret):
+                    softcap, sinks, interpret):
     o, lse = _fwd(
         q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
         block_kv=block_kv, save_residuals=True,
-        window=window, softcap=softcap, interpret=interpret,
+        window=window, softcap=softcap, sinks=sinks, interpret=interpret,
     )
     return o, (q, k, v, o, lse)
 
 
 def _flash_bwd_rule(sm_scale, causal, block_q, block_kv, window, softcap,
-                    interpret, res, do):
+                    sinks, interpret, res, do):
     q, k, v, o, lse = res
     return _bwd_pallas(sm_scale, causal, q, k, v, o, lse, do,
                        block_q=block_q, block_kv=block_kv,
-                       window=window, softcap=softcap, interpret=interpret)
+                       window=window, softcap=softcap, sinks=sinks,
+                       interpret=interpret)
 
 
 _flash_attention_custom.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -714,39 +739,39 @@ _flash_attention_custom.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 # context-parallel / ring attention (which merge partials through lse) can
 # train. Offsets are primal args (they may be traced ring positions) with
 # symbolic-zero cotangents.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def _flash_attention_lse_custom(
     q, k, v, q_offset, kv_offset, sm_scale, causal, block_q, block_kv,
-    window, softcap, interpret
+    window, softcap, sinks, interpret
 ):
     return _fwd(
         q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
         block_kv=block_kv, save_residuals=True,
         q_offset=q_offset, kv_offset=kv_offset,
-        window=window, softcap=softcap, interpret=interpret,
+        window=window, softcap=softcap, sinks=sinks, interpret=interpret,
     )
 
 
 def _flash_lse_fwd_rule(q, k, v, q_offset, kv_offset, sm_scale, causal,
-                        block_q, block_kv, window, softcap, interpret):
+                        block_q, block_kv, window, softcap, sinks, interpret):
     o, lse = _fwd(
         q, k, v, sm_scale=sm_scale, causal=causal, block_q=block_q,
         block_kv=block_kv, save_residuals=True,
         q_offset=q_offset, kv_offset=kv_offset,
-        window=window, softcap=softcap, interpret=interpret,
+        window=window, softcap=softcap, sinks=sinks, interpret=interpret,
     )
     return (o, lse), (q, k, v, o, lse, q_offset, kv_offset)
 
 
 def _flash_lse_bwd_rule(sm_scale, causal, block_q, block_kv, window, softcap,
-                        interpret, res, cotangents):
+                        sinks, interpret, res, cotangents):
     q, k, v, o, lse, q_offset, kv_offset = res
     do, dlse = cotangents
     dq, dk, dv = _bwd_pallas(
         sm_scale, causal, q, k, v, o, lse, do, dlse=dlse,
         q_offset=q_offset, kv_offset=kv_offset,
         block_q=block_q, block_kv=block_kv,
-        window=window, softcap=softcap, interpret=interpret,
+        window=window, softcap=softcap, sinks=sinks, interpret=interpret,
     )
     return dq, dk, dv, None, None  # integer offsets: symbolic-zero cotangent
 
@@ -768,6 +793,7 @@ def flash_attention(
     kv_offset=None,
     window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ):
     """Fused FlashAttention-2 forward on TPU.
@@ -791,6 +817,8 @@ def flash_attention(
     traffic); with traced offsets (ring steps) and in the backward, blocks
     are compute-skipped instead. logit_softcap: Gemma-2-style
     cap*tanh(s/cap) on the scaled logits. Both are differentiable.
+    attention_sinks: StreamingLLM-style sinks — the first `attention_sinks`
+    positions stay visible beyond the window (requires window).
     """
     if q.ndim != 4:
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
@@ -799,6 +827,8 @@ def flash_attention(
             raise ValueError("window requires causal=True")
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
+    if attention_sinks and window is None:
+        raise ValueError("attention_sinks require a window")
     scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
     if save_residuals:
         kv_len = k.shape[2]
@@ -808,11 +838,11 @@ def flash_attention(
             kv_offset = 0
         return _flash_attention_lse_custom(
             q, k, v, q_offset, kv_offset, scale, causal, block_q, block_kv,
-            window, logit_softcap, interpret,
+            window, logit_softcap, attention_sinks, interpret,
         )
     if q_offset is not None or kv_offset is not None:
         raise ValueError("q_offset/kv_offset require save_residuals=True")
     return _flash_attention_custom(
         q, k, v, scale, causal, block_q, block_kv, window, logit_softcap,
-        interpret
+        attention_sinks, interpret
     )

@@ -94,6 +94,7 @@ def _int8_fwd_kernel(
     group: int,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: int = 0,
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)      # q head; kv head = h_idx // group (GQA)
@@ -126,7 +127,10 @@ def _int8_fwd_kernel(
             # window (long-context cost becomes O(seq * window)).
             first_q_pos = q_off + q_idx * block_q
             last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
-            should_run &= (first_q_pos - last_kv_pos) < window
+            in_window = (first_q_pos - last_kv_pos) < window
+            if sinks:
+                in_window |= kv_off + kv_idx * block_kv < sinks
+            should_run &= in_window
     else:
         should_run = True
 
@@ -160,7 +164,10 @@ def _int8_fwd_kernel(
             if causal:
                 mask &= (kpos + kv_off) <= (qpos + q_off)
                 if window is not None:
-                    mask &= ((qpos + q_off) - (kpos + kv_off)) < window
+                    in_win = ((qpos + q_off) - (kpos + kv_off)) < window
+                    if sinks:
+                        in_win |= (kpos + kv_off) < sinks
+                    mask &= in_win
             if need_kv_edge_mask:
                 mask &= kpos < kv_len
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -239,6 +246,7 @@ def flash_attention_int8_prequant(
     save_residuals: bool = False,
     window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ):
     """Fused INT8 attention over pre-quantized K/V (the INT8 KV-cache path).
@@ -304,6 +312,7 @@ def flash_attention_int8_prequant(
         group=group,
         window=window,
         softcap=logit_softcap,
+        sinks=attention_sinks,
     )
     if not save_residuals:
         kernel = functools.partial(_strip_lse_int8, kernel)
@@ -388,6 +397,7 @@ def _int8_fwd_kernel_t(
     group: int,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: int = 0,
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)      # q head; kv head = h_idx // group (GQA)
@@ -415,7 +425,10 @@ def _int8_fwd_kernel_t(
         if window is not None:
             first_q_row = q_idx * block_q + diag_offset
             last_kv_row = kv_idx * block_kv + block_kv - 1
-            should_run &= (first_q_row - last_kv_row) < window
+            in_window = (first_q_row - last_kv_row) < window
+            if sinks:
+                in_window |= kv_idx * block_kv < sinks
+            should_run &= in_window
     else:
         should_run = True
 
@@ -448,7 +461,10 @@ def _int8_fwd_kernel_t(
             if causal:
                 mask &= kpos <= qpos
                 if window is not None:
-                    mask &= (qpos - kpos) < window
+                    in_win = (qpos - kpos) < window
+                    if sinks:
+                        in_win |= kpos < sinks
+                    mask &= in_win
             if need_kv_edge_mask:
                 mask &= kpos < kv_len
             st = jnp.where(mask, st, DEFAULT_MASK_VALUE)
@@ -524,6 +540,7 @@ def flash_attention_int8_t(
     p_static_scale: float = 127.0,
     window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Transposed-score fused INT8 attention (optimal for head_dim <= 64)."""
@@ -570,6 +587,7 @@ def flash_attention_int8_t(
         group=group,
         window=window,
         softcap=logit_softcap,
+        sinks=attention_sinks,
     )
     out_t = pl.pallas_call(
         kernel,
@@ -616,6 +634,7 @@ def flash_attention_int8(
     transposed: Optional[bool] = None,
     window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused INT8-quantized FlashAttention forward on TPU.
@@ -645,6 +664,7 @@ def flash_attention_int8(
             block_q=block_q, block_kv=block_kv,
             scale_clamp=scale_clamp, p_static_scale=p_static_scale,
             window=window, logit_softcap=logit_softcap,
+            attention_sinks=attention_sinks,
             interpret=interpret,
         )
     _, block_kv_eff = pick_blocks(q_len, kv_len, q.shape[-1], block_q=block_q, block_kv=block_kv)
@@ -660,5 +680,6 @@ def flash_attention_int8(
         block_q=block_q, block_kv=block_kv_eff,
         scale_clamp=scale_clamp, p_static_scale=p_static_scale,
         window=window, logit_softcap=logit_softcap,
+        attention_sinks=attention_sinks,
         interpret=interpret,
     )

@@ -18,14 +18,10 @@ import jax
 
 from quantizedmha_tpu.profiling.roofline import detect_chip
 
-# VMEM per core by chip generation (the SMEM-per-SM analog: the budget that
-# bounds Pallas block sizes).
-_VMEM_BYTES = {
-    "TPU v4": 128 * 2**20 // 8,
-    "TPU v5": 128 * 2**20 // 8,
-    "TPU v5 lite": 128 * 2**20 // 8,
-    "TPU v6 lite": 128 * 2**20 // 8,
-}
+# VMEM per core (the SMEM-per-SM analog: the budget that bounds Pallas
+# block sizes). ~16 MiB on every generation this repo targets (v4-v6e), and
+# what ops.flash_attention.pick_blocks tunes against — a per-generation
+# table would be dead weight until a chip actually differs.
 _DEFAULT_VMEM = 16 * 2**20
 
 
@@ -51,10 +47,7 @@ def device_info(device: Optional[jax.Device] = None) -> dict:
         info["hbm_bytes_in_use"] = stats.get("bytes_in_use")
         info["hbm_peak_bytes_in_use"] = stats.get("peak_bytes_in_use")
     chip = detect_chip()
-    info["vmem_bytes_per_core"] = next(
-        (v for k, v in _VMEM_BYTES.items() if dev.device_kind.startswith(k)),
-        _DEFAULT_VMEM,
-    )
+    info["vmem_bytes_per_core"] = _DEFAULT_VMEM
     info["peak_bf16_tflops"] = chip.bf16_tflops
     info["peak_int8_tops"] = chip.int8_tops
     info["peak_hbm_gbps"] = chip.hbm_gbps

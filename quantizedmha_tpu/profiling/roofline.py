@@ -53,17 +53,40 @@ def detect_chip() -> ChipSpec:
 
 
 def attention_flops(batch: int, heads: int, q_len: int, kv_len: int,
-                    head_dim: int, causal: bool = False) -> float:
-    """FLOPs of the two attention matmuls (QK^T and PV), 2*N*M*d each."""
-    f = 2.0 * batch * heads * q_len * kv_len * head_dim * 2.0
-    return f / 2.0 if causal else f
+                    head_dim: int, causal: bool = False,
+                    window=None, sinks: int = 0) -> float:
+    """FLOPs of the two attention matmuls (QK^T and PV), 2*N*M*d each,
+    counting only VISIBLE (q, kv) pairs: full, causal (end-aligned), and
+    causal sliding-window (+ attention sinks) masks."""
+    import numpy as np
+
+    per_pair = 2.0 * 2.0 * head_dim  # two matmuls, 2 FLOPs/MAC each
+    if not causal:
+        return batch * heads * float(q_len) * kv_len * per_pair
+    qpos = np.arange(q_len, dtype=np.int64) + (kv_len - q_len)  # end-aligned
+    visible = np.minimum(qpos + 1, kv_len)
+    if window is not None:
+        # last `window` positions, plus any sink cols [0, sinks) that fall
+        # strictly before the window start (qpos + 1 - window).
+        in_win = np.minimum(qpos + 1, window) + np.clip(
+            np.minimum(sinks, qpos + 1 - window), 0, None)
+        visible = np.minimum(visible, in_win)
+    return batch * heads * float(visible.sum()) * per_pair
 
 
 def attention_bytes(batch: int, heads: int, q_len: int, kv_len: int,
-                    head_dim: int, bytes_per_el: int = 4) -> float:
-    """Minimum HBM traffic of fused attention: read Q,K,V + write O once."""
+                    head_dim: int, bytes_per_el: int = 4, *,
+                    q_bytes: Optional[int] = None,
+                    kv_bytes: Optional[int] = None,
+                    o_bytes: Optional[int] = None) -> float:
+    """Minimum HBM traffic of fused attention: read Q,K,V + write O once.
+    Per-tensor byte widths matter for mixed-precision kernels: fa_int8
+    reads fp32 Q and writes fp32 O around its int8 K/V."""
+    qb = q_bytes if q_bytes is not None else bytes_per_el
+    kb = kv_bytes if kv_bytes is not None else bytes_per_el
+    ob = o_bytes if o_bytes is not None else bytes_per_el
     return float(
-        batch * heads * (q_len + 2 * kv_len + q_len) * head_dim * bytes_per_el
+        batch * heads * (q_len * qb + 2 * kv_len * kb + q_len * ob) * head_dim
     )
 
 

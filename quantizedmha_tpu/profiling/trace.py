@@ -47,18 +47,23 @@ def capture(
     compilation (the reference likewise profiled after warmup,
     drivers/main.cu:130-147).
     """
+    from quantizedmha_tpu.harness.timing import _sync
+
     trace_dir = str(trace_dir)
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # Close with a host scalar fetch: on the tunneled backend
+    # block_until_ready can return before execution finishes (CLAUDE.md),
+    # which would both skew wall_s and end the profiler trace early.
+    _sync(out)
 
     os.makedirs(trace_dir, exist_ok=True)
     t0 = time.perf_counter()
     with jax.profiler.trace(trace_dir):
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
     wall = time.perf_counter() - t0
 
     files = sorted(

@@ -101,9 +101,18 @@ def summarize_trace(
     plane = max(planes, key=plane_score)
 
     meta = {m.id: m.name for m in plane.event_metadata.values()}
+    # Aggregate ONE line: a plane carries nested views of the same device
+    # time ("XLA Modules" events already contain their "XLA Ops" children),
+    # so summing every line double-counts. Prefer the op-granular line,
+    # falling back to the busiest.
+    def line_score(line) -> tuple:
+        return ("op" in line.name.lower(), len(line.events))
+
+    lines = [ln for ln in plane.lines if ln.events]
     agg = {}
-    for line in plane.lines:
-        for ev in line.events:
+    if lines:
+        best = max(lines, key=line_score)
+        for ev in best.events:
             name = meta.get(ev.metadata_id, f"op#{ev.metadata_id}")
             cnt, tot = agg.get(name, (0, 0))
             agg[name] = (cnt + 1, tot + ev.duration_ps)

@@ -153,6 +153,7 @@ def mha_masked_reference(
     causal: bool = False,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: int = 0,
 ) -> jnp.ndarray:
     """Golden for masked-variant attention: end-aligned causal, Mistral-style
     sliding window ((q_pos - kv_pos) < window) and Gemma-2 logit soft-cap
@@ -178,7 +179,10 @@ def mha_masked_reference(
     if causal:
         mask &= ki <= qi
         if window is not None:
-            mask &= (qi - ki) < window
+            in_win = (qi - ki) < window
+            if sinks:
+                in_win |= ki < sinks  # StreamingLLM attention sinks
+            mask &= in_win
     s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum(

@@ -278,6 +278,23 @@ class Engine:
             else:
                 still_active.append(seq)
         self.active = still_active
+        self._trim_windows()
+
+    def _trim_windows(self) -> None:
+        """Rolling-window page recycling: with cfg.sliding_window set,
+        pages wholly behind every active sequence's window (minus attention
+        sinks) go back to the free list — live KV memory per sequence is
+        capped at O(window + sinks) regardless of generation length."""
+        w = self.cfg.sliding_window
+        if not w:
+            return
+        freed = 0
+        for seq in self.active:
+            freed += self.alloc.trim_window(
+                seq.seq_id, w, self.cfg.attention_sinks)
+        if freed:
+            self.metrics.inc("pages_trimmed", freed)
+            self.metrics.set("free_pages", len(self.alloc._free))
 
     def _step_fused(self, chunk: int) -> None:
         """One fused engine step: `chunk` decode iterations on-device with a
@@ -340,6 +357,7 @@ class Engine:
             else:
                 still_active.append(seq)
         self.active = still_active
+        self._trim_windows()
         self.metrics.set("free_pages", len(self.alloc._free))
 
     def run(self) -> Dict[int, List[int]]:

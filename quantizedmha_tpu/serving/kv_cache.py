@@ -182,18 +182,50 @@ class PageAllocator:
         table = self.tables[seq_id]
         keep = self.pages_needed(new_len)
         while len(table) > max(keep, 1):
-            self._free.append(table.pop())
+            page = table.pop()
+            assert page is not None, (
+                "rollback reached a window-trimmed page: trim_window must "
+                "only run after speculative commits")
+            self._free.append(page)
         self.lengths[seq_id] = new_len
 
+    def trim_window(self, seq_id: int, window: int, sinks: int = 0,
+                    scrap_page: int = 0) -> int:
+        """Rolling-window page recycling: free pages whose positions are
+        wholly behind the sliding window (and hold no attention-sink
+        positions). Trimmed logical slots keep a placeholder (`None`, mapped
+        to `scrap_page` in block tables) so tables stay position-indexed —
+        the decode/prefill kernels' window mask never *consumes* those
+        pages, only the masked-out DMA touches the scrap page. Caps a
+        sequence's live pages at O(window + sinks). Returns #pages freed.
+
+        Call AFTER any speculative rollback commits: trimming uses the
+        current length, and rolling back past a trimmed page would
+        resurrect positions whose K/V is gone."""
+        n = self.lengths[seq_id]
+        first_needed = max(n - window, 0)
+        first_block = first_needed // self.page_size
+        sink_blocks = -(-sinks // self.page_size) if sinks else 0
+        table = self.tables[seq_id]
+        freed = 0
+        for i in range(sink_blocks, min(first_block, len(table))):
+            if table[i] is not None:
+                self._free.append(table[i])
+                table[i] = None
+                freed += 1
+        return freed
+
     def release(self, seq_id: int) -> None:
-        self._free.extend(reversed(self.tables.pop(seq_id)))
+        self._free.extend(
+            p for p in reversed(self.tables.pop(seq_id)) if p is not None
+        )
         self.lengths.pop(seq_id)
 
     def block_table_array(self, seq_ids: List[int], max_pages: int) -> np.ndarray:
         out = np.zeros((len(seq_ids), max_pages), np.int32)
         for row, sid in enumerate(seq_ids):
             t = self.tables[sid]
-            out[row, : len(t)] = t
+            out[row, : len(t)] = [0 if p is None else p for p in t]
         return out
 
     def lengths_array(self, seq_ids: List[int]) -> np.ndarray:

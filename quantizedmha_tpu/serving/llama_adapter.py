@@ -183,6 +183,7 @@ def prefill_chunk(
             q, k_g, ks_g, v_g, vs_g,
             causal=True, block_kv=page_size,
             window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+            attention_sinks=cfg.attention_sinks,
             q_offset=chunk_start, kv_offset=0,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, C, cfg.num_heads * hd)
@@ -316,6 +317,7 @@ def verify_step(
             q, k_g, ks_g, v_g, vs_g,
             causal=True, block_kv=page_size,
             window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+            attention_sinks=cfg.attention_sinks,
             q_offset=positions0, kv_offset=jnp.zeros_like(positions0),
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, S, cfg.num_heads * hd)
@@ -364,6 +366,7 @@ def decode_step(
             q, cache_l.k_pages, cache_l.v_pages,
             cache_l.k_scales, cache_l.v_scales, lengths, tables,
             window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+            attention_sinks=cfg.attention_sinks,
         )
         x = x + reduce_tp(
             dense(o.reshape(b, 1, cfg.num_heads * hd).astype(cfg.dtype), p["wo"])

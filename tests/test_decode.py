@@ -166,3 +166,36 @@ def test_paged_decode_sliding_window_and_softcap(rng):
     s = jnp.where((pos < length) & (pos >= length - W), s, -jnp.inf)
     ref = jnp.einsum("hk,hkd->hd", jax.nn.softmax(s, -1), vd)
     assert np.abs(np.asarray(out[0]) - np.asarray(ref)).max() < 2e-2
+
+
+def test_paged_decode_attention_sinks(rng):
+    """Decode with window + sinks: the first pages stay visible."""
+    import jax
+    from quantizedmha_tpu.ops.decode import paged_decode_attention
+    from quantizedmha_tpu.ops.quantize import quantize_kv_blocks
+
+    hkv, hq, d, page, npages = 2, 4, 64, 16, 8
+    length, W, sinks = 100, 40, 8
+    kf = jnp.asarray(rng.normal(0, .5, (1, hkv, npages * page, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(0, .5, (1, hkv, npages * page, d)), jnp.float32)
+    q = jnp.asarray(rng.normal(0, .5, (1, hq, d)), jnp.float32)
+    k8, ks = quantize_kv_blocks(kf, page)
+    v8, vs = quantize_kv_blocks(vf, page)
+    out = paged_decode_attention(
+        q, k8[0].reshape(hkv, npages, page, d),
+        v8[0].reshape(hkv, npages, page, d), ks[0], vs[0],
+        jnp.asarray([length], jnp.int32),
+        jnp.arange(npages, dtype=jnp.int32)[None, :],
+        window=W, attention_sinks=sinks,
+    )
+    kd = (k8[0].reshape(hkv, npages, page, d).astype(jnp.float32)
+          * ks[0][:, :, None, None]).reshape(hkv, -1, d)
+    vd = (v8[0].reshape(hkv, npages, page, d).astype(jnp.float32)
+          * vs[0][:, :, None, None]).reshape(hkv, -1, d)
+    kd, vd = jnp.repeat(kd, hq // hkv, 0), jnp.repeat(vd, hq // hkv, 0)
+    s = jnp.einsum("hd,hkd->hk", q[0] * d ** -0.5, kd)
+    pos = jnp.arange(npages * page)
+    vis = (pos < length) & ((pos >= length - W) | (pos < sinks))
+    s = jnp.where(vis, s, -jnp.inf)
+    ref = jnp.einsum("hk,hkd->hd", jax.nn.softmax(s, -1), vd)
+    assert np.abs(np.asarray(out[0]) - np.asarray(ref)).max() < 2e-2

@@ -125,3 +125,54 @@ def test_decode_headroom_guard_is_atomic():
     # step must not have advanced ANY sequence or taken any page.
     assert dict(eng.alloc.lengths) == {0: 16, 1: 16}
     assert eng.alloc.free_pages == 1
+
+
+def test_rolling_window_page_trim():
+    """With sliding_window set, pages wholly behind the window recycle to
+    the free list during decode — and outputs are IDENTICAL to an engine
+    that never trims (trimmed pages are outside the window by definition)."""
+    import jax
+
+    from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+    from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+
+    cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32,
+                           sliding_window=24, attention_sinks=4)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(num_pages=64, page_size=8, max_batch=2,
+                        prefill_buckets=(32,), max_new_tokens=48,
+                        max_pages_per_seq=16)
+    prompt = list(range(1, 30))
+
+    eng = Engine(cfg, params, ecfg)
+    eng.add_request(prompt)
+    out_trim = eng.run()
+    assert eng.metrics._counters.get("pages_trimmed", 0) > 0, (
+        "expected window trimming to recycle pages")
+
+    # Same config but trimming disabled: outputs must match exactly.
+    eng2 = Engine(cfg, params, ecfg)
+    eng2._trim_windows = lambda: None
+    eng2.add_request(prompt)
+    out_plain = eng2.run()
+    assert out_trim == out_plain
+
+
+def test_allocator_trim_window_bookkeeping():
+    from quantizedmha_tpu.serving.kv_cache import PageAllocator
+
+    alloc = PageAllocator(16, 4)
+    alloc._free.remove(0)
+    pages = alloc.admit(7, 40)  # 10 pages, positions 0..39
+    free_before = alloc.free_pages
+    # window 8 -> first needed position 32 -> block 8; sinks 4 -> block 0 kept
+    freed = alloc.trim_window(7, window=8, sinks=4)
+    assert freed == 7  # blocks 1..7 freed; block 0 (sinks) + 8,9 kept
+    assert alloc.free_pages == free_before + 7
+    table = alloc.block_table_array([7], 12)[0]
+    assert table[1] == 0 and table[8] == pages[8]  # trimmed -> scrap page 0
+    # idempotent
+    assert alloc.trim_window(7, window=8, sinks=4) == 0
+    # release must not double-free trimmed pages
+    alloc.release(7)
+    assert alloc.free_pages == 15  # all but reserved page 0

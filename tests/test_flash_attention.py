@@ -191,3 +191,35 @@ def test_window_requires_causal(qkv_factory):
     with pytest.raises(ValueError):
         flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
                         window=64)
+
+
+def test_attention_sinks(qkv_factory):
+    """StreamingLLM sinks: with a window, the first N positions stay
+    visible — forward and gradients vs the shared masked golden, and the
+    sinks must actually change the result vs plain windowed attention."""
+    from quantizedmha_tpu.reference.mha import mha_masked_reference
+
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=512, kv_len=512, head_dim=32)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    kw = dict(causal=True, window=128, attention_sinks=16,
+              block_q=128, block_kv=128)
+    out = flash_attention(q, k, v, **kw)
+    ref = mha_masked_reference(q, k, v, causal=True, window=128, sinks=16)
+    assert_close(out, ref, abs_tol=1e-4, rel_tol=1e-4, what="sinks fwd")
+    plain = mha_masked_reference(q, k, v, causal=True, window=128)
+    assert np.abs(np.asarray(ref) - np.asarray(plain)).max() > 1e-3
+
+    g = jax.grad(lambda q, k, v: jnp.sum(flash_attention(q, k, v, **kw) ** 2),
+                 argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(mha_masked_reference(
+        q, k, v, causal=True, window=128, sinks=16) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gr):
+        assert_close(a, b, abs_tol=1e-4, rel_tol=1e-3, what=f"sinks d{name}")
+
+
+def test_sinks_require_window(qkv_factory):
+    q, k, v = qkv_factory(q_len=128, kv_len=128)
+    with pytest.raises(ValueError):
+        flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        causal=True, attention_sinks=4)

@@ -39,9 +39,20 @@ def test_assert_close_raises():
 
 
 def test_attention_flops():
-    # 2 matmuls x 2*N*M*d, causal halves it.
+    # 2 matmuls x 2*N*M*d; causal counts exactly the visible lower
+    # triangle (n(n+1)/2 pairs), windows/sinks count their mask exactly.
     assert attention_flops(1, 1, 128, 128, 64) == 2 * 2 * 128 * 128 * 64
-    assert attention_flops(1, 1, 128, 128, 64, causal=True) == 2 * 128 * 128 * 64
+    n = 128
+    assert attention_flops(1, 1, n, n, 64, causal=True) == (
+        2 * 2 * 64 * n * (n + 1) / 2)
+    # window: rows past the ramp see exactly `window` columns
+    w = attention_flops(1, 1, n, n, 64, causal=True, window=16)
+    ramp = sum(min(i + 1, 16) for i in range(n))
+    assert w == 2 * 2 * 64 * ramp
+    # sinks add the out-of-window prefix columns
+    wk = attention_flops(1, 1, n, n, 64, causal=True, window=16, sinks=4)
+    full = sum(min(i + 1, 16) + max(0, min(4, i + 1 - 16)) for i in range(n))
+    assert wk == 2 * 2 * 64 * full
 
 
 def test_roofline_math():
@@ -69,3 +80,15 @@ def test_timing_best_ms_is_min_pair():
     assert t.median_ms == 2.0
     t_empty = Timing(estimate_s=2e-3, pair_estimates_s=[])
     assert t_empty.best_ms == 2.0
+
+
+def test_compare_fails_on_nan_reference():
+    """Regression: a NaN in the GOLDEN must fail the gate — NaN diffs fail
+    every `> tol` comparison, so without explicit handling those elements
+    were silently unverified (and the native gate's std::max dropped them
+    from the stats too)."""
+    got = np.asarray([1.0, 2.0], np.float32)
+    ref = np.asarray([np.nan, 2.0], np.float32)
+    rep = compare(got, ref)
+    assert not rep.ok and rep.n_nonfinite == 1
+    assert np.isfinite(rep.max_abs)

@@ -175,3 +175,16 @@ def test_int8_window_and_softcap(qkv_factory, transposed, window, softcap):
     ref = mha_masked_reference(q, k, v, causal=True, window=window,
                                softcap=softcap)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 4e-2
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+def test_int8_attention_sinks(qkv_factory, transposed):
+    from quantizedmha_tpu.reference.mha import mha_masked_reference
+
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=512, kv_len=512, head_dim=64)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    out = flash_attention_int8(q, k, v, causal=True, transposed=transposed,
+                               window=128, attention_sinks=16,
+                               block_q=128, block_kv=128)
+    ref = mha_masked_reference(q, k, v, causal=True, window=128, sinks=16)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 4e-2

@@ -97,3 +97,17 @@ def test_quantizer_roundtrip_and_reference_clamp(rng):
     tiny = np.full((32, 8), 1e-12, np.float32)
     _, sc = core.quantize_int8(tiny, tile_rows=32)
     assert sc[0] == pytest.approx(1e-8 / 127.0)
+
+
+def test_native_verify_fails_on_nan_reference(rng):
+    """Native gate parity for the NaN-in-golden regression: non-finite on
+    EITHER side counts once as nonfinite and fails the gate."""
+    ref = rng.normal(0, 1, (16,)).astype(np.float32)
+    got = ref.copy()
+    ref[5] = np.nan
+    nrep = core.verify(got, ref, 1e-3, 1e-3)
+    prep = compare(got, ref, 1e-3, 1e-3)
+    assert not nrep.ok and not prep.ok
+    assert nrep.n_nonfinite == prep.n_nonfinite == 1
+    assert nrep.n_mismatch == prep.n_mismatch == 0
+    assert np.isfinite(nrep.max_abs)
