@@ -66,13 +66,16 @@ def pick_blocks(
 
 
 def _window_start(q_idx, q_off, kv_off, window, block_q, block_kv,
-                  nkv_total, nkv_win):
-    """First kv block a windowed-causal q block needs: the block holding
-    position q_first - window + 1, clamped so start + nkv_win - 1 stays in
-    range (out-of-range tail blocks are masked by causality anyway)."""
+                  nkv_total, nkv_win, min_start=0):
+    """First kv block of the WINDOWED segment a causal q block needs: the
+    block holding position q_first - window + 1, clamped to
+    [min_start, nkv_total - nkv_win] (min_start = #sink blocks, which a
+    separate grid segment covers; out-of-range tail blocks are masked by
+    causality anyway)."""
     first_needed = q_off + q_idx * block_q - (window - 1) - kv_off
     start = jnp.maximum(first_needed, 0) // block_kv
-    return jnp.minimum(start, max(nkv_total - nkv_win, 0))
+    start = jnp.maximum(start, min_start)
+    return jnp.minimum(start, max(nkv_total - nkv_win, min_start))
 
 
 def _fwd_kernel(
@@ -100,16 +103,17 @@ def _fwd_kernel(
     q_idx = pl.program_id(2)
     j = pl.program_id(3)  # local step along the (possibly shrunk) kv grid
     if windowed_grid is not None:
-        # Shrunk kv grid (true O(seq*window)): the minor grid dim only spans
-        # the blocks a q block can see; recover the REAL kv block index with
-        # the same formula as the BlockSpec index maps (_window_start).
-        # Init/epilogue key on the LOCAL step j — kv_idx is block-offset.
-        q_off_s, kv_off_s, nkv_tot = windowed_grid
+        # Shrunk kv grid (true O(seq*window)): the minor grid dim spans the
+        # sink blocks (j < sink_blocks map to kv blocks 0..) then only the
+        # windowed blocks a q block can see; recover the REAL kv block
+        # index with the same formula as the BlockSpec index maps
+        # (_window_start). Init/epilogue key on the LOCAL step j.
+        q_off_s, kv_off_s, nkv_tot, sink_blocks = windowed_grid
         start = _window_start(
             q_idx, q_off_s, kv_off_s, window, block_q, block_kv,
-            nkv_tot, pl.num_programs(3),
+            nkv_tot, pl.num_programs(3) - sink_blocks, min_start=sink_blocks,
         )
-        kv_idx = start + j
+        kv_idx = jnp.where(j < sink_blocks, j, start + j - sink_blocks)
     else:
         kv_idx = j
     num_kv = pl.num_programs(3)
@@ -297,15 +301,16 @@ def _fwd(
     # the pl.when compute-skip which still pays grid steps + K/V fetches.
     static_offsets = isinstance(q_offset, int) and isinstance(kv_offset, int)
     windowed_grid = None
-    # (Sinks keep early blocks visible, so the contiguous shrunk range does
-    # not apply — those configs use the compute-skip path.)
-    if window is not None and causal and static_offsets and not sinks:
+    if window is not None and causal and static_offsets:
         # A q block spans block_q + window - 1 positions of kv; worst-case
-        # alignment straddles one extra block.
+        # alignment straddles one extra block. Sink blocks ride along as a
+        # leading grid segment (they are visible to every q block).
+        sink_blocks = -(-sinks // block_kv) if sinks else 0
         nkv_win = min(nkv_tot, (block_q + window - 2) // block_kv + 2)
-        if nkv_win < nkv_tot:
-            windowed_grid = (int(q_offset), int(kv_offset), nkv_tot)
-            nkv_grid = nkv_win
+        if sink_blocks + nkv_win < nkv_tot:
+            windowed_grid = (int(q_offset), int(kv_offset), nkv_tot,
+                             sink_blocks)
+            nkv_grid = sink_blocks + nkv_win
         else:
             nkv_grid = nkv_tot
     else:
@@ -315,11 +320,13 @@ def _fwd(
     def _kv_block(b, h, i, j):
         if windowed_grid is None:
             return (b, h // group, j, 0)
+        sink_blocks = windowed_grid[3]
         start = _window_start(
             i, windowed_grid[0], windowed_grid[1], window, block_q,
-            block_kv, nkv_tot, nkv_grid,
+            block_kv, nkv_tot, nkv_grid - sink_blocks, min_start=sink_blocks,
         )
-        return (b, h // group, start + j, 0)
+        return (b, h // group, jnp.where(j < sink_blocks, j,
+                                         start + j - sink_blocks), 0)
 
     kernel = functools.partial(
         _fwd_kernel,

@@ -50,6 +50,21 @@ def _load_npz(path: pathlib.Path, like: Any) -> Any:
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, template has {len(like_leaves)}"
         )
+    # Leaf COUNT alone can collide across different tree structures — a
+    # same-count template would silently bind arrays to the wrong keys.
+    # tree.json records the flattened key paths at save time; verify them.
+    tree_meta = path / "tree.json"
+    if tree_meta.exists():
+        saved_paths = json.loads(tree_meta.read_text())["paths"]
+        like_paths, _, _ = _flatten_with_paths(like)  # same format as save
+        if saved_paths != like_paths:
+            bad = next(
+                (a, b) for a, b in zip(saved_paths, like_paths) if a != b
+            ) if len(saved_paths) == len(like_paths) else (None, None)
+            raise ValueError(
+                f"checkpoint tree does not match template: first differing "
+                f"path {bad[0]!r} (saved) vs {bad[1]!r} (template)"
+            )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -42,6 +42,32 @@ def main():
     print(f"fp32 causal 32K: {t32.median_ms:.2f} ms", flush=True)
     assert rep.ok, "int8 32K gate failed"
 
+    # 128K sliding-window gate: O(seq * W) shrunk-grid path at 4x the
+    # context, bf16 (the practical long-context serving config). Gated
+    # against the fp32 windowed kernel on a strided row subset.
+    del q, k, v
+    S128, W = 131072, 4096
+    q = jnp.asarray(rng.normal(0, 0.5, (B, H, S128, D)), jnp.bfloat16)
+    kk = jnp.asarray(rng.normal(0, 0.5, (B, H, S128, D)), jnp.bfloat16)
+    vv = jnp.asarray(rng.normal(0, 0.5, (B, H, S128, D)), jnp.bfloat16)
+    f_win = jax.jit(lambda a, b, c: flash_attention(
+        a, b, c, causal=True, window=W, attention_sinks=64))
+    out = f_win(q, kk, vv)
+    ref = flash_attention(q.astype(jnp.float32)[:, :, -8192:],
+                          kk.astype(jnp.float32), vv.astype(jnp.float32),
+                          causal=True, window=W, attention_sinks=64,
+                          save_residuals=False, q_offset=None, kv_offset=None)
+    repw = compare(np.asarray(out[:, :, -8192:], np.float32),
+                   np.asarray(ref), abs_tol=3e-2, rel_tol=3e-2)
+    print(f"128K windowed bf16-vs-fp32 tail gate: {repw}", flush=True)
+    tw = benchmark(f_win, q, kk, vv, warmup=2, runs=8, repeats=3)
+    wflops = attention_flops(B, H, S128, S128, D, causal=True,
+                             window=W, sinks=64)
+    rlw = roofline(tw.median_s, wflops, 0, dtype="bf16", chip=chip)
+    print(f"bf16 windowed 128K (W={W}, sinks=64): {tw.median_ms:.2f} ms | {rlw}",
+          flush=True)
+    assert repw.ok, "128K windowed gate failed"
+
 
 if __name__ == "__main__":
     main()

@@ -186,3 +186,44 @@ def test_head_parallel_gqa(rng):
     rep = jnp.repeat(k, 2, axis=1), jnp.repeat(v, 2, axis=1)
     ref = mha_reference_shaped(q, *rep, causal=True)
     assert_close(out, ref, what="head-parallel GQA")
+
+
+def test_collective_audit_ring_int8_vs_f32(rng):
+    """Compile-time audit of the ICI story: ring attention issues exactly
+    2 collective-permutes per scan step (K and V), the INT8 variant 4
+    (payloads + scales) at ~4x fewer bytes; context-parallel merges with 2
+    all-reduces. Verified from the optimized HLO on the CPU mesh — the same
+    collectives XLA inserts on a real TPU mesh."""
+    import functools
+
+    from quantizedmha_tpu.parallel.ring import ring_attention_int8
+    from quantizedmha_tpu.profiling.collectives import audit_fn
+
+    mesh = make_mesh((4,), ("cp",))
+    q, k, v = _qkv(rng, b=1, h=2, s=512, d=64)
+    specs = (P(None, None, "cp", None),) * 3
+    out_spec = P(None, None, "cp", None)
+
+    ring_f = jax.jit(jax.shard_map(
+        functools.partial(ring_attention, axis_name="cp", causal=True),
+        mesh=mesh, in_specs=specs, out_specs=out_spec, check_vma=False))
+    ring_8 = jax.jit(jax.shard_map(
+        functools.partial(ring_attention_int8, axis_name="cp", causal=True),
+        mesh=mesh, in_specs=specs, out_specs=out_spec, check_vma=False))
+
+    rep_f = audit_fn(ring_f, q, k, v)
+    rep_8 = audit_fn(ring_8, q, k, v)
+    assert rep_f.counts == {"collective-permute": 2}
+    assert rep_8.counts == {"collective-permute": 4}  # k, v, + 2 scale arrays
+    # int8 payloads: ~4x less ICI than f32 (scales are negligible).
+    assert rep_8.total_bytes < rep_f.total_bytes / 3.5
+
+    cp_fn = jax.jit(jax.shard_map(
+        functools.partial(context_parallel_attention, axis_name="cp",
+                          causal=True),
+        mesh=mesh,
+        in_specs=(P(None, None, None, None), P(None, None, "cp", None),
+                  P(None, None, "cp", None)),
+        out_specs=P(None, None, None, None), check_vma=False))
+    rep_cp = audit_fn(cp_fn, q, k, v)
+    assert sum(rep_cp.counts.values()) <= 3  # pmax + psum(s), nothing else

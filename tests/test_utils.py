@@ -125,3 +125,21 @@ class TestEngineMetrics:
         assert snap["counters"]["tokens_generated"] >= 3
         assert snap["timings"]["decode_step"]["count"] >= 3
         assert snap["timings"]["prefill"]["count"] == 1
+
+
+def test_checkpoint_rejects_mismatched_template(tmp_path):
+    """Restoring into a template with the same leaf COUNT but different
+    structure must fail loudly, not silently mis-bind arrays to keys."""
+    import jax.numpy as jnp
+    import pytest
+
+    from quantizedmha_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path, backend="npz")
+    tree = {"a": jnp.ones(3), "b": jnp.zeros(2)}
+    mgr.save(1, tree)
+    wrong = {"a": jnp.ones(3), "c": jnp.zeros(2)}  # same count, renamed key
+    with pytest.raises(ValueError, match="does not match template"):
+        mgr.restore(wrong)
+    out = mgr.restore({"a": jnp.zeros(3), "b": jnp.ones(2)})
+    assert float(out["a"].sum()) == 3.0
