@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from quantizedmha_tpu.api import solve
+from quantizedmha_tpu.configs import ReferenceWorkload
 from quantizedmha_tpu.harness.timing import benchmark
 from quantizedmha_tpu.harness.verify import compare
 from quantizedmha_tpu.ops.flash_attention import flash_attention
@@ -32,7 +33,8 @@ def main():
     rng = np.random.default_rng(42)
 
     # --- Headline: the reference's exact workload, its ABI (flat [N, d_model]).
-    N, d_model, h = 8192, 1024, 32
+    wl = ReferenceWorkload()
+    N, d_model, h = wl.seq_len, wl.d_model, wl.num_heads
     q = jnp.asarray(rng.normal(0, 0.5, (N, d_model)), jnp.float32)
     k = jnp.asarray(rng.normal(0, 0.5, (N, d_model)), jnp.float32)
     v = jnp.asarray(rng.normal(0, 0.5, (N, d_model)), jnp.float32)
@@ -56,6 +58,17 @@ def main():
     chip = detect_chip()
     rl_int8 = roofline(t_int8.median_s, flops, 0, dtype="int8", chip=chip)
     rl_bf16 = roofline(t_bf16.median_s, flops, 0, dtype="bf16", chip=chip)
+
+    # --- Long-context extra: 32K causal sliding-window bf16 (the shrunk-
+    # grid O(seq*W) path; full causal comparison lives in scripts/
+    # long_context_check.py).
+    Sw = 32768
+    qw = jnp.asarray(rng.normal(0, 0.5, (1, 8, Sw, 128)), jnp.bfloat16)
+    kw = jnp.asarray(rng.normal(0, 0.5, (1, 8, Sw, 128)), jnp.bfloat16)
+    vw = jnp.asarray(rng.normal(0, 0.5, (1, 8, Sw, 128)), jnp.bfloat16)
+    fa_win = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, causal=True, window=4096, attention_sinks=64))
+    t_win = benchmark(fa_win, qw, kw, vw, warmup=2, runs=8, repeats=3)
 
     # --- Correctness gate: INT8 max-abs err vs FP32 golden on random inputs.
     from quantizedmha_tpu.reference.mha import mha_reference_shaped
@@ -84,6 +97,7 @@ def main():
             "bf16_n4k_d64_tflops": round(rl_bf16.tflops_achieved, 2),
             "bf16_pct_mxu_sol": round(rl_bf16.pct_of_compute_sol, 1),
             "headline_median_ms": round(t_headline.median_ms, 3),
+            "windowed_32k_w4k_bf16_ms": round(t_win.median_ms, 3),
             "int8_vs_fp32_max_abs_err": round(gate.max_abs, 5),
             "int8_vs_fp32_max_rel_err": round(gate.max_rel, 5),
         },

@@ -61,6 +61,7 @@ def solve(
         raise ValueError(f"unknown kernel {kernel!r}; choose from {KERNELS}")
     # An AttentionConfig (the reference's config.h reborn as a runtime
     # object) supplies defaults; explicit keyword arguments win.
+    quant_kw = {}
     if config is not None:
         config.validate()
         num_heads = num_heads if num_heads is not None else config.num_heads
@@ -70,6 +71,8 @@ def solve(
         blocks = config.blocks.validate(q.shape[0], k.shape[0])
         block_q = block_q if block_q is not None else blocks.block_q
         block_kv = block_kv if block_kv is not None else blocks.block_kv
+        quant_kw = dict(scale_clamp=config.quant.scale_clamp,
+                        p_static_scale=config.quant.p_static_scale)
     if num_heads is None:
         raise ValueError("pass num_heads or a config")
     causal = bool(causal) if causal is not None else False
@@ -110,7 +113,7 @@ def solve(
         oh = flash_attention_int8(
             qh, kh, vh, sm_scale=sm_scale, causal=causal,
             block_q=block_q, block_kv=block_kv, interpret=interpret,
-            **masked_kw,
+            **masked_kw, **quant_kw,
         )
     elif window is not None or logit_softcap is not None:
         from quantizedmha_tpu.reference.mha import mha_masked_reference

@@ -100,8 +100,6 @@ class AttentionConfig:
 # The reference's published workload: N=8192, d_model=1024, h=32 => d=32,
 # FP32 in/out (reference include/config.h:22-28, README.md:9-19). This is the
 # shape `bench.py` must beat: fa_tc_int8_b solves it in 7.70 ms on an L4.
-REFERENCE_WORKLOAD = dict(seq_len=8192, d_model=1024, num_heads=32)
-
 
 @dataclasses.dataclass(frozen=True)
 class ReferenceWorkload:

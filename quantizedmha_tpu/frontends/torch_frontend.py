@@ -11,16 +11,30 @@ upgrades the reference deferred:
   setup.py:10, torch_ext.cpp:32-34 — the arg was decorative);
 - batched [..., N, d_model] inputs are accepted, not just flat matrices.
 
-torch tensors are bridged host-side (torch CPU build ships in this image;
-the TPU transfer happens inside JAX). DLPack zero-copy is used when the JAX
-backend is CPU-colocated.
+torch tensors are bridged host-side through numpy copies (torch CPU build
+ships in this image; the TPU transfer happens inside JAX) — two host copies
+per tensor, honestly stated. The compute itself is jit-compiled once per
+(shape, kernel, flags) signature and reused across calls and across the
+sequences of a batch.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_solve(d_model, num_heads, kernel, causal, use_rope, sm_scale):
+    import jax
+
+    from quantizedmha_tpu.api import solve
+
+    return jax.jit(lambda q, k, v: solve(
+        q, k, v, d_model, num_heads, kernel=kernel, causal=causal,
+        use_rope=use_rope, sm_scale=sm_scale))
 
 
 def _require_torch():
@@ -76,24 +90,22 @@ def flash_solve(
         arr = t.detach().reshape(-1, d_model).cpu().contiguous().numpy()
         return jnp.asarray(arr)
 
+    fn = _jitted_solve(d_model, num_heads, kernel, causal, use_rope, sm_scale)
     # Leading dims fold into N only for per-sequence-independent kernels if
-    # flattened naively — instead loop sequences (they're independent).
+    # flattened naively — instead loop sequences (they're independent); the
+    # jit compiles once for the shared [n, d_model] shape and is reused
+    # across the whole batch (and across calls).
     if lead:
         qs = q.reshape(-1, n, d_model)
         ks = k.reshape(-1, n, d_model)
         vs = v.reshape(-1, n, d_model)
-        outs = []
-        for i in range(qs.shape[0]):
-            o = solve(to_jax(qs[i]), to_jax(ks[i]), to_jax(vs[i]), d_model,
-                      num_heads, kernel=kernel, causal=causal,
-                      use_rope=use_rope, sm_scale=sm_scale)
-            outs.append(np.asarray(o))
+        outs = [
+            np.asarray(fn(to_jax(qs[i]), to_jax(ks[i]), to_jax(vs[i])))
+            for i in range(qs.shape[0])
+        ]
         out_np = np.stack(outs).reshape(*lead, n, d_model)
     else:
-        o = solve(to_jax(q), to_jax(k), to_jax(v), d_model, num_heads,
-                  kernel=kernel, causal=causal, use_rope=use_rope,
-                  sm_scale=sm_scale)
-        out_np = np.asarray(o)
+        out_np = np.asarray(fn(to_jax(q), to_jax(k), to_jax(v)))
 
     # np.asarray over a JAX array is read-only; torch needs writable memory.
     return torch.from_numpy(np.require(out_np, requirements=["W", "C"])).to(orig_device)

@@ -25,6 +25,11 @@ def unfused_mha(
     causal: bool = False,
 ) -> jnp.ndarray:
     """q, k, v: [batch, heads, seq, head_dim]. Materializes S and P in HBM."""
+    if causal and q.shape[2] > k.shape[2]:
+        # Fully masked rows would come out as UNIFORM attention (max-shifted
+        # softmax of an all-masked row), silently wrong — same guard as the
+        # fused kernels.
+        raise ValueError("causal attention requires q_len <= kv_len")
     head_dim = q.shape[-1]
     scale = sm_scale if sm_scale is not None else head_dim**-0.5
     # Stage 1: S = Q K^T * scale (unfused.cu:46-83 `mma_A_Bt`). HIGHEST so

@@ -66,6 +66,14 @@ class Engine:
         self.cfg = cfg
         self.params = params
         self.ecfg = ecfg
+        # Bucketed admission writes ceil(n/page)*page_size tokens out of a
+        # bucket-sized prefill, so every bucket must hold whole pages — a
+        # non-multiple trips write_pages' divisibility assert at admission.
+        bad = [b for b in ecfg.prefill_buckets if b % ecfg.page_size]
+        if bad:
+            raise ValueError(
+                f"prefill_buckets {bad} are not multiples of "
+                f"page_size={ecfg.page_size}")
         self.cache = llama_adapter.make_cache(cfg, ecfg.num_pages, ecfg.page_size)
         # Page 0 is reserved as the scrap target for padded batch lanes.
         self.alloc = PageAllocator(ecfg.num_pages, ecfg.page_size)
@@ -194,20 +202,23 @@ class Engine:
         first = int(self._sample(logits))
         self.active.append(_Sequence(rid, prompt, [first], first, max_new))
 
-    def _check_extend_headroom(self, n_tokens: int) -> None:
+    def _check_extend_headroom(self, n_tokens: int, alloc=None) -> None:
         """Raise BEFORE mutating the allocator if extending every active
         sequence by n_tokens could exhaust the page pool mid-loop (which
-        would desync host lengths from device cache contents)."""
+        would desync host lengths from device cache contents). `alloc`
+        defaults to the target allocator (speculation passes its draft
+        allocator too)."""
+        alloc = alloc if alloc is not None else self.alloc
         needed = 0
         for seq in self.active:
-            length = self.alloc.lengths[seq.seq_id]
-            held = len(self.alloc.tables[seq.seq_id])
+            length = alloc.lengths[seq.seq_id]
+            held = len(alloc.tables[seq.seq_id])
             needed += max(0, -(-(length + n_tokens) // self.ecfg.page_size) - held)
-        if needed > self.alloc.free_pages:
+        if needed > alloc.free_pages:
             raise RuntimeError(
                 f"page pool exhausted: decoding {n_tokens} token(s) for "
                 f"{len(self.active)} sequences needs {needed} new pages, "
-                f"{self.alloc.free_pages} free. Raise num_pages or lower "
+                f"{alloc.free_pages} free. Raise num_pages or lower "
                 f"max_batch/max_new_tokens."
             )
 

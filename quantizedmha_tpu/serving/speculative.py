@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List
+from typing import Any, Dict, Optional, List
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,13 @@ from quantizedmha_tpu.serving.engine import Engine, EngineConfig
 class SpecConfig:
     num_draft_tokens: int = 4  # k
 
+    def validate(self) -> "SpecConfig":
+        if self.num_draft_tokens < 1:
+            raise ValueError(
+                f"num_draft_tokens must be >= 1 (0 would emit no tokens "
+                f"and spin forever), got {self.num_draft_tokens}")
+        return self
+
 
 class SpecDecodeEngine(Engine):
     """Continuous-batching engine with draft-model speculation.
@@ -49,7 +56,8 @@ class SpecDecodeEngine(Engine):
 
     def __init__(self, cfg: LlamaConfig, params: Dict[str, Any],
                  draft_cfg: LlamaConfig, draft_params: Dict[str, Any],
-                 ecfg: EngineConfig, scfg: SpecConfig = SpecConfig()):
+                 ecfg: EngineConfig, scfg: Optional[SpecConfig] = None):
+        scfg = (scfg if scfg is not None else SpecConfig()).validate()
         if not ecfg.sampling.greedy:
             raise ValueError("SpecDecodeEngine supports greedy sampling only")
         if ecfg.decode_chunk != 1:
@@ -147,6 +155,11 @@ class SpecDecodeEngine(Engine):
                 raise RuntimeError(
                     f"seq {seq.seq_id}: speculation needs {pages_after} "
                     f"pages > max_pages_per_seq")
+        # Pool-headroom guards BEFORE any allocator/cache mutation: a
+        # mid-_reserve failure would desync host lengths from the device
+        # caches (Engine.step has the same guard for plain decode).
+        self._check_extend_headroom(k, alloc=self.draft_alloc)
+        self._check_extend_headroom(S)
 
         # 1. draft proposes k tokens (fused loop on the draft cache).
         self._reserve(self.draft_alloc, seq_ids, k)

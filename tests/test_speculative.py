@@ -128,3 +128,36 @@ def test_guards(models):
     with pytest.raises(ValueError, match="vocab"):
         SpecDecodeEngine(cfg, params, bad_draft,
                          init_params(bad_draft, jax.random.PRNGKey(0)), _ecfg())
+
+
+def test_speculation_headroom_guard_is_atomic(models):
+    """Page-pool exhaustion during a speculation round must raise BEFORE
+    any allocator or cache mutation in BOTH allocators (the same atomicity
+    Engine.step guarantees for plain decode)."""
+    cfg, params, draft_cfg, draft_params = models
+    # 3 usable pages per pool (page 0 scrap): one 32-token prompt fills 2;
+    # a k=4 round (S=5) crosses a page boundary needing a page per pool,
+    # but two concurrent sequences can't both get one... use two prompts.
+    eng = SpecDecodeEngine(
+        cfg, params, draft_cfg, draft_params,
+        _ecfg(num_pages=5, page_size=16, max_batch=2, prefill_buckets=(32,),
+              max_new_tokens=16, max_pages_per_seq=4),
+        SpecConfig(num_draft_tokens=4))
+    eng.add_request(list(range(1, 33)))
+    eng.add_request(list(range(2, 34)))
+    # Admission takes 2 pages each (4 of 4 usable) in the TARGET pool; the
+    # first spec round (S=5 tokens past 32) needs a new page per sequence.
+    with pytest.raises(RuntimeError, match="page pool exhausted|out of pages"):
+        for _ in range(32):
+            eng.step()
+    lengths = dict(eng.alloc.lengths)
+    d_lengths = dict(eng.draft_alloc.lengths)
+    assert lengths == d_lengths, "pools desynced by a partial reserve"
+    assert set(lengths.values()) == {32}, f"partial mutation: {lengths}"
+
+
+def test_spec_config_rejects_zero_draft_tokens(models):
+    cfg, params, draft_cfg, draft_params = models
+    with pytest.raises(ValueError, match="num_draft_tokens"):
+        SpecDecodeEngine(cfg, params, draft_cfg, draft_params, _ecfg(),
+                         SpecConfig(num_draft_tokens=0))
