@@ -32,6 +32,8 @@ struct Case {
   int32_t h;
   bool causal;
   bool quant;  // additionally emit INT8 Q/K/V + scales
+  int32_t window = 0;  // causal sliding window (0 = off)
+  int32_t sinks = 0;   // StreamingLLM attention sinks
 };
 
 // Size ladder mirroring generate_golden.cpp:105-114 (small → unaligned →
@@ -42,6 +44,7 @@ const Case kCases[] = {
     {"medium", 128, 64, 2, false, false},
     {"large", 512, 128, 4, false, false},
     {"causal_medium", 128, 64, 2, true, false},
+    {"windowed_medium", 256, 64, 2, true, false, 64, 8},
     {"huge_1024", 1024, 256, 4, false, false},
     {"huge_2048", 2048, 512, 8, false, false},
     {"quant_small", 64, 32, 2, false, true},
@@ -99,7 +102,8 @@ void generate(const Case& c, const std::string& out_root) {
 
   // O via the multithreaded golden (RoPE on, like verify.cu:56-69).
   if (qmha_cpu_mha(q.data(), k.data(), v.data(), o.data(), n, dm, h,
-                   /*use_rope=*/1, 10000.0f, c.causal ? 1 : 0, -1.0f, 0)) {
+                   /*use_rope=*/1, 10000.0f, c.causal ? 1 : 0, c.window,
+                   c.sinks, -1.0f, 0)) {
     std::fprintf(stderr, "%s: cpu_mha failed\n", c.name);
     std::exit(1);
   }
@@ -122,7 +126,7 @@ void generate(const Case& c, const std::string& out_root) {
       qmha_cpu_mha_head(qh.data(), kh.data(), vh.data(), oh.data(),
                         &s_all[static_cast<size_t>(hh) * n * n],
                         &p_all[static_cast<size_t>(hh) * n * n], n, d,
-                        c.causal ? 1 : 0, -1.0f);
+                        c.causal ? 1 : 0, c.window, c.sinks, -1.0f);
     }
   }
 
@@ -192,6 +196,8 @@ void generate(const Case& c, const std::string& out_root) {
   meta += ",\n  \"h\": " + std::to_string(h);
   meta += ",\n  \"rope\": true,\n  \"causal\": ";
   meta += c.causal ? "true" : "false";
+  meta += ",\n  \"window\": " + std::to_string(c.window);
+  meta += ",\n  \"sinks\": " + std::to_string(c.sinks);
   meta += ",\n  \"sp_saved\": ";
   meta += keep_sp ? "true" : "false";
   meta += quant_extra;

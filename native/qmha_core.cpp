@@ -47,16 +47,21 @@ void parallel_for(int64_t total, int n_threads,
 // One attention row: out[d] = sum_j softmax(scale * q . k_j)_j * v_j.
 // q: [d]; k, v: [n_kv, d] with row stride `stride`. Optionally records the
 // scaled scores and normalized probs for row `i` into s_row/p_row ([n_kv]).
+// window > 0 restricts causal visibility to (i - j) < window, except the
+// first `sinks` positions which stay visible (StreamingLLM sinks) — the
+// same semantics as reference/mha.py mha_masked_reference.
 void attention_row(const float* q, const float* k, const float* v, float* out,
                    float* s_row, float* p_row, int64_t i, int64_t n_kv,
-                   int32_t d, int64_t stride, int32_t causal, float scale,
-                   std::vector<float>& scores) {
+                   int32_t d, int64_t stride, int32_t causal, int32_t window,
+                   int32_t sinks, float scale, std::vector<float>& scores) {
   const float NEG = -std::numeric_limits<float>::max();
-  int64_t limit = causal ? (i + 1) : n_kv;
   float m = NEG;
   for (int64_t j = 0; j < n_kv; ++j) {
+    bool vis = !causal || j <= i;
+    if (vis && causal && window > 0)
+      vis = (i - j) < window || j < sinks;
     float s;
-    if (j < limit) {
+    if (vis) {
       float acc = 0.f;
       const float* kj = k + j * stride;
       for (int32_t c = 0; c < d; ++c) acc += q[c] * kj[c];
@@ -69,18 +74,18 @@ void attention_row(const float* q, const float* k, const float* v, float* out,
     if (s_row) s_row[j] = s;
   }
   float l = 0.f;
-  for (int64_t j = 0; j < limit; ++j) {
-    float e = std::exp(scores[j] - m);
+  for (int64_t j = 0; j < n_kv; ++j) {
+    float e = scores[j] == NEG ? 0.f : std::exp(scores[j] - m);
     scores[j] = e;
     l += e;
   }
-  for (int64_t j = limit; j < n_kv; ++j) scores[j] = 0.f;
   float inv_l = 1.0f / l;
   if (p_row) {
     for (int64_t j = 0; j < n_kv; ++j) p_row[j] = scores[j] * inv_l;
   }
   for (int32_t c = 0; c < d; ++c) out[c] = 0.f;
-  for (int64_t j = 0; j < limit; ++j) {
+  for (int64_t j = 0; j < n_kv; ++j) {
+    if (scores[j] == 0.f) continue;
     float w = scores[j] * inv_l;
     const float* vj = v + j * stride;
     for (int32_t c = 0; c < d; ++c) out[c] += w * vj[c];
@@ -91,7 +96,7 @@ void attention_row(const float* q, const float* k, const float* v, float* out,
 
 extern "C" {
 
-int qmha_version() { return 1; }
+int qmha_version() { return 2; }
 
 void qmha_rope(float* x, int64_t seq, int32_t d, float theta) {
   // Pairing (2i, 2i+1), angle pos * theta^(-2i/d) — matches
@@ -115,21 +120,23 @@ void qmha_rope(float* x, int64_t seq, int32_t d, float theta) {
 
 int qmha_cpu_mha_head(const float* q, const float* k, const float* v,
                       float* o, float* s, float* p, int64_t n, int32_t d,
-                      int32_t causal, float sm_scale) {
+                      int32_t causal, int32_t window, int32_t sinks,
+                      float sm_scale) {
   if (!q || !k || !v || !o || n <= 0 || d <= 0) return 1;
   float scale = sm_scale > 0.f ? sm_scale : 1.0f / std::sqrt((float)d);
   std::vector<float> scores(n);
   for (int64_t i = 0; i < n; ++i) {
     attention_row(q + i * d, k, v, o + i * d, s ? s + i * n : nullptr,
-                  p ? p + i * n : nullptr, i, n, d, d, causal, scale, scores);
+                  p ? p + i * n : nullptr, i, n, d, d, causal, window, sinks,
+                  scale, scores);
   }
   return 0;
 }
 
 int qmha_cpu_mha(const float* q, const float* k, const float* v, float* o,
                  int64_t n, int32_t d_model, int32_t h, int32_t use_rope,
-                 float rope_theta, int32_t causal, float sm_scale,
-                 int32_t n_threads) {
+                 float rope_theta, int32_t causal, int32_t window,
+                 int32_t sinks, float sm_scale, int32_t n_threads) {
   if (!q || !k || !v || !o || n <= 0 || h <= 0 || d_model % h != 0) return 1;
   int32_t d = d_model / h;
   if (use_rope && d % 2 != 0) return 2;
@@ -167,7 +174,7 @@ int qmha_cpu_mha(const float* q, const float* k, const float* v, float* o,
       const float* kd = kh.data() + hh * n * d;
       const float* vd = vh.data() + hh * n * d;
       attention_row(qd + i * d, kd, vd, out_row.data(), nullptr, nullptr, i,
-                    n, d, d, causal, scale, scores);
+                    n, d, d, causal, window, sinks, scale, scores);
       // Concat back into [n, d_model] (launch_concat_mat's role).
       std::memcpy(o + i * d_model + hh * d, out_row.data(), d * sizeof(float));
     }

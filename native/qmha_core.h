@@ -14,7 +14,7 @@
 
 extern "C" {
 
-// Library/ABI version; bump on any signature change.
+// Library/ABI version; bump on any signature change (2: +window/+sinks).
 int qmha_version();
 
 // In-place RoPE over one [seq, d] matrix (d even), positions 0..seq-1.
@@ -23,13 +23,16 @@ void qmha_rope(float* x, int64_t seq, int32_t d, float theta);
 // CPU golden MHA over flat [n, d_model] Q/K/V -> O (reference ABI).
 //   use_rope: apply RoPE to Q and K per head before attention.
 //   causal:   lower-triangular mask.
+//   window:   causal sliding window, (i - j) < window; 0 = off.
+//   sinks:    StreamingLLM attention sinks (first `sinks` positions stay
+//             visible beyond the window); only meaningful with window > 0.
 //   sm_scale: softmax scale; pass <= 0 for the default 1/sqrt(d).
 //   n_threads: worker threads; pass 0 for hardware concurrency.
 // Returns 0 on success, nonzero on invalid arguments.
 int qmha_cpu_mha(const float* q, const float* k, const float* v, float* o,
                  int64_t n, int32_t d_model, int32_t h, int32_t use_rope,
-                 float rope_theta, int32_t causal, float sm_scale,
-                 int32_t n_threads);
+                 float rope_theta, int32_t causal, int32_t window,
+                 int32_t sinks, float sm_scale, int32_t n_threads);
 
 // Like qmha_cpu_mha but over ONE head [n, d] and also writing the
 // intermediates S (scaled scores, [n, n]) and P (normalized probs, [n, n]);
@@ -37,7 +40,8 @@ int qmha_cpu_mha(const float* q, const float* k, const float* v, float* o,
 // (reference tests/generate_golden.cpp:53-92 kept S and P too).
 int qmha_cpu_mha_head(const float* q, const float* k, const float* v,
                       float* o, float* s, float* p, int64_t n, int32_t d,
-                      int32_t causal, float sm_scale);
+                      int32_t causal, int32_t window, int32_t sinks,
+                      float sm_scale);
 
 // Elementwise verification gate: |got-ref| <= max(abs_tol, rel_tol*|ref|)
 // (reference utils/verify.cu:153-173), plus summary statistics.

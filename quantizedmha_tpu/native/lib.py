@@ -52,11 +52,13 @@ class NativeCore:
         lib.qmha_version.restype = c.c_int
         lib.qmha_cpu_mha.argtypes = [fp, fp, fp, fp, c.c_int64, c.c_int32,
                                      c.c_int32, c.c_int32, c.c_float,
-                                     c.c_int32, c.c_float, c.c_int32]
+                                     c.c_int32, c.c_int32, c.c_int32,
+                                     c.c_float, c.c_int32]
         lib.qmha_cpu_mha.restype = c.c_int
         lib.qmha_cpu_mha_head.argtypes = [fp, fp, fp, fp, c.c_void_p,
                                           c.c_void_p, c.c_int64, c.c_int32,
-                                          c.c_int32, c.c_float]
+                                          c.c_int32, c.c_int32, c.c_int32,
+                                          c.c_float]
         lib.qmha_cpu_mha_head.restype = c.c_int
         lib.qmha_rope.argtypes = [fp, c.c_int64, c.c_int32, c.c_float]
         lib.qmha_verify.argtypes = [fp, fp, c.c_int64, c.c_double, c.c_double, dp]
@@ -74,13 +76,14 @@ class NativeCore:
 
     def cpu_mha(self, q, k, v, num_heads: int, *, use_rope: bool = True,
                 rope_theta: float = 10000.0, causal: bool = False,
+                window: int = 0, sinks: int = 0,
                 sm_scale: Optional[float] = None, n_threads: int = 0) -> np.ndarray:
         q, k, v = (np.ascontiguousarray(x, np.float32) for x in (q, k, v))
         n, d_model = q.shape
         out = np.empty_like(q)
         rc = self._lib.qmha_cpu_mha(
             q, k, v, out, n, d_model, num_heads, int(use_rope),
-            float(rope_theta), int(causal),
+            float(rope_theta), int(causal), int(window), int(sinks),
             float(sm_scale if sm_scale is not None else -1.0), n_threads)
         if rc != 0:
             raise ValueError(f"qmha_cpu_mha failed with code {rc}")

@@ -20,7 +20,7 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_version():
-    assert core.version == 1
+    assert core.version == 2
 
 
 def test_rope_matches_jnp(rng):
@@ -58,7 +58,7 @@ def test_cpu_mha_head_intermediates(rng):
     p = np.empty((n, n), np.float32)
     rc = core._lib.qmha_cpu_mha_head(q, k, v, o,
                                      s.ctypes.data, p.ctypes.data,
-                                     n, d, 0, -1.0)
+                                     n, d, 0, 0, 0, -1.0)
     assert rc == 0
     ow, sw, pw = mha_with_intermediates(q[None], k[None], v[None])
     np.testing.assert_allclose(o, np.asarray(ow)[0], atol=2e-6)
@@ -111,3 +111,24 @@ def test_native_verify_fails_on_nan_reference(rng):
     assert nrep.n_nonfinite == prep.n_nonfinite == 1
     assert nrep.n_mismatch == prep.n_mismatch == 0
     assert np.isfinite(nrep.max_abs)
+
+
+def test_cpu_mha_windowed_matches_jnp(rng):
+    """Native golden with window + sinks == the jnp masked golden (RoPE on
+    both sides) — the cross-language gate behind the windowed_medium case."""
+    import jax.numpy as jnp
+
+    from quantizedmha_tpu.reference.mha import apply_rope, mha_masked_reference
+
+    n, dm, h = 64, 32, 2
+    d = dm // h
+    q, k, v = (rng.normal(0, 0.5, (n, dm)).astype(np.float32) for _ in range(3))
+    got = core.cpu_mha(q, k, v, h, use_rope=True, causal=True,
+                       window=16, sinks=4)
+    qh = jnp.asarray(q).reshape(n, h, d).transpose(1, 0, 2)[None]
+    kh = jnp.asarray(k).reshape(n, h, d).transpose(1, 0, 2)[None]
+    vh = jnp.asarray(v).reshape(n, h, d).transpose(1, 0, 2)[None]
+    ref = mha_masked_reference(apply_rope(qh), apply_rope(kh), vh,
+                               causal=True, window=16, sinks=4)
+    ref = np.asarray(ref)[0].transpose(1, 0, 2).reshape(n, dm)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
