@@ -18,6 +18,12 @@ Design (boom guide secs 8-13 shape the approach):
     all q heads of the GQA group attend to it with online (m, l) carry.
   - pages past a sequence's length are skipped with @pl.when, so cost is
     proportional to the true context length.
+  - page_size is the dominant latency knob at long context: the
+    per-page grid step has ~0.5 us of fixed cost and small pages make
+    8 KB DMAs that can't amortize it — 64 -> 256 measured 13x faster at
+    32K context (profiles/md/run8_decode_pages). Prefer >= 256 when
+    sequences are long; the tradeoff is coarser per-page scales and more
+    allocator waste on short ones.
 """
 
 from __future__ import annotations
@@ -202,6 +208,196 @@ def paged_decode_attention(
             pltpu.VMEM((group_p, LANES), jnp.float32),
             pltpu.VMEM((group_p, LANES), jnp.float32),
             pltpu.VMEM((group_p, head_dim), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_kv_heads, group_p, head_dim), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=_auto_interpret(interpret),
+    )(lengths, block_tables, qg, k_pages, v_pages, k_scales, v_scales)
+    return out[:, :, :group, :].reshape(batch, num_q_heads, head_dim)
+
+
+def _decode_kernel_int4(
+    # scalar prefetch
+    lengths_ref,       # [batch] i32
+    tables_ref,        # [batch, max_pages] i32
+    # inputs
+    q_ref,             # [1, 1, group_p, head_dim] f32/bf16
+    k_page_ref,        # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
+    v_page_ref,        # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
+    ks_ref,            # [num_kv_heads, num_pages] f32 in SMEM
+    vs_ref,            # [num_kv_heads, num_pages] f32 in SMEM
+    # outputs
+    o_ref,             # [1, 1, group_p, head_dim]
+    # scratch
+    m_scratch,         # [group_p, LANES] f32
+    l_scratch,         # [group_p, LANES] f32
+    acc_lo,            # [group_p, head_dim//2] f32
+    acc_hi,            # [group_p, head_dim//2] f32
+    *,
+    sm_scale: float,
+    page_size: int,
+    group_p: int,
+    half_dim: int,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    sinks: int = 0,
+):
+    """INT4-KV decode: pages arrive nibble-packed (ops.quantize
+    quantize_kv_blocks_int4's deinterleaved layout), HALF the HBM bytes of
+    int8 — decode is bandwidth-bound, so this is the 2x-traffic lever. The
+    packing needs no lane reassembly: unpack into two contiguous
+    half-head_dim tiles (int32 shifts; int8 shifts don't lower in Mosaic on
+    this backend) and run every dot per half."""
+    from quantizedmha_tpu.ops.quantize import unpack_int4_halves
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    num_pages_grid = pl.num_programs(2)
+    length = lengths_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_lo[...] = jnp.zeros_like(acc_lo)
+        acc_hi[...] = jnp.zeros_like(acc_hi)
+
+    in_ctx = i * page_size < length
+    if window is not None:
+        in_win = (i + 1) * page_size > length - window
+        if sinks:
+            in_win |= i * page_size < sinks
+        in_ctx &= in_win
+
+    @pl.when(in_ctx)
+    def _run():
+        page = tables_ref[b, i]
+        q = q_ref[0, 0, :, :].astype(jnp.float32) * sm_scale
+        q_lo, q_hi = q[:, :half_dim], q[:, half_dim:]
+        k_lo, k_hi = unpack_int4_halves(k_page_ref[0, 0, :, :])
+        # s = q . k summed over BOTH halves (the deinterleave makes each
+        # half contiguous, so no reassembly of the packed layout).
+        s = (
+            jax.lax.dot_general(
+                q_lo, k_lo.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                q_hi, k_hi.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        ) * ks_ref[h, page]
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, (group_p, page_size), 1) + i * page_size
+        valid = pos < length
+        if window is not None:
+            in_win = pos >= length - window
+            if sinks:
+                in_win |= pos < sinks
+            valid &= in_win
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+        v_lo, v_hi = unpack_int4_halves(v_page_ref[0, 0, :, :])
+        vsc = vs_ref[h, page]
+        acc_lo[...] = acc_lo[...] * alpha + jax.lax.dot_general(
+            p, v_lo.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * vsc
+        acc_hi[...] = acc_hi[...] * alpha + jax.lax.dot_general(
+            p, v_hi.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * vsc
+
+    @pl.when(i == num_pages_grid - 1)
+    def _epilogue():
+        l = l_scratch[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0, :, :half_dim] = (acc_lo[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0, 0, :, half_dim:] = (acc_hi[...] * l_inv).astype(o_ref.dtype)
+
+
+def paged_decode_attention_int4(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    k_scales: jnp.ndarray,
+    v_scales: jnp.ndarray,
+    lengths: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Single-token attention against an INT4 (nibble-packed) paged KV
+    cache: half the HBM traffic of the int8 cache on the bandwidth-bound
+    decode path. k/v_pages: [num_kv_heads, num_pages, page_size,
+    head_dim // 2] int8 in quantize_kv_blocks_int4's deinterleaved layout;
+    everything else matches paged_decode_attention."""
+    batch, num_q_heads, head_dim = q.shape
+    num_kv_heads, num_pages, page_size, half = k_pages.shape
+    if half * 2 != head_dim:
+        raise ValueError(
+            f"packed pages last dim {half} != head_dim // 2 ({head_dim // 2})")
+    max_pages = block_tables.shape[1]
+    group = num_q_heads // num_kv_heads
+    assert group * num_kv_heads == num_q_heads
+    scale = sm_scale if sm_scale is not None else head_dim**-0.5
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    group_p = max(group, _SUB)
+    qg = q.reshape(batch, num_kv_heads, group, head_dim)
+    if group_p != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
+
+    kernel = functools.partial(
+        _decode_kernel_int4,
+        sm_scale=scale,
+        page_size=page_size,
+        group_p=group_p,
+        half_dim=half,
+        window=window,
+        softcap=logit_softcap,
+        sinks=attention_sinks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, num_kv_heads, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, page_size, half), lambda b, h, i, L, T: (h, T[b, i], 0, 0)),
+            pl.BlockSpec((1, 1, page_size, half), lambda b, h, i, L, T: (h, T[b, i], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group_p, LANES), jnp.float32),
+            pltpu.VMEM((group_p, LANES), jnp.float32),
+            pltpu.VMEM((group_p, half), jnp.float32),
+            pltpu.VMEM((group_p, half), jnp.float32),
         ],
     )
     out = pl.pallas_call(

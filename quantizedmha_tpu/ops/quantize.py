@@ -39,3 +39,50 @@ def dequantize_kv_blocks(values: jnp.ndarray, scales: jnp.ndarray, block: int) -
     b, h, s, d = values.shape
     xr = values.reshape(b, h, s // block, block, d).astype(jnp.float32)
     return (xr * scales[..., None, None]).reshape(b, h, s, d)
+
+
+def quantize_kv_blocks_int4(
+    x: jnp.ndarray, block: int, *, scale_clamp: float = 1e-8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-(seq block) max-abs INT4 quantization, nibble-packed.
+
+    x: [batch, heads, seq, head_dim] (seq a multiple of `block`, head_dim
+    even). Returns (packed int8 [b, h, s, head_dim//2], scales f32
+    [b, h, s/block]). DEINTERLEAVED packing: byte j holds element j in its
+    low nibble and element j + head_dim//2 in its high nibble, so a kernel
+    can unpack into two contiguous half-head_dim tiles with int32 shifts
+    and run the attention dots per half — no lane reassembly needed
+    (quantizedmha_tpu.ops.decode _decode_kernel_int4)."""
+    b, h, s, d = x.shape
+    assert s % block == 0, f"seq {s} not a multiple of block {block}"
+    assert d % 2 == 0, f"head_dim {d} must be even for nibble packing"
+    xr = x.reshape(b, h, s // block, block, d).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xr), axis=(-2, -1))
+    scale = jnp.maximum(amax, scale_clamp) / 7.0
+    q = jnp.clip(jnp.round(xr / scale[..., None, None]), -7, 7)
+    q = q.reshape(b, h, s, d).astype(jnp.int32)
+    lo = q[..., : d // 2]
+    hi = q[..., d // 2:]
+    packed = jnp.bitwise_and(lo, 0xF) | jnp.left_shift(hi, 4)
+    return packed.astype(jnp.int8), scale
+
+
+def unpack_int4_halves(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of the nibble packing: packed int8 [..., d//2] -> (lo, hi)
+    int32 halves ([..., d//2] each; elements [0, d/2) and [d/2, d)).
+    Pure shift arithmetic — safe inside Pallas kernels on this backend
+    (int8 shifts don't lower in Mosaic; int32 shifts do)."""
+    p = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)  # sign-extended low nibble
+    hi = jnp.right_shift(p, 4)
+    return lo, hi
+
+
+def dequantize_kv_blocks_int4(
+    packed: jnp.ndarray, scales: jnp.ndarray, block: int
+) -> jnp.ndarray:
+    b, h, s, d2 = packed.shape
+    lo, hi = unpack_int4_halves(packed)
+    vals = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    xr = vals.reshape(b, h, s // block, block, 2 * d2)
+    return (xr * scales[..., None, None]).reshape(b, h, s, 2 * d2)

@@ -199,3 +199,51 @@ def test_paged_decode_attention_sinks(rng):
     s = jnp.where(vis, s, -jnp.inf)
     ref = jnp.einsum("hk,hkd->hd", jax.nn.softmax(s, -1), vd)
     assert np.abs(np.asarray(out[0]) - np.asarray(ref)).max() < 2e-2
+
+
+def test_paged_decode_int4_matches_dequant_reference(rng):
+    """INT4 (nibble-packed, deinterleaved) decode kernel == jnp attention
+    over the dequantized cache, exactly. Kept despite the measured latency
+    negative (profiles/md/run8: the decode kernel is overhead-bound, not
+    HBM-bound) for its 2x cache-capacity win."""
+    import jax
+    from quantizedmha_tpu.ops.decode import paged_decode_attention_int4
+    from quantizedmha_tpu.ops.quantize import (
+        dequantize_kv_blocks_int4,
+        quantize_kv_blocks_int4,
+    )
+
+    hkv, hq, d, page, npages = 2, 4, 128, 16, 8
+    length, W = 100, 40
+    kf = jnp.asarray(rng.normal(0, .5, (1, hkv, npages * page, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(0, .5, (1, hkv, npages * page, d)), jnp.float32)
+    q = jnp.asarray(rng.normal(0, .5, (1, hq, d)), jnp.float32)
+    k4, ks = quantize_kv_blocks_int4(kf, page)
+    v4, vs = quantize_kv_blocks_int4(vf, page)
+    out = paged_decode_attention_int4(
+        q, k4[0].reshape(hkv, npages, page, d // 2),
+        v4[0].reshape(hkv, npages, page, d // 2), ks[0], vs[0],
+        jnp.asarray([length], jnp.int32),
+        jnp.arange(npages, dtype=jnp.int32)[None], window=W)
+    kd = dequantize_kv_blocks_int4(k4, ks, page)[0]
+    vd = dequantize_kv_blocks_int4(v4, vs, page)[0]
+    kd, vd = jnp.repeat(kd, hq // hkv, 0), jnp.repeat(vd, hq // hkv, 0)
+    s = jnp.einsum("hd,hkd->hk", q[0] * d ** -0.5, kd)
+    pos = jnp.arange(npages * page)
+    s = jnp.where((pos < length) & (pos >= length - W), s, -jnp.inf)
+    ref = jnp.einsum("hk,hkd->hd", jax.nn.softmax(s, -1), vd)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_int4_quantize_roundtrip(rng):
+    from quantizedmha_tpu.ops.quantize import (
+        dequantize_kv_blocks_int4,
+        quantize_kv_blocks_int4,
+    )
+
+    x = jnp.asarray(rng.normal(0, 2.0, (1, 2, 64, 64)), jnp.float32)
+    p, s = quantize_kv_blocks_int4(x, 32)
+    assert p.dtype == jnp.int8 and p.shape == (1, 2, 64, 32)
+    deq = dequantize_kv_blocks_int4(p, s, 32)
+    assert float(jnp.abs(deq - x).max()) <= float(s.max()) * 0.5 + 1e-6
