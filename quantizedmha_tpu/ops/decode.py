@@ -97,7 +97,7 @@ def _decode_kernel(
         # matmul int-free on the q side: s = (q @ k^T_int8) * k_scale.
         s = jax.lax.dot_general(
             q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
         ) * ks_ref[h, page]
         if softcap is not None:
             # Gemma-2-style cap*tanh(s/cap) on the scaled logits.
@@ -127,7 +127,7 @@ def _decode_kernel(
         v = v_page_ref[0, 0, :, :]
         pv = jax.lax.dot_general(
             p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
         ) * vs_ref[h, page]
         acc_scratch[...] = acc_scratch[...] * alpha + pv
 
@@ -289,10 +289,12 @@ def _decode_kernel_int4(
         s = (
             jax.lax.dot_general(
                 q_lo, k_lo.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION)
             + jax.lax.dot_general(
                 q_hi, k_hi.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION)
         ) * ks_ref[h, page]
         if softcap is not None:
             s = softcap * jnp.tanh(s / softcap)
@@ -320,10 +322,12 @@ def _decode_kernel_int4(
         vsc = vs_ref[h, page]
         acc_lo[...] = acc_lo[...] * alpha + jax.lax.dot_general(
             p, v_lo.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * vsc
+            preferred_element_type=jnp.float32,
+            precision=_INT8_PRECISION) * vsc
         acc_hi[...] = acc_hi[...] * alpha + jax.lax.dot_general(
             p, v_hi.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * vsc
+            preferred_element_type=jnp.float32,
+            precision=_INT8_PRECISION) * vsc
 
     @pl.when(i == num_pages_grid - 1)
     def _epilogue():

@@ -109,7 +109,10 @@ class Engine:
     def add_request(self, prompt_tokens: List[int], max_new: Optional[int] = None) -> int:
         rid = self._next_id
         self._next_id += 1
-        self.queue.append((rid, list(prompt_tokens), max_new or self.ecfg.max_new_tokens))
+        self.queue.append((
+            rid, list(prompt_tokens),
+            max_new if max_new is not None else self.ecfg.max_new_tokens,
+        ))
         return rid
 
     def _bucket(self, n: int) -> int:
@@ -155,7 +158,7 @@ class Engine:
             page_size=self.ecfg.page_size,
         )
         first = int(self._sample(logits))
-        self.active.append(_Sequence(rid, prompt, [first], first, max_new))
+        self._activate(_Sequence(rid, prompt, [first], first, max_new))
         return True
 
     def _admit_chunked(self, rid: int, prompt: List[int], max_new: int) -> None:
@@ -184,9 +187,8 @@ class Engine:
         self.alloc.admit(rid, n)
         table = self.alloc.block_table_array([rid], self.ecfg.max_pages_per_seq)[0]
         table_j = jnp.asarray(table, jnp.int32)
-        n_chunks = -(-n // chunk)
         logits = None
-        for ci in range(n_chunks):
+        for ci in range(n_chunks_total):
             part = prompt[ci * chunk:(ci + 1) * chunk]
             toks = np.zeros((1, chunk), np.int32)
             toks[0, :len(part)] = part
@@ -200,7 +202,20 @@ class Engine:
         self.metrics.inc("requests_admitted")
         self.metrics.inc("prefill_tokens", n)
         first = int(self._sample(logits))
-        self.active.append(_Sequence(rid, prompt, [first], first, max_new))
+        self._activate(_Sequence(rid, prompt, [first], first, max_new))
+
+    def _activate(self, seq: "_Sequence") -> None:
+        """Admit a freshly prefilled sequence — unless its FIRST sampled
+        token already finishes it (EOS right after prefill, or max_new=1),
+        which the decode loop's post-step check would otherwise miss (it
+        only inspects newly decoded tokens)."""
+        eos = self.ecfg.eos_id is not None and seq.pending == self.ecfg.eos_id
+        if seq.done_by_len or eos:
+            self.finished[seq.seq_id] = seq.out
+            self.alloc.release(seq.seq_id)
+            self.metrics.inc("requests_finished")
+        else:
+            self.active.append(seq)
 
     def _check_extend_headroom(self, n_tokens: int, alloc=None) -> None:
         """Raise BEFORE mutating the allocator if extending every active
@@ -245,6 +260,17 @@ class Engine:
         B = self.ecfg.max_batch
         nseq = len(self.active)
         self._check_extend_headroom(1)
+        # Per-sequence table headroom too (the fused/speculative paths have
+        # the same guard): crossing a page boundary past max_pages_per_seq
+        # would otherwise blow up inside block_table_array AFTER extend()
+        # already mutated the allocator.
+        for seq in self.active:
+            pages_after = -(-(self.alloc.lengths[seq.seq_id] + 1)
+                            // self.ecfg.page_size)
+            if pages_after > self.ecfg.max_pages_per_seq:
+                raise RuntimeError(
+                    f"seq {seq.seq_id}: decoding needs {pages_after} pages "
+                    f"> max_pages_per_seq ({self.ecfg.max_pages_per_seq})")
         tokens = np.zeros(B, np.int32)
         positions = np.zeros(B, np.int32)
         page_ids = np.zeros(B, np.int32)

@@ -90,37 +90,52 @@ def write_pages(
     return state
 
 
+def append_tokens_batched(
+    state: PagedKVCacheState,
+    k_tok: jnp.ndarray,  # [B, num_kv_heads, head_dim]
+    v_tok: jnp.ndarray,
+    page_ids: jnp.ndarray,  # [B] i32 — physical page holding each slot
+    slots: jnp.ndarray,  # [B] i32 — offset within each page
+) -> PagedKVCacheState:
+    """Append one decoded token per sequence into its page slot (one layer).
+
+    Quantization policy — the SINGLE implementation (append_token and the
+    engine's batched decode both route here): a token is quantized with
+    the page's *existing* scale and clamped into its range (rewriting the
+    whole page to grow the scale would cost a page of traffic per token);
+    a page's scale is fitted by its first token (slot == 0) — fresh decode
+    pages would otherwise quantize against the placeholder scale of 1.0.
+    Decode-time K/V magnitudes are stationary in practice, so the clamp
+    error stays at the int8 rounding floor — bounded and measured in tests.
+    """
+    kf = k_tok.astype(jnp.float32).transpose(1, 0, 2)  # [Hkv, B, hd]
+    vf = v_tok.astype(jnp.float32).transpose(1, 0, 2)
+    k_fit = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0  # [Hkv, B]
+    v_fit = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
+    ks = jnp.where(slots[None, :] == 0, k_fit, state.k_scales[:, page_ids])
+    vs = jnp.where(slots[None, :] == 0, v_fit, state.v_scales[:, page_ids])
+    kq = jnp.clip(jnp.round(kf / ks[..., None]), -127, 127).astype(jnp.int8)
+    vq = jnp.clip(jnp.round(vf / vs[..., None]), -127, 127).astype(jnp.int8)
+    return PagedKVCacheState(
+        k_pages=state.k_pages.at[:, page_ids, slots].set(kq),
+        v_pages=state.v_pages.at[:, page_ids, slots].set(vq),
+        k_scales=state.k_scales.at[:, page_ids].set(ks),
+        v_scales=state.v_scales.at[:, page_ids].set(vs),
+    )
+
+
 def append_token(
     state: PagedKVCacheState,
     k_tok: jnp.ndarray,  # [num_kv_heads, head_dim]
     v_tok: jnp.ndarray,
-    page_id: jnp.ndarray,  # scalar i32 — physical page holding this slot
-    slot: jnp.ndarray,  # scalar i32 — offset within the page
+    page_id: jnp.ndarray,  # scalar i32
+    slot: jnp.ndarray,  # scalar i32
 ) -> PagedKVCacheState:
-    """Append one decoded token's K/V into its page slot.
-
-    Quantization policy: the token is quantized with the page's *existing*
-    scale and clamped into its range (rewriting the whole page to grow the
-    scale would cost a page of traffic per token). Fresh pages are written
-    by `write_pages` with a scale fitted to their first contents; decode-
-    time K/V magnitudes are stationary in practice, so the clamp error
-    stays at the int8 rounding floor — bounded and measured in tests.
-    """
-    kf = k_tok.astype(jnp.float32)
-    vf = v_tok.astype(jnp.float32)
-    # A page's scale is fitted by its first token (slot == 0) — fresh decode
-    # pages would otherwise quantize against the placeholder scale of 1.0.
-    k_fit = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
-    v_fit = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
-    ks = jnp.where(slot == 0, k_fit, state.k_scales[:, page_id])  # [h]
-    vs = jnp.where(slot == 0, v_fit, state.v_scales[:, page_id])
-    kq = jnp.clip(jnp.round(kf / ks[:, None]), -127, 127).astype(jnp.int8)
-    vq = jnp.clip(jnp.round(vf / vs[:, None]), -127, 127).astype(jnp.int8)
-    return PagedKVCacheState(
-        k_pages=state.k_pages.at[:, page_id, slot].set(kq),
-        v_pages=state.v_pages.at[:, page_id, slot].set(vq),
-        k_scales=state.k_scales.at[:, page_id].set(ks),
-        v_scales=state.v_scales.at[:, page_id].set(vs),
+    """Single-token form of append_tokens_batched (B = 1)."""
+    return append_tokens_batched(
+        state, k_tok[None], v_tok[None],
+        jnp.asarray(page_id, jnp.int32)[None],
+        jnp.asarray(slot, jnp.int32)[None],
     )
 
 
@@ -183,14 +198,14 @@ class PageAllocator:
         keep = self.pages_needed(new_len)
         while len(table) > max(keep, 1):
             page = table.pop()
-            assert page is not None, (
-                "rollback reached a window-trimmed page: trim_window must "
-                "only run after speculative commits")
+            if page is None:  # not assert: must survive python -O
+                raise RuntimeError(
+                    "rollback reached a window-trimmed page: trim_window "
+                    "must only run after speculative commits")
             self._free.append(page)
         self.lengths[seq_id] = new_len
 
-    def trim_window(self, seq_id: int, window: int, sinks: int = 0,
-                    scrap_page: int = 0) -> int:
+    def trim_window(self, seq_id: int, window: int, sinks: int = 0) -> int:
         """Rolling-window page recycling: free pages whose positions are
         wholly behind the sliding window (and hold no attention-sink
         positions). Trimmed logical slots keep a placeholder (`None`, mapped

@@ -31,7 +31,11 @@ from quantizedmha_tpu.models.llama import LlamaConfig, rms_norm, _attention
 from quantizedmha_tpu.quant.weights import qdense
 from quantizedmha_tpu.ops.decode import paged_decode_attention
 from quantizedmha_tpu.reference.mha import apply_rope
-from quantizedmha_tpu.serving.kv_cache import PagedKVCacheState, write_pages
+from quantizedmha_tpu.serving.kv_cache import (
+    PagedKVCacheState,
+    append_tokens_batched as _append_batch,
+    write_pages,
+)
 
 
 def make_cache(cfg: LlamaConfig, num_pages: int, page_size: int) -> PagedKVCacheState:
@@ -108,7 +112,6 @@ def write_prefill(
     page_size: int,
 ) -> PagedKVCacheState:
     """Quantize + scatter a prompt's K/V into the paged cache, all layers."""
-    from quantizedmha_tpu.serving.kv_cache import write_pages
 
     def body(_, scanned):
         cache_l, k_l, v_l = scanned
@@ -205,33 +208,6 @@ def _rope_single(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.nd
     rotation implementation to keep in sync with reference.mha.apply_rope
     (tests pin all of them together)."""
     return _rope_positions(x[:, :, None, :], positions[:, None], theta)[:, :, 0, :]
-
-
-def _append_batch(
-    cache: PagedKVCacheState,
-    k_tok: jnp.ndarray,  # [B, Hkv, hd]
-    v_tok: jnp.ndarray,
-    page_ids: jnp.ndarray,  # [B] i32
-    slots: jnp.ndarray,  # [B] i32
-) -> PagedKVCacheState:
-    """Batched single-token append (one layer). Scale policy matches
-    kv_cache.append_token: slot 0 fits the page scale to its first token."""
-    kf = k_tok.astype(jnp.float32).transpose(1, 0, 2)  # [Hkv, B, hd]
-    vf = v_tok.astype(jnp.float32).transpose(1, 0, 2)
-    k_fit = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0  # [Hkv, B]
-    v_fit = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
-    ks_old = cache.k_scales[:, page_ids]  # [Hkv, B]
-    vs_old = cache.v_scales[:, page_ids]
-    ks = jnp.where(slots[None, :] == 0, k_fit, ks_old)
-    vs = jnp.where(slots[None, :] == 0, v_fit, vs_old)
-    kq = jnp.clip(jnp.round(kf / ks[..., None]), -127, 127).astype(jnp.int8)
-    vq = jnp.clip(jnp.round(vf / vs[..., None]), -127, 127).astype(jnp.int8)
-    return PagedKVCacheState(
-        k_pages=cache.k_pages.at[:, page_ids, slots].set(kq),
-        v_pages=cache.v_pages.at[:, page_ids, slots].set(vq),
-        k_scales=cache.k_scales.at[:, page_ids].set(ks),
-        v_scales=cache.v_scales.at[:, page_ids].set(vs),
-    )
 
 
 def _rope_positions(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:

@@ -1,6 +1,8 @@
 """Serving engine tests: paged-decode logits vs full forward, and
 continuous-batching mechanics (admission, completion, page recycling)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -176,3 +178,64 @@ def test_allocator_trim_window_bookkeeping():
     # release must not double-free trimmed pages
     alloc.release(7)
     assert alloc.free_pages == 15  # all but reserved page 0
+
+
+def test_eos_on_prefill_token_finishes_immediately():
+    """An EOS sampled right after prefill must finish the request without
+    any decode step (the decode loop only inspects newly decoded tokens)."""
+    import jax
+
+    from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+    from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+
+    cfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(num_pages=16, page_size=16, max_batch=2,
+                        prefill_buckets=(16,), max_new_tokens=8)
+    # Find what the first sampled token would be, then make it the EOS id.
+    probe = Engine(cfg, params, ecfg)
+    probe.add_request([1, 2, 3])
+    probe.step()
+    first = probe.finished.get(0, probe.active[0].out if probe.active else [None])[0]
+
+    eng = Engine(cfg, params, dataclasses.replace(ecfg, eos_id=int(first)))
+    eng.add_request([1, 2, 3])
+    out = eng.run()
+    assert out[0] == [int(first)]
+    assert eng.metrics.counter("decode_steps") == 0
+
+
+def test_max_new_one_returns_one_token():
+    import jax
+
+    from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+    from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+
+    cfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine(cfg, params, EngineConfig(
+        num_pages=16, page_size=16, max_batch=1,
+        prefill_buckets=(16,), max_new_tokens=4))
+    eng.add_request([1, 2, 3], max_new=1)
+    out = eng.run()
+    assert len(out[0]) == 1
+
+
+def test_plain_step_guards_max_pages_before_mutation():
+    """Crossing max_pages_per_seq during plain decode raises a clean error
+    BEFORE the allocator is mutated (the fused path already did)."""
+    import jax
+
+    from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+    from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+
+    cfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine(cfg, params, EngineConfig(
+        num_pages=16, page_size=16, max_batch=1,
+        prefill_buckets=(16,), max_new_tokens=32, max_pages_per_seq=1))
+    eng.add_request(list(range(1, 17)))  # exactly fills the 1 allowed page
+    with pytest.raises(RuntimeError, match="max_pages_per_seq"):
+        for _ in range(8):
+            eng.step()
+    assert eng.alloc.lengths[0] == 16  # allocator untouched by the failure

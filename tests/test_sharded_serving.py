@@ -100,3 +100,29 @@ def test_tp_engine_continuous_batching_under_pressure(setup):
     assert len(out) == 4
     assert all(len(toks) == 4 for toks in out.values())
     assert eng.metrics.counter("requests_finished") == 4
+
+
+def test_tp_engine_windowed_matches_single_device():
+    """Sliding window + sinks + soft-cap must survive TP sharding — the
+    sharded engine's token streams equal the single-device engine's for a
+    windowed config (both honor cfg via the same adapter paths)."""
+    import jax.numpy as jnp
+
+    cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32,
+                           sliding_window=12, attention_sinks=2,
+                           logit_softcap=30.0)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    ecfg = EngineConfig(num_pages=32, page_size=8, max_batch=2,
+                        prefill_buckets=(16, 32), max_new_tokens=6)
+    prompts = [list(range(1, 20)), list(range(4, 18))]
+
+    ref = Engine(cfg, params, ecfg)
+    for p in prompts:
+        ref.add_request(p)
+    want = ref.run()
+
+    eng = TPEngine(cfg, params, ecfg, mesh=make_tp_mesh(2))
+    for p in prompts:
+        eng.add_request(p)
+    got = eng.run()
+    assert got == want
