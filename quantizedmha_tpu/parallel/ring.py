@@ -42,6 +42,9 @@ def context_parallel_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     seq_len: Optional[int] = None,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """All-partial + all-reduce context parallelism.
@@ -66,6 +69,8 @@ def context_parallel_attention(
         sm_scale=sm_scale, causal=causal,
         save_residuals=True,
         q_offset=q_offset, kv_offset=kv_offset,
+        window=window, logit_softcap=logit_softcap,
+        attention_sinks=attention_sinks,
         interpret=interpret,
     )
     return merge_partial_attention(o, lse, axis_name)
@@ -79,9 +84,17 @@ def ring_attention(
     axis_name: str,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Ring attention over a sequence-sharded mesh axis.
+
+    window/logit_softcap/attention_sinks follow ops.flash_attention
+    semantics on GLOBAL positions; shards wholly behind a q block's window
+    are masked out by the kernel's per-block skip (their partials carry
+    lse = -inf and drop from the merge).
 
     Call inside shard_map. q: [b, h, q_shard, d] (this device's q rows,
     global offset = axis_index * q_shard); k/v: [b, h, kv_shard, d] (this
@@ -108,6 +121,8 @@ def ring_attention(
             sm_scale=sm_scale, causal=causal,
             save_residuals=True,
             q_offset=q_offset, kv_offset=kv_offset,
+            window=window, logit_softcap=logit_softcap,
+            attention_sinks=attention_sinks,
             interpret=interpret,
         )
         return merge_two_partials(o_acc, lse_acc, o_s, lse_s)
@@ -141,6 +156,9 @@ def ring_attention_int8(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     block_kv: int = 512,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """INT8 ring attention: each device quantizes its KV shard ONCE
@@ -172,6 +190,8 @@ def ring_attention_int8(
             q, k_blk, ks, v_blk, vs,
             sm_scale=sm_scale, causal=causal, block_kv=block_kv,
             q_offset=q_offset, kv_offset=kv_offset,
+            window=window, logit_softcap=logit_softcap,
+            attention_sinks=attention_sinks,
             save_residuals=True, interpret=interpret,
         )
         return merge_two_partials(o_acc, lse_acc, o_s, lse_s)

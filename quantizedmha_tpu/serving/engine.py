@@ -46,6 +46,11 @@ class EngineConfig:
     # pre-reserved per chunk. Past-EOS tokens within a chunk are discarded
     # host-side — the classic sync-interval/waste tradeoff.
     decode_chunk: int = 1
+    # Automatic prefix caching: page-aligned prompt prefixes already in the
+    # cache (same token chain) are SHARED via refcounted pages, and only
+    # the suffix is prefilled (through the chunked-prefill program). Wins
+    # whenever requests repeat a system prompt.
+    prefix_cache: bool = False
 
 
 @dataclasses.dataclass
@@ -79,6 +84,11 @@ class Engine:
         self.alloc = PageAllocator(ecfg.num_pages, ecfg.page_size)
         self.alloc._free.remove(0)
         self.queue: deque = deque()
+        # Prefix cache: sha1 chain over page-sized token chunks -> page id.
+        self._prefix_map: Dict[bytes, int] = {}
+        self._page_hash: Dict[int, bytes] = {}
+        if ecfg.prefix_cache:
+            self.alloc.on_free = self._on_page_free
         self.active: List[_Sequence] = []
         self.finished: Dict[int, List[int]] = {}
         self._next_id = 0
@@ -126,13 +136,23 @@ class Engine:
             return False
         rid, prompt, max_new = self.queue[0]
         n = len(prompt)
-        if not self.alloc.can_admit(n):
-            return False
         if -(-n // self.ecfg.page_size) > self.ecfg.max_pages_per_seq:
             self.queue.popleft()
             raise ValueError(
                 f"request {rid} (len {n}) exceeds max_pages_per_seq"
             )
+        cached = self._cached_prefix(prompt) if self.ecfg.prefix_cache else []
+        if cached and self._suffix_chunk(len(prompt), len(cached)) is None:
+            cached = []  # suffix chunking can't fit the table: full prefill
+        if cached:
+            need = self.alloc.pages_needed(n) - len(cached)
+            if need > self.alloc.free_pages:
+                return False
+            self.queue.popleft()
+            self._admit_cached(rid, prompt, max_new, cached)
+            return True
+        if not self.alloc.can_admit(n):
+            return False
         if n > max(self.ecfg.prefill_buckets):
             # Long prompt: chunked prefill through the paged INT8 cache.
             self.queue.popleft()
@@ -158,6 +178,7 @@ class Engine:
             page_size=self.ecfg.page_size,
         )
         first = int(self._sample(logits))
+        self._register_prefix(prompt, rid)
         self._activate(_Sequence(rid, prompt, [first], first, max_new))
         return True
 
@@ -202,6 +223,105 @@ class Engine:
         self.metrics.inc("requests_admitted")
         self.metrics.inc("prefill_tokens", n)
         first = int(self._sample(logits))
+        self._register_prefix(prompt, rid)
+        self._activate(_Sequence(rid, prompt, [first], first, max_new))
+
+    # -- automatic prefix caching ---------------------------------------------
+
+    def _page_chain(self, prompt: List[int]):
+        """Yield (page_index, chain_digest) for each FULL page of the
+        prompt: digest_i = sha1(digest_{i-1} || tokens of page i), so a hit
+        certifies the whole prefix, not just one page."""
+        import hashlib
+
+        ps = self.ecfg.page_size
+        h = b""
+        for i in range(len(prompt) // ps):
+            h = hashlib.sha1(
+                h + np.asarray(prompt[i * ps:(i + 1) * ps], np.int32).tobytes()
+            ).digest()
+            yield i, h
+
+    def _cached_prefix(self, prompt: List[int]) -> List[int]:
+        """Longest run of already-cached pages for this prompt. Capped so
+        at least one suffix token remains to prefill (its logits feed the
+        first sampled token)."""
+        limit = (len(prompt) - 1) // self.ecfg.page_size
+        pages = []
+        for i, h in self._page_chain(prompt):
+            if i >= limit:
+                break
+            page = self._prefix_map.get(h)
+            if page is None:
+                break
+            pages.append(page)
+        return pages
+
+    def _register_prefix(self, prompt: List[int], rid: int) -> None:
+        if not self.ecfg.prefix_cache:
+            return
+        table = self.alloc.tables[rid]
+        for i, h in self._page_chain(prompt):
+            page = table[i]
+            if h not in self._prefix_map and page not in self._page_hash:
+                self._prefix_map[h] = page
+                self._page_hash[page] = h
+
+    def _on_page_free(self, page: int) -> None:
+        h = self._page_hash.pop(page, None)
+        if h is not None:
+            self._prefix_map.pop(h, None)
+
+    def _suffix_chunk(self, n: int, n_cached_pages: int) -> Optional[int]:
+        """Chunk size for prefilling the uncached suffix, or None if no
+        bucket fits the block table. Every chunk (including the padded
+        last) claims chunk//page_size CONTIGUOUS table slots starting at
+        the suffix — if that overruns max_pages_per_seq, the final chunk's
+        dynamic_slice would CLAMP its start and silently overwrite the
+        shared prefix pages (the same hazard _admit_chunked guards)."""
+        ps = self.ecfg.page_size
+        c_pages = n_cached_pages
+        suffix = n - c_pages * ps
+        for b in sorted(self.ecfg.prefill_buckets):
+            if b < suffix and b != max(self.ecfg.prefill_buckets):
+                continue
+            chunk = b
+            slots = c_pages + -(-suffix // chunk) * (chunk // ps)
+            if slots <= self.ecfg.max_pages_per_seq:
+                return chunk
+        return None
+
+    def _admit_cached(self, rid: int, prompt: List[int], max_new: int,
+                      cached_pages: List[int]) -> None:
+        """Admission with a shared page-aligned prefix: the cached pages
+        are refcount-shared (their K/V is already quantized in the cache —
+        identical tokens quantize identically) and only the SUFFIX runs
+        through the chunked-prefill program with global causal offsets."""
+        n = len(prompt)
+        ps = self.ecfg.page_size
+        c = len(cached_pages) * ps
+        chunk = self._suffix_chunk(n, len(cached_pages))
+        assert chunk is not None  # _try_admit pre-validated
+        self.alloc.admit_with_prefix(rid, n, cached_pages)
+        table = self.alloc.block_table_array([rid], self.ecfg.max_pages_per_seq)[0]
+        table_j = jnp.asarray(table, jnp.int32)
+        logits = None
+        for start in range(c, n, chunk):
+            part = prompt[start:start + chunk]
+            toks = np.zeros((1, chunk), np.int32)
+            toks[0, :len(part)] = part
+            with self.metrics.timed("prefill"):
+                logits, self.cache = self._prefill_chunk(
+                    self.params, self.cache, jnp.asarray(toks),
+                    jnp.int32(start), table_j, jnp.int32(len(part) - 1),
+                    page_size=ps,
+                )
+        self.metrics.inc("requests_admitted")
+        self.metrics.inc("prefill_tokens", n - c)
+        self.metrics.inc("prefix_tokens_reused", c)
+        self.metrics.inc("prefix_cache_hits")
+        first = int(self._sample(logits))
+        self._register_prefix(prompt, rid)
         self._activate(_Sequence(rid, prompt, [first], first, max_new))
 
     def _activate(self, seq: "_Sequence") -> None:

@@ -151,10 +151,48 @@ class PageAllocator:
         self._free: List[int] = list(range(num_pages - 1, -1, -1))
         self.tables: Dict[int, List[int]] = {}
         self.lengths: Dict[int, int] = {}
+        # Prefix-cache support: pages referenced by >1 sequence carry a
+        # refcount; a page returns to the free list only when the LAST
+        # reference drops. on_free (if set) fires then — the engine uses it
+        # to invalidate its prefix-hash map before the id is reused.
+        self._ref: Dict[int, int] = {}
+        self.on_free = None
 
     @property
     def free_pages(self) -> int:
         return len(self._free)
+
+    def _release_page(self, page: int) -> None:
+        r = self._ref.get(page, 1) - 1
+        if r <= 0:
+            self._ref.pop(page, None)
+            if self.on_free is not None:
+                self.on_free(page)
+            self._free.append(page)
+        else:
+            self._ref[page] = r
+
+    def share(self, pages: List[int]) -> None:
+        """Add a reference to already-allocated pages (prefix reuse)."""
+        for p in pages:
+            self._ref[p] = self._ref.get(p, 1) + 1
+
+    def admit_with_prefix(self, seq_id: int, n_tokens: int,
+                          shared_pages: List[int]) -> List[int]:
+        """Admit with the first len(shared_pages) pages REUSED from another
+        sequence (caller bumps refcounts via share() — this method does);
+        only the remainder is freshly allocated. Returns the fresh pages."""
+        need = self.pages_needed(n_tokens) - len(shared_pages)
+        if need < 0:
+            raise ValueError("shared prefix longer than the prompt")
+        if need > self.free_pages:
+            raise RuntimeError(
+                f"out of pages: need {need}, have {self.free_pages}")
+        self.share(shared_pages)
+        fresh = [self._free.pop() for _ in range(need)]
+        self.tables[seq_id] = list(shared_pages) + fresh
+        self.lengths[seq_id] = n_tokens
+        return fresh
 
     def pages_needed(self, n_tokens: int) -> int:
         return -(-n_tokens // self.page_size)
@@ -202,7 +240,7 @@ class PageAllocator:
                 raise RuntimeError(
                     "rollback reached a window-trimmed page: trim_window "
                     "must only run after speculative commits")
-            self._free.append(page)
+            self._release_page(page)
         self.lengths[seq_id] = new_len
 
     def trim_window(self, seq_id: int, window: int, sinks: int = 0) -> int:
@@ -225,15 +263,15 @@ class PageAllocator:
         freed = 0
         for i in range(sink_blocks, min(first_block, len(table))):
             if table[i] is not None:
-                self._free.append(table[i])
+                self._release_page(table[i])
                 table[i] = None
                 freed += 1
         return freed
 
     def release(self, seq_id: int) -> None:
-        self._free.extend(
-            p for p in reversed(self.tables.pop(seq_id)) if p is not None
-        )
+        for p in reversed(self.tables.pop(seq_id)):
+            if p is not None:
+                self._release_page(p)
         self.lengths.pop(seq_id)
 
     def block_table_array(self, seq_ids: List[int], max_pages: int) -> np.ndarray:

@@ -62,6 +62,10 @@ class SpecDecodeEngine(Engine):
             raise ValueError("SpecDecodeEngine supports greedy sampling only")
         if ecfg.decode_chunk != 1:
             raise ValueError("decode_chunk and speculation are exclusive")
+        if ecfg.prefix_cache:
+            raise ValueError(
+                "prefix_cache and speculation are exclusive for now (the "
+                "draft model's cache would need its own shared pages)")
         if draft_cfg.vocab_size != cfg.vocab_size:
             raise ValueError("draft and target must share a vocabulary")
         super().__init__(cfg, params, ecfg)

@@ -239,3 +239,100 @@ def test_plain_step_guards_max_pages_before_mutation():
         for _ in range(8):
             eng.step()
     assert eng.alloc.lengths[0] == 16  # allocator untouched by the failure
+
+
+def _mk(cfg_kw=None, **ecfg_kw):
+    cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32, **(cfg_kw or {}))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    base = dict(num_pages=64, page_size=16, max_batch=2,
+                prefill_buckets=(32, 64), max_new_tokens=4,
+                max_pages_per_seq=8)
+    base.update(ecfg_kw)
+    return cfg, params, EngineConfig(**base)
+
+
+def test_prefix_cache_matches_uncached_and_skips_prefill(rng):
+    """Automatic prefix caching: a second request sharing a page-aligned
+    prefix reuses the cached pages (refcount-shared, no prefill for them).
+    The UNCACHED request's stream is untouched; the cached request's
+    suffix attends the INT8-quantized prefix (the chunked-prefill path, the
+    same error budget as decode — see test_chunked_prefill for the logit
+    gates), so its stream is checked for determinism, not bit-parity with
+    the full-precision bucketed prefill."""
+    cfg, params, ecfg = _mk()
+    sys_prompt = rng.integers(1, cfg.vocab_size, 48).tolist()  # 3 full pages
+    p1, p2 = sys_prompt + [5, 6, 7], sys_prompt + [9, 10, 11, 12]
+
+    ref = Engine(cfg, params, ecfg)
+    ref.add_request(p1)
+    ref.add_request(p2)
+    want = ref.run()
+
+    def run_cached():
+        eng = Engine(cfg, params, dataclasses.replace(ecfg, prefix_cache=True))
+        eng.add_request(p1)
+        eng.step()
+        eng.add_request(p2)
+        return eng, eng.run()
+
+    eng, got = run_cached()
+    assert got[0] == want[0]  # p1 took the normal path: exact
+    assert len(got[1]) == len(want[1])
+    assert eng.metrics.counter("prefix_cache_hits") == 1
+    assert eng.metrics.counter("prefix_tokens_reused") == 48
+    assert (eng.metrics.counter("prefill_tokens")
+            == ref.metrics.counter("prefill_tokens") - 48)
+    _, again = run_cached()
+    assert again == got  # cached path is deterministic
+
+
+def test_prefix_cache_refcount_survives_release(rng):
+    """The prefix owner finishing must not free pages another live
+    sequence shares; once ALL sharers release, the pages free and the map
+    invalidates (a later identical prompt gets a fresh full prefill)."""
+    cfg, params, ecfg = _mk(prefix_cache=True, max_batch=2)
+    sys_prompt = rng.integers(1, cfg.vocab_size, 32).tolist()
+    eng = Engine(cfg, params, ecfg)
+    eng.add_request(sys_prompt + [1])
+    eng.step()
+    eng.add_request(sys_prompt + [2])  # shares while owner is live
+    while eng.queue:
+        eng.step()
+    assert eng.metrics.counter("prefix_cache_hits") == 1
+    out = eng.run()  # both finish; all refs drop
+    assert len(out) == 2
+    free_after = eng.alloc.free_pages
+    assert not eng._prefix_map and not eng._page_hash
+    # Same prefix again: no stale hit, full prefill, allocator balanced.
+    eng.add_request(sys_prompt + [3])
+    eng.run()
+    assert eng.metrics.counter("prefix_cache_hits") == 1  # unchanged
+    assert eng.alloc.free_pages == free_after
+
+
+def test_prefix_cache_with_rolling_window_trim(rng):
+    """Window trimming must coexist with page sharing: trims decrement
+    refcounts (a shared page survives one sharer's trim), the map
+    invalidates on true frees, the uncached request's stream is exact, and
+    the allocator balances to fully free at the end."""
+    cfg_kw = dict(sliding_window=24, attention_sinks=4)
+    cfg, params, ecfg = _mk(cfg_kw, page_size=8, max_new_tokens=24)
+    sys_prompt = rng.integers(1, cfg.vocab_size, 24).tolist()
+    p1, p2 = sys_prompt + [5, 6, 7], sys_prompt + [9, 8]
+
+    ref = Engine(cfg, params, ecfg)
+    ref.add_request(p1)
+    want = ref.run()
+
+    ecfgc = dataclasses.replace(ecfg, prefix_cache=True)
+    eng = Engine(cfg, params, ecfgc)
+    eng.add_request(p1)
+    eng.step()
+    eng.add_request(p2)
+    got = eng.run()
+    assert got[0] == want[0]  # uncached request: exact
+    assert len(got) == 2 and len(got[1]) == ecfg.max_new_tokens
+    assert eng.metrics.counter("pages_trimmed") > 0
+    # All references dropped: pool fully recovered, maps empty.
+    assert eng.alloc.free_pages == ecfg.num_pages - 1  # page 0 reserved
+    assert not eng._prefix_map and not eng._page_hash

@@ -227,3 +227,36 @@ def test_collective_audit_ring_int8_vs_f32(rng):
         out_specs=P(None, None, None, None), check_vma=False))
     rep_cp = audit_fn(cp_fn, q, k, v)
     assert sum(rep_cp.counts.values()) <= 3  # pmax + psum(s), nothing else
+
+
+@pytest.mark.parametrize("fn_name", ["ring", "ring_int8", "cp"])
+def test_windowed_masking_across_shards(rng, fn_name):
+    """Window + sinks + soft-cap applied to GLOBAL positions must survive
+    sequence sharding: ring (f32 and int8 payloads) and context-parallel
+    results equal the single-chip masked golden."""
+    import functools
+
+    from quantizedmha_tpu.parallel.ring import ring_attention_int8
+    from quantizedmha_tpu.reference.mha import mha_masked_reference
+
+    mesh = make_mesh((4,), ("cp",))
+    q, k, v = _qkv(rng, b=1, h=2, s=256, d=32)
+    kw = dict(axis_name="cp", causal=True, window=48, attention_sinks=8,
+              logit_softcap=30.0)
+    if fn_name == "cp":
+        fn = functools.partial(context_parallel_attention, **kw)
+        in_specs = (P(None, None, None, None), P(None, None, "cp", None),
+                    P(None, None, "cp", None))
+        out_specs = P(None, None, None, None)
+    else:
+        impl = ring_attention if fn_name == "ring" else ring_attention_int8
+        fn = functools.partial(impl, **kw)
+        in_specs = (P(None, None, "cp", None),) * 3
+        out_specs = P(None, None, "cp", None)
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_vma=False)
+    out = sharded(q, k, v)
+    ref = mha_masked_reference(q, k, v, causal=True, window=48, sinks=8,
+                               softcap=30.0)
+    tol = 5e-2 if fn_name == "ring_int8" else 2e-3
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < tol
