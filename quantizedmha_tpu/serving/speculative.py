@@ -38,12 +38,31 @@ from quantizedmha_tpu.serving.engine import Engine, EngineConfig
 @dataclasses.dataclass
 class SpecConfig:
     num_draft_tokens: int = 4  # k
+    # Adaptive k: tune the draft length between rounds from an EMA of the
+    # per-round acceptance fraction — high acceptance earns longer drafts
+    # (fewer target forwards per token), low acceptance shortens them
+    # (less wasted draft compute). Each DISTINCT k compiles its own
+    # draft-loop/verify programs once (shape-stable thereafter), so the
+    # [min_k, max_k] range bounds compilation count.
+    adaptive: bool = False
+    min_k: int = 1
+    max_k: int = 8
+    ema_decay: float = 0.8
+    grow_above: float = 0.8   # EMA acceptance fraction to lengthen drafts
+    shrink_below: float = 0.4
 
     def validate(self) -> "SpecConfig":
         if self.num_draft_tokens < 1:
             raise ValueError(
                 f"num_draft_tokens must be >= 1 (0 would emit no tokens "
                 f"and spin forever), got {self.num_draft_tokens}")
+        if self.adaptive:
+            if not 1 <= self.min_k <= self.num_draft_tokens <= self.max_k:
+                raise ValueError(
+                    f"adaptive k needs min_k <= num_draft_tokens <= max_k, "
+                    f"got {self.min_k}/{self.num_draft_tokens}/{self.max_k}")
+            if not self.shrink_below < self.grow_above:
+                raise ValueError("shrink_below must be < grow_above")
         return self
 
 
@@ -70,6 +89,8 @@ class SpecDecodeEngine(Engine):
             raise ValueError("draft and target must share a vocabulary")
         super().__init__(cfg, params, ecfg)
         self.scfg = scfg
+        self._k = scfg.num_draft_tokens
+        self._accept_ema: Optional[float] = None
         self.draft_cfg = draft_cfg
         self.draft_params = draft_params
         # The draft gets its own cache + allocator over the same page layout.
@@ -128,7 +149,25 @@ class SpecDecodeEngine(Engine):
             pass
         if not self.active:
             return
-        self._step_speculate(self.scfg.num_draft_tokens)
+        self._step_speculate(self._k)
+        if self.scfg.adaptive:
+            self._adapt_k()
+
+    def _adapt_k(self) -> None:
+        """Move k by one step when the acceptance EMA leaves the
+        [shrink_below, grow_above] band; the EMA resets on change so a new
+        k is judged on its own rounds."""
+        if self._accept_ema is None:
+            return
+        k = self._k
+        if self._accept_ema > self.scfg.grow_above and k < self.scfg.max_k:
+            self._k = k + 1
+        elif self._accept_ema < self.scfg.shrink_below and k > self.scfg.min_k:
+            self._k = k - 1
+        if self._k != k:
+            self.metrics.inc("spec_k_changes")
+            self.metrics.set("spec_k", self._k)
+            self._accept_ema = None
 
     def _reserve(self, alloc, seq_ids, count) -> None:
         for sid in seq_ids:
@@ -221,6 +260,11 @@ class SpecDecodeEngine(Engine):
                 new_len = int(lengths0[i]) + k
             self.metrics.inc("draft_tokens_proposed", k)
             self.metrics.inc("draft_tokens_accepted", accepted)
+            frac = accepted / k
+            self._accept_ema = (
+                frac if self._accept_ema is None
+                else self.scfg.ema_decay * self._accept_ema
+                + (1 - self.scfg.ema_decay) * frac)
 
             self.alloc.rollback(seq.seq_id, new_len)
             self.draft_alloc.rollback(seq.seq_id, new_len)

@@ -161,3 +161,30 @@ def test_spec_config_rejects_zero_draft_tokens(models):
     with pytest.raises(ValueError, match="num_draft_tokens"):
         SpecDecodeEngine(cfg, params, draft_cfg, draft_params, _ecfg(),
                          SpecConfig(num_draft_tokens=0))
+
+
+def test_adaptive_k_grows_under_self_speculation(models):
+    """Self-speculation accepts ~everything, so adaptive k must climb from
+    its floor toward max_k — and the stream still matches the plain engine
+    exactly (k-invariance holds per round regardless of k)."""
+    cfg, params, _, _ = models
+    ecfg = _ecfg(max_new_tokens=24)
+    eng = SpecDecodeEngine(cfg, params, cfg, params, ecfg,
+                           SpecConfig(num_draft_tokens=2, adaptive=True,
+                                      min_k=1, max_k=6))
+    eng.add_request(list(range(1, 9)))
+    out = eng.run()
+    assert eng._k > 2, f"k never grew: {eng._k}"
+    assert eng.metrics.counter("spec_k_changes") >= 1
+
+    plain = Engine(cfg, params, ecfg)
+    plain.add_request(list(range(1, 9)))
+    assert out == plain.run()
+
+
+def test_adaptive_k_validation(models):
+    cfg, params, draft_cfg, draft_params = models
+    with pytest.raises(ValueError, match="min_k"):
+        SpecDecodeEngine(cfg, params, draft_cfg, draft_params, _ecfg(),
+                         SpecConfig(num_draft_tokens=4, adaptive=True,
+                                    min_k=1, max_k=3))
