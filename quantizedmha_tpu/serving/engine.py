@@ -117,6 +117,8 @@ class Engine:
     # -- request lifecycle ---------------------------------------------------
 
     def add_request(self, prompt_tokens: List[int], max_new: Optional[int] = None) -> int:
+        if not prompt_tokens:
+            raise ValueError("empty prompt: at least one token is required")
         rid = self._next_id
         self._next_id += 1
         self.queue.append((
@@ -169,11 +171,19 @@ class Engine:
             )
         self.metrics.inc("requests_admitted")
         self.metrics.inc("prefill_tokens", n)
+        # Zero the padding rows beyond the prompt before the page write:
+        # the per-(head, page) scale is fitted over the whole page, and
+        # garbage K/V from padded positions would inflate it (coarser
+        # quantization for the page's REAL tokens). Zeros never raise amax.
         n_write = len(pages) * self.ecfg.page_size
+        k_w = k_all[:, :, :n_write]
+        v_w = v_all[:, :, :n_write]
+        if n < n_write:
+            keep = (jnp.arange(n_write) < n)[None, None, :, None]
+            k_w = k_w * keep
+            v_w = v_w * keep
         self.cache = self._write(
-            self.cache,
-            k_all[:, :, :n_write],
-            v_all[:, :, :n_write],
+            self.cache, k_w, v_w,
             jnp.asarray(pages, jnp.int32),
             page_size=self.ecfg.page_size,
         )
@@ -347,8 +357,14 @@ class Engine:
         needed = 0
         for seq in self.active:
             length = alloc.lengths[seq.seq_id]
+            pages_after = -(-(length + n_tokens) // self.ecfg.page_size)
+            if pages_after > self.ecfg.max_pages_per_seq:
+                raise RuntimeError(
+                    f"seq {seq.seq_id}: extending by {n_tokens} token(s) "
+                    f"needs {pages_after} pages > max_pages_per_seq "
+                    f"({self.ecfg.max_pages_per_seq})")
             held = len(alloc.tables[seq.seq_id])
-            needed += max(0, -(-(length + n_tokens) // self.ecfg.page_size) - held)
+            needed += max(0, pages_after - held)
         if needed > alloc.free_pages:
             raise RuntimeError(
                 f"page pool exhausted: decoding {n_tokens} token(s) for "
@@ -379,18 +395,7 @@ class Engine:
 
         B = self.ecfg.max_batch
         nseq = len(self.active)
-        self._check_extend_headroom(1)
-        # Per-sequence table headroom too (the fused/speculative paths have
-        # the same guard): crossing a page boundary past max_pages_per_seq
-        # would otherwise blow up inside block_table_array AFTER extend()
-        # already mutated the allocator.
-        for seq in self.active:
-            pages_after = -(-(self.alloc.lengths[seq.seq_id] + 1)
-                            // self.ecfg.page_size)
-            if pages_after > self.ecfg.max_pages_per_seq:
-                raise RuntimeError(
-                    f"seq {seq.seq_id}: decoding needs {pages_after} pages "
-                    f"> max_pages_per_seq ({self.ecfg.max_pages_per_seq})")
+        self._check_extend_headroom(1)  # pool AND per-seq table bounds
         tokens = np.zeros(B, np.int32)
         positions = np.zeros(B, np.int32)
         page_ids = np.zeros(B, np.int32)
@@ -461,16 +466,8 @@ class Engine:
         nseq = len(self.active)
         tokens = np.zeros(B, np.int32)
         lengths0 = np.ones(B, np.int32)
-        # Validate EVERY sequence's budget before mutating the allocator, so
-        # a failure leaves lengths/pages untouched (atomic error path).
-        for seq in self.active:
-            pages_after = -(-(self.alloc.lengths[seq.seq_id] + chunk)
-                            // self.ecfg.page_size)
-            if pages_after > self.ecfg.max_pages_per_seq:
-                raise RuntimeError(
-                    f"seq {seq.seq_id}: chunk of {chunk} would need "
-                    f"{pages_after} pages > max_pages_per_seq"
-                )
+        # Validates pool headroom AND every sequence's table bound BEFORE
+        # mutating the allocator (atomic error path).
         self._check_extend_headroom(chunk)
         for i, seq in enumerate(self.active):
             tokens[i] = seq.pending

@@ -166,11 +166,15 @@ def prefill_chunk(
         q = apply_rope(q, cfg.rope_theta, positions)
         k = apply_rope(k, cfg.rope_theta, positions)
 
-        # Write this chunk's K/V into its pages (chunk_start is page-aligned).
+        # Write this chunk's K/V into its pages (chunk_start is page-
+        # aligned). The final partial chunk's padding rows are zeroed so
+        # they can't inflate the per-page scales fitted over them.
+        keep = (jnp.arange(C) <= last_index)[None, :, None]
         chunk_pages = jax.lax.dynamic_slice(
             table, (chunk_start // page_size,), (C // page_size,)
         )
-        cache_l = write_pages(cache_l, k[0], v[0], chunk_pages, page_size)
+        cache_l = write_pages(cache_l, k[0] * keep, v[0] * keep,
+                              chunk_pages, page_size)
 
         # Gather the full (static-length) table; causal offsets mask both the
         # not-yet-written tail and the padding pages.

@@ -116,19 +116,25 @@ class SpecDecodeEngine(Engine):
     # -- admission: prefill BOTH models ---------------------------------------
 
     def _try_admit(self) -> bool:
-        if self.queue:
-            n_head = len(self.queue[0][1])
-            if n_head > max(self.ecfg.prefill_buckets):
-                raise NotImplementedError(
-                    "chunked prefill + speculation not wired up; raise the "
-                    "prefill bucket or use the plain Engine for long prompts")
-            if not self.draft_alloc.can_admit(n_head):
-                return False  # keep target and draft admission in lockstep
-        queued = list(self.queue)
+        if not self.queue:
+            return False
+        n_head = len(self.queue[0][1])
+        if n_head > max(self.ecfg.prefill_buckets):
+            raise NotImplementedError(
+                "chunked prefill + speculation not wired up; raise the "
+                "prefill bucket or use the plain Engine for long prompts")
+        if not self.draft_alloc.can_admit(n_head):
+            return False  # keep target and draft admission in lockstep
+        rid, prompt, _ = self.queue[0]  # super pops exactly this head
         admitted = super()._try_admit()
         if not admitted:
             return False
-        rid, prompt, _ = queued[0]
+        if all(seq.seq_id != rid for seq in self.active):
+            # Finished at activation (EOS on the prefill token / max_new=1):
+            # the target already released; skip the draft prefill entirely —
+            # admitting it would LEAK draft pages (nothing releases a seq
+            # that never becomes active).
+            return True
         n = len(prompt)
         pages = self.draft_alloc.admit(rid, n)
         bucket = self._bucket(n)
@@ -136,9 +142,17 @@ class SpecDecodeEngine(Engine):
         toks[0, :n] = prompt
         _, k_all, v_all = self._draft_prefill(
             self.draft_params, jnp.asarray(toks), jnp.int32(n - 1))
+        # Zero padded rows before the page write (scale-inflation guard,
+        # same as Engine._try_admit).
         n_write = len(pages) * self.ecfg.page_size
+        k_w = k_all[:, :, :n_write]
+        v_w = v_all[:, :, :n_write]
+        if n < n_write:
+            keep = (jnp.arange(n_write) < n)[None, None, :, None]
+            k_w = k_w * keep
+            v_w = v_w * keep
         self.draft_cache = self._draft_write(
-            self.draft_cache, k_all[:, :, :n_write], v_all[:, :, :n_write],
+            self.draft_cache, k_w, v_w,
             jnp.asarray(pages, jnp.int32), page_size=self.ecfg.page_size)
         return True
 
@@ -184,23 +198,15 @@ class SpecDecodeEngine(Engine):
 
         tokens0 = np.zeros(B, np.int32)
         lengths0 = np.ones(B, np.int32)
-        d_lengths0 = np.ones(B, np.int32)
         for i, seq in enumerate(self.active):
             tokens0[i] = seq.pending
+            # Both allocators are rolled back to the same committed length
+            # every round and admitted with the same n, so one lengths
+            # array drives both loops.
             lengths0[i] = self.alloc.lengths[seq.seq_id]
-            # The draft cache may lag the target by one token (the bonus
-            # token of a fully accepted round); the pending token's stream
-            # position always equals the DRAFT's cached length, so the
-            # draft loop must run from its own lengths.
-            d_lengths0[i] = self.draft_alloc.lengths[seq.seq_id]
-            pages_after = -(-(int(lengths0[i]) + S) // page_size)
-            if pages_after > max_pages:
-                raise RuntimeError(
-                    f"seq {seq.seq_id}: speculation needs {pages_after} "
-                    f"pages > max_pages_per_seq")
-        # Pool-headroom guards BEFORE any allocator/cache mutation: a
-        # mid-_reserve failure would desync host lengths from the device
-        # caches (Engine.step has the same guard for plain decode).
+        # Pool-headroom + per-seq table guards BEFORE any allocator/cache
+        # mutation: a mid-_reserve failure would desync host lengths from
+        # the device caches (Engine.step has the same guard).
         self._check_extend_headroom(k, alloc=self.draft_alloc)
         self._check_extend_headroom(S)
 
@@ -212,7 +218,7 @@ class SpecDecodeEngine(Engine):
             self._key, loop_key = jax.random.split(self._key)
             drafts, self.draft_cache = self._draft_loop(
                 self.draft_params, self.draft_cache,
-                jnp.asarray(tokens0), jnp.asarray(d_lengths0),
+                jnp.asarray(tokens0), jnp.asarray(lengths0),
                 jnp.asarray(d_tables), loop_key,
                 n_steps=k, page_size=page_size)
             drafts = np.asarray(drafts)  # [k, B]
@@ -286,6 +292,14 @@ class SpecDecodeEngine(Engine):
             else:
                 still_active.append(seq)
         self.active = still_active
+        # Rolling-window page recycling for BOTH caches (after the
+        # rollback commits — trim_window's documented ordering).
+        self._trim_windows()
+        if self.draft_cfg.sliding_window:
+            for seq in self.active:
+                self.draft_alloc.trim_window(
+                    seq.seq_id, self.draft_cfg.sliding_window,
+                    self.draft_cfg.attention_sinks)
         self.metrics.set("free_pages", len(self.alloc._free))
 
     @property

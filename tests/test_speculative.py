@@ -188,3 +188,36 @@ def test_adaptive_k_validation(models):
         SpecDecodeEngine(cfg, params, draft_cfg, draft_params, _ecfg(),
                          SpecConfig(num_draft_tokens=4, adaptive=True,
                                     min_k=1, max_k=3))
+
+
+def test_no_draft_page_leak_when_finished_at_activation(models):
+    """A request that finishes on its prefill token (max_new=1) must not
+    leave orphaned draft-cache pages (regression: the draft prefill ran
+    after the target had already released the sequence)."""
+    cfg, params, draft_cfg, draft_params = models
+    eng = SpecDecodeEngine(cfg, params, draft_cfg, draft_params, _ecfg())
+    free_t0 = eng.alloc.free_pages
+    free_d0 = eng.draft_alloc.free_pages
+    eng.add_request([1, 2, 3], max_new=1)
+    out = eng.run()
+    assert len(out[0]) == 1
+    assert eng.alloc.free_pages == free_t0
+    assert eng.draft_alloc.free_pages == free_d0
+    assert not eng.draft_alloc.tables
+
+
+def test_speculation_trims_window_pages(models):
+    """Sliding-window configs must recycle pages under speculation too
+    (regression: _step_speculate never called the trim hook)."""
+    cfg0, params0, _, _ = models
+    import dataclasses as dc
+
+    cfg = dc.replace(cfg0, sliding_window=24, attention_sinks=4)
+    eng = SpecDecodeEngine(cfg, params0, cfg, params0,
+                           _ecfg(page_size=8, max_new_tokens=24,
+                                 max_pages_per_seq=12, num_pages=64),
+                           SpecConfig(num_draft_tokens=3))
+    eng.add_request(list(range(1, 28)))
+    out = eng.run()
+    assert len(out[0]) == 24
+    assert eng.metrics.counter("pages_trimmed") > 0
