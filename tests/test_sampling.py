@@ -99,3 +99,48 @@ class TestEngineSampling:
             eng.add_request([1, 2, 3])
             outs.append(eng.run()[0])
         assert outs[0] == outs[1]
+
+
+def test_top_p_nucleus_truncation():
+    """top_p keeps the smallest token set whose mass reaches p: p=0.6 over
+    softmax([0,1,2,3,-1]) keeps only the 0.64-mass top token; p=0.9 adds
+    the next (0.24) plus the boundary token; p=1.0 truncates nothing."""
+    import jax
+
+    from quantizedmha_tpu.serving.sampling import SamplingParams, sample
+
+    logits = jnp.asarray([[0.0, 1.0, 2.0, 3.0, -1.0]])
+
+    def draw(p, n=200):
+        params = SamplingParams(temperature=1.0, top_p=p).validate()
+        return {int(sample(logits, jax.random.PRNGKey(i), params)[0])
+                for i in range(n)}
+
+    assert draw(0.6, 50) == {3}
+    assert draw(0.9) == {1, 2, 3}
+    assert draw(1.0, 400) == {0, 1, 2, 3, 4}
+
+
+def test_top_p_validation():
+    import pytest
+
+    from quantizedmha_tpu.serving.sampling import SamplingParams
+
+    with pytest.raises(ValueError, match="top_p"):
+        SamplingParams(temperature=1.0, top_p=0.0).validate()
+    with pytest.raises(ValueError, match="top_p"):
+        SamplingParams(temperature=1.0, top_p=1.5).validate()
+
+
+def test_top_p_composes_with_top_k():
+    """top_k first, then the nucleus over survivors: k=2 keeps {2,3};
+    p=0.95 over their renormalized mass (.27/.73) keeps both."""
+    import jax
+
+    from quantizedmha_tpu.serving.sampling import SamplingParams, sample
+
+    logits = jnp.asarray([[0.0, 1.0, 2.0, 3.0, -1.0]])
+    params = SamplingParams(temperature=1.0, top_k=2, top_p=0.95).validate()
+    got = {int(sample(logits, jax.random.PRNGKey(i), params)[0])
+           for i in range(300)}
+    assert got == {2, 3}
