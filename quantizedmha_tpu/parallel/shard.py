@@ -1,6 +1,9 @@
 """Head-parallel (tensor-parallel) attention over a mesh.
 
-The cheapest attention sharding: split heads across chips — zero
+No reference analog: the reference is single-GPU with no communication
+backend at all (SURVEY.md §2.3); its only "head parallelism" was a host
+loop over 2 CUDA streams (launchers.h:41-62) — here heads shard over a
+real mesh axis. The cheapest attention sharding: split heads across chips — zero
 communication during attention itself (boom guide sec 14). With GQA, Q
 heads are co-located with their KV head. This module wraps the fused
 kernels in shard_map with the right specs; the all-reduce lands after the

@@ -1,5 +1,7 @@
 """On-device token sampling for the serving engine.
 
+No reference analog: the reference repo is an attention kernel study with
+no decoding loop at all (SURVEY.md §2) — this is north-star serving scope.
 Greedy argmax, temperature, top-k, and top-p (nucleus) sampling as pure
 jittable functions —
 usable both per step and inside the fused decode loop's lax.scan (the PRNG

@@ -1,6 +1,9 @@
 """Greedy speculative decoding: a small draft model proposes, the target
 model verifies a whole block of tokens in one forward.
 
+No reference analog (the reference has no decoding at all, SURVEY.md §2) —
+north-star serving scope.
+
 Losslessness: with greedy sampling, speculative decoding is EXACT — the
 emitted token stream is identical to plain greedy decoding of the target
 model (the tests gate this token-for-token). The speedup comes from the
