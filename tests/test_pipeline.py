@@ -55,3 +55,24 @@ def test_pipeline_layer_shards_are_real():
     assert {s.data.shape for s in wq.addressable_shards} == {
         (1, *wq.shape[1:])
     }
+
+
+def test_pipeline_windowed_gqa_matches_plain_forward():
+    """Pipeline stages run the same decoder_layer, so sliding window +
+    sinks + soft-cap + GQA must survive pipeline sharding unchanged."""
+    cfg = LlamaConfig.tiny(num_layers=4, dtype=jnp.float32,
+                           sliding_window=12, attention_sinks=2,
+                           logit_softcap=25.0)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+
+    want = forward(cfg, params, tokens)
+    mesh = _mesh(2)
+    sharded = dict(params)
+    sharded["layers"] = shard_layers(params["layers"], mesh)
+    got = jax.jit(
+        lambda p, t: pipeline_llama_forward(cfg, p, t, mesh, n_microbatches=2)
+    )(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
