@@ -42,6 +42,7 @@ def solve(
     config: Optional[AttentionConfig] = None,
     causal: Optional[bool] = None,
     use_rope: Optional[bool] = None,
+    rope_theta: Optional[float] = None,
     sm_scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
@@ -67,7 +68,12 @@ def solve(
         num_heads = num_heads if num_heads is not None else config.num_heads
         causal = causal if causal is not None else config.causal
         use_rope = use_rope if use_rope is not None else config.use_rope
+        rope_theta = rope_theta if rope_theta is not None else config.rope_theta
         sm_scale = sm_scale if sm_scale is not None else config.sm_scale
+        if config.head_dim is not None and config.head_dim * num_heads != d_model:
+            raise ValueError(
+                f"config.head_dim {config.head_dim} * num_heads {num_heads} "
+                f"!= d_model {d_model}")
         blocks = config.blocks.validate(q.shape[0], k.shape[0])
         block_q = block_q if block_q is not None else blocks.block_q
         block_kv = block_kv if block_kv is not None else blocks.block_kv
@@ -77,6 +83,16 @@ def solve(
         raise ValueError("pass num_heads or a config")
     causal = bool(causal) if causal is not None else False
     use_rope = bool(use_rope) if use_rope is not None else False
+    rope_theta = float(rope_theta) if rope_theta is not None else 10000.0
+    # One validation surface for the whole ladder — no kernel may silently
+    # drop a masking knob the others would raise on.
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+    if attention_sinks and window is None:
+        raise ValueError("attention_sinks require a window")
     n = q.shape[0]
     d = d_model // num_heads
     if d * num_heads != d_model:
@@ -87,8 +103,8 @@ def solve(
 
     qh, kh, vh = split(q), split(k), split(v)
     if use_rope:
-        qh = apply_rope(qh)
-        kh = apply_rope(kh)
+        qh = apply_rope(qh, rope_theta)
+        kh = apply_rope(kh, rope_theta)
 
     masked_kw = dict(window=window, logit_softcap=logit_softcap,
                      attention_sinks=attention_sinks)
@@ -120,8 +136,7 @@ def solve(
 
         oh = mha_masked_reference(
             qh, kh, vh, sm_scale=sm_scale, causal=causal,
-            window=window if causal else None,
-            softcap=logit_softcap, sinks=attention_sinks)
+            window=window, softcap=logit_softcap, sinks=attention_sinks)
     else:  # reference
         oh = mha_reference_shaped(qh, kh, vh, sm_scale=sm_scale, causal=causal)
 

@@ -26,23 +26,18 @@ class BlockSizes:
     Plays the role of Br/Bc/Wr/Lc in reference include/config.h:12-17, but
     sized for the MXU (128x128) and the TPU (sublane, 128-lane) tile layout
     rather than for 32-thread warps. Defaults are good for head_dim 64-128
-    on v5e; `block_kv_major` controls HBM transfer granularity while
-    `block_kv` controls the per-matmul scores tile.
+    on v5e.
     """
 
     block_q: int = 256
     block_kv: int = 256
-    block_kv_major: Optional[int] = None  # defaults to block_kv
 
     def validate(self, q_len: int, kv_len: int) -> "BlockSizes":
         _check(self.block_q >= 1 and self.block_kv >= 1, "blocks must be >= 1")
-        bq = min(self.block_q, q_len)
-        bkv = min(self.block_kv, kv_len)
-        bkvm = min(self.block_kv_major or bkv, kv_len)
-        # Round the HBM-transfer granularity DOWN to a kernel-tile multiple
-        # (clamping to kv_len can break divisibility; never reject, round).
-        bkvm = max(bkv, (bkvm // bkv) * bkv)
-        return BlockSizes(block_q=bq, block_kv=bkv, block_kv_major=bkvm)
+        return BlockSizes(
+            block_q=min(self.block_q, q_len),
+            block_kv=min(self.block_kv, kv_len),
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,7 +70,9 @@ class AttentionConfig:
     """Problem-shape + numerics config (reference include/config.h reborn)."""
 
     num_heads: int = 32
-    head_dim: int = 64
+    # None -> derived from the call-site d_model // num_heads; set it to
+    # DECLARE the head dim and solve() will cross-check it.
+    head_dim: Optional[int] = None
     causal: bool = False
     sm_scale: Optional[float] = None  # default 1/sqrt(head_dim)
     use_rope: bool = False
@@ -85,14 +82,21 @@ class AttentionConfig:
 
     @property
     def d_model(self) -> int:
+        if self.head_dim is None:
+            raise ValueError("d_model needs an explicit head_dim")
         return self.num_heads * self.head_dim
 
     def scale(self) -> float:
-        return self.sm_scale if self.sm_scale is not None else self.head_dim**-0.5
+        if self.sm_scale is not None:
+            return self.sm_scale
+        if self.head_dim is None:
+            raise ValueError("scale() needs sm_scale or an explicit head_dim")
+        return self.head_dim**-0.5
 
     def validate(self) -> "AttentionConfig":
         _check(self.num_heads >= 1, "num_heads must be >= 1")
-        _check(self.head_dim >= 1, "head_dim must be >= 1")
+        _check(self.head_dim is None or self.head_dim >= 1,
+               "head_dim must be >= 1")
         self.quant.validate()
         return self
 

@@ -153,13 +153,6 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
-    if n_rep == 1:
-        return x
-    b, h, s, d = x.shape
-    return jnp.broadcast_to(x[:, :, None], (b, h, n_rep, s, d)).reshape(b, h * n_rep, s, d)
-
-
 def _attention(cfg: LlamaConfig, q, k, v, *, causal=True):
     """k/v may carry num_kv_heads < num_heads: the flash kernels are
     GQA-native (BlockSpec index maps share each kv head across its query

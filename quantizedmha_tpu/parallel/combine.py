@@ -44,8 +44,9 @@ def merge_two_partials(
 def merge_partial_attention(
     o_local: jnp.ndarray, lse_local: jnp.ndarray, axis_name: str
 ) -> jnp.ndarray:
-    """Merge partial attention outputs across a mesh axis (two all-reduces:
-    pmax for the global max, psum for the corrected sums — boom guide 15)."""
+    """Merge partial attention outputs across a mesh axis (two collectives:
+    pmax for the global max, one fused tuple-psum for both corrected sums
+    — boom guide 15)."""
     lse_local = lse_local.astype(jnp.float32)
     # The global max is only a numerical-stability shift — the merged output
     # is mathematically invariant to it — so treat it as a constant:
@@ -56,9 +57,10 @@ def merge_partial_attention(
     )
     m_safe = jnp.where(jnp.isfinite(m_global), m_global, 0.0)
     w = jnp.exp(jnp.where(jnp.isfinite(lse_local), lse_local - m_safe, -jnp.inf))
-    l_global = jax.lax.psum(w, axis_name=axis_name)
-    o_global = jax.lax.psum(
-        o_local.astype(jnp.float32) * w[..., None], axis_name=axis_name
+    # One fused tuple-psum for both sums: half the all-reduce launches of
+    # two separate psums on the context-parallel hot path.
+    l_global, o_global = jax.lax.psum(
+        (w, o_local.astype(jnp.float32) * w[..., None]), axis_name=axis_name
     )
     l_safe = jnp.where(l_global == 0.0, 1.0, l_global)
     return (o_global / l_safe[..., None]).astype(o_local.dtype)

@@ -30,11 +30,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from quantizedmha_tpu.models.llama import LlamaConfig, decoder_layer, rms_norm
 
 
-def pp_layer_specs(axis: str = "pp") -> P:
-    """Layer-stacked param leaves [L, ...] shard their layer axis."""
-    return P(axis)
-
-
 def shard_layers(layers: Dict[str, Any], mesh: Mesh, axis: str = "pp"):
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P(axis))), layers

@@ -70,11 +70,11 @@ def test_solve_with_attention_config(rng):
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
 
 
-def test_block_sizes_validate_rounds_not_rejects():
+def test_block_sizes_validate_clamps():
     from quantizedmha_tpu.configs import BlockSizes
 
-    b = BlockSizes(block_q=256, block_kv=256, block_kv_major=512).validate(300, 300)
-    assert b.block_kv_major % b.block_kv == 0
+    b = BlockSizes(block_q=512, block_kv=512).validate(300, 300)
+    assert b.block_q == 300 and b.block_kv == 300
     with pytest.raises(ValueError):
         from quantizedmha_tpu.api import solve
         import jax.numpy as jnp
