@@ -126,3 +126,47 @@ def test_tp_engine_windowed_matches_single_device():
         eng.add_request(p)
     got = eng.run()
     assert got == want
+
+
+def test_llama70b_tp8_sharding_plan_fits_v5p():
+    """Ground the 70B north-star claim WITHOUT materializing anything:
+    build the Llama-3-70B parameter tree abstractly (jax.eval_shape), apply
+    the TP=8 Megatron sharding plan, and check (a) every sharded axis
+    divides, (b) per-device bytes — bf16 weights + an INT8 paged KV cache
+    for 8 x 8K-token sequences — fit a v5p chip's 96 GiB HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+
+    cfg = LlamaConfig.llama3_70b()
+    tp = 8
+    lcfg = local_config(cfg, tp)  # raises if heads don't divide
+    assert lcfg.num_heads == 8 and lcfg.num_kv_heads == 1
+
+    abstract = jax.eval_shape(
+        lambda key: init_params(cfg, key), jax.random.PRNGKey(0))
+    specs = tp_param_specs()
+
+    def sharded_bytes(leaf, spec):
+        shape = list(leaf.shape)
+        for axis_i, name in enumerate(spec):
+            if name == "tp":
+                assert shape[axis_i] % tp == 0, (shape, spec)
+                shape[axis_i] //= tp
+        n = 1
+        for d in shape:
+            n *= d
+        return n * 2  # bf16
+
+    total = sum(jax.tree_util.tree_leaves(
+        jax.tree.map(sharded_bytes, abstract, specs,
+                     is_leaf=lambda x: hasattr(x, "shape"))))
+    # INT8 paged KV for 8 sequences x 8192 tokens, kv heads sharded /tp:
+    # L * (Hkv/tp) * tokens * hd * 2 (K and V) bytes.
+    kv = (cfg.num_layers * (cfg.num_kv_heads // tp) * 8 * 8192
+          * cfg.hd * 2)
+    per_device_gib = (total + kv) / 2**30
+    assert per_device_gib < 90, f"{per_device_gib:.1f} GiB > v5p HBM budget"
+    # Sanity floor: a 70B in bf16 is ~140 GiB total, so /8 ~ 17+ GiB.
+    assert per_device_gib > 15
