@@ -36,6 +36,36 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 
 
+def validate_masking(causal: bool, window, sinks: int) -> None:
+    """One validation contract for every attention entry point (fp and
+    int8): silently dropping a masking knob on one kernel while another
+    raises is how a harness sweep builds a quietly wrong golden."""
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+    if sinks and window is None:
+        raise ValueError("attention_sinks require a window")
+
+
+def block_should_run(causal: bool, window, sinks: int,
+                     first_q, last_q, first_kv, last_kv):
+    """Block-level skip shared by all five kernels (fwd, both backwards,
+    both int8 orientations): run unless the block is wholly above the
+    causal diagonal or wholly behind the window (sink blocks always
+    considered). Positions are GLOBAL and may be traced scalars."""
+    if not causal:
+        return True
+    run = last_q >= first_kv
+    if window is not None:
+        in_window = (first_q - last_kv) < window
+        if sinks:
+            in_window |= first_kv < sinks
+        run &= in_window
+    return run
+
+
 def _auto_interpret(interpret: Optional[bool]) -> bool:
     if interpret is not None:
         return interpret
@@ -133,20 +163,13 @@ def _fwd_kernel(
     if causal:
         q_off = offs_ref[0]
         kv_off = offs_ref[1]
-        last_q_pos = q_off + q_idx * block_q + block_q - 1
-        first_kv_pos = kv_off + kv_idx * block_kv
-        should_run = last_q_pos >= first_kv_pos
-        if window is not None:
-            # Sliding window: also skip kv blocks entirely BEHIND the
-            # window of every q row in this block (the block-skip that
-            # makes long-context windowed attention O(seq * window)) —
-            # unless the block holds attention-sink positions.
-            first_q_pos = q_off + q_idx * block_q
-            last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
-            in_window = (first_q_pos - last_kv_pos) < window
-            if sinks:
-                in_window |= first_kv_pos < sinks
-            should_run &= in_window
+        should_run = block_should_run(
+            causal, window, sinks,
+            q_off + q_idx * block_q,
+            q_off + q_idx * block_q + block_q - 1,
+            kv_off + kv_idx * block_kv,
+            kv_off + kv_idx * block_kv + block_kv - 1,
+        )
     else:
         should_run = True
 
@@ -464,19 +487,13 @@ def _bwd_dkv_kernel(
         dv_scratch[...] = jnp.zeros_like(dv_scratch)
 
     q_off, kv_off = offs_ref[0], offs_ref[1]
-    if causal:
-        # Skip q blocks wholly above the diagonal: they see no kv here.
-        last_q_pos = q_off + q_idx * block_q + block_q - 1
-        should_run = last_q_pos >= kv_off + kv_idx * block_kv
-        if window is not None:
-            first_q_pos = q_off + q_idx * block_q
-            last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
-            in_window = (first_q_pos - last_kv_pos) < window
-            if sinks:
-                in_window |= kv_off + kv_idx * block_kv < sinks
-            should_run &= in_window
-    else:
-        should_run = True
+    should_run = block_should_run(
+        causal, window, sinks,
+        q_off + q_idx * block_q,
+        q_off + q_idx * block_q + block_q - 1,
+        kv_off + kv_idx * block_kv,
+        kv_off + kv_idx * block_kv + block_kv - 1,
+    )
 
     @pl.when(should_run)
     def _run():
@@ -546,18 +563,13 @@ def _bwd_dq_kernel(
         dq_scratch[...] = jnp.zeros_like(dq_scratch)
 
     q_off, kv_off = offs_ref[0], offs_ref[1]
-    if causal:
-        last_q_pos = q_off + q_idx * block_q + block_q - 1
-        should_run = last_q_pos >= kv_off + kv_idx * block_kv
-        if window is not None:
-            first_q_pos = q_off + q_idx * block_q
-            last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
-            in_window = (first_q_pos - last_kv_pos) < window
-            if sinks:
-                in_window |= kv_off + kv_idx * block_kv < sinks
-            should_run &= in_window
-    else:
-        should_run = True
+    should_run = block_should_run(
+        causal, window, sinks,
+        q_off + q_idx * block_q,
+        q_off + q_idx * block_q + block_q - 1,
+        kv_off + kv_idx * block_kv,
+        kv_off + kv_idx * block_kv + block_kv - 1,
+    )
 
     @pl.when(should_run)
     def _run():
@@ -829,13 +841,7 @@ def flash_attention(
     """
     if q.ndim != 4:
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
-    if window is not None:
-        if not causal:
-            raise ValueError("window requires causal=True")
-        if window < 1:
-            raise ValueError(f"window must be >= 1, got {window}")
-    if attention_sinks and window is None:
-        raise ValueError("attention_sinks require a window")
+    validate_masking(causal, window, attention_sinks)
     scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
     if save_residuals:
         kv_len = k.shape[2]

@@ -36,6 +36,8 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -45,7 +47,9 @@ from quantizedmha_tpu.ops.flash_attention import (
     DEFAULT_MASK_VALUE,
     LANES,
     _auto_interpret,
+    block_should_run,
     pick_blocks,
+    validate_masking,
 )
 from quantizedmha_tpu.ops.quantize import quantize_kv_blocks
 
@@ -54,7 +58,6 @@ _INT8_PRECISION = jax.lax.Precision.DEFAULT  # fp32 contract precision is
 # jax_default_matmul_precision=highest.
 
 def _ln(x: float) -> float:
-    import math
 
     return math.log(x)
 
@@ -72,8 +75,9 @@ def _int8_fwd_kernel(
     q_ref,   # [1, 1, block_q, head_dim] f32/bf16
     k_ref,   # [1, 1, block_kv, head_dim] int8
     v_ref,   # [1, 1, block_kv, head_dim] int8
-    ks_ref,  # [batch, heads, nkv] f32, whole array in SMEM — K block scales
-    vs_ref,  # [batch, heads, nkv] f32, whole array in SMEM — V block scales
+    ks_ref,  # [batch, kv_heads, nkv] f32 in SMEM — K block scales (GQA:
+             #  indexed by kvh_idx = h_idx // group)
+    vs_ref,  # [batch, kv_heads, nkv] f32 in SMEM — V block scales
     o_ref,   # [1, 1, block_q, head_dim]
     lse_ref,  # [1, 1, block_q, LANES] or None — natural log-sum-exp residual
     m_scratch,    # [block_q, LANES] f32
@@ -84,7 +88,6 @@ def _int8_fwd_kernel(
     *,
     sm_scale: float,
     causal: bool,
-    q_len: int,
     kv_len: int,
     block_q: int,
     block_kv: int,
@@ -119,20 +122,13 @@ def _int8_fwd_kernel(
         sq_scratch[...] = jnp.broadcast_to(scale, sq_scratch.shape)
 
     q_off, kv_off = offs_ref[b_idx, 0], offs_ref[b_idx, 1]
-    if causal:
-        last_q_pos = q_off + q_idx * block_q + block_q - 1
-        should_run = last_q_pos >= kv_off + kv_idx * block_kv
-        if window is not None:
-            # Sliding window: skip kv blocks entirely behind every q row's
-            # window (long-context cost becomes O(seq * window)).
-            first_q_pos = q_off + q_idx * block_q
-            last_kv_pos = kv_off + kv_idx * block_kv + block_kv - 1
-            in_window = (first_q_pos - last_kv_pos) < window
-            if sinks:
-                in_window |= kv_off + kv_idx * block_kv < sinks
-            should_run &= in_window
-    else:
-        should_run = True
+    should_run = block_should_run(
+        causal, window, sinks,
+        q_off + q_idx * block_q,
+        q_off + q_idx * block_q + block_q - 1,
+        kv_off + kv_idx * block_kv,
+        kv_off + kv_idx * block_kv + block_kv - 1,
+    )
 
     @pl.when(should_run)
     def _run():
@@ -261,11 +257,7 @@ def flash_attention_int8_prequant(
     allowed — chunked prefill passes the chunk's start position). Default
     end-aligned, matching the non-offset behavior.
     """
-    if window is not None:
-        if not causal:
-            raise ValueError("window requires causal=True")
-        if window < 1:
-            raise ValueError(f"window must be >= 1, got {window}")
+    validate_masking(causal, window, attention_sinks)
     batch, heads, q_len, head_dim = q.shape
     kv_len_p = k_i8.shape[2]
     kv_len = kv_len if kv_len is not None else kv_len_p
@@ -279,8 +271,15 @@ def flash_attention_int8_prequant(
     nkv = k_scales.shape[-1]
     block_kv = kv_len_p // nkv if block_kv is None else min(block_kv, kv_len_p)
     block_q, _ = pick_blocks(q_len, kv_len_p, head_dim, block_q=block_q, block_kv=block_kv)
-    assert kv_len_p % block_kv == 0
-    assert nkv == kv_len_p // block_kv, "k_scales blocks must match block_kv"
+    # Hard errors, not asserts (python -O strips asserts, and a block-size
+    # mismatch would dequantize every block with the WRONG scale).
+    if kv_len_p % block_kv:
+        raise ValueError(f"cache length {kv_len_p} not a multiple of "
+                         f"block_kv {block_kv}")
+    if nkv != kv_len_p // block_kv:
+        raise ValueError(
+            f"k_scales has {nkv} blocks but the cache implies "
+            f"{kv_len_p // block_kv} at block_kv={block_kv}")
     if causal and q_len > kv_len:
         raise ValueError("causal attention requires q_len <= kv_len")
 
@@ -302,7 +301,6 @@ def flash_attention_int8_prequant(
         _int8_fwd_kernel,
         sm_scale=scale,
         causal=causal,
-        q_len=q_len,
         kv_len=kv_len,
         block_q=block_q,
         block_kv=block_kv,
@@ -377,8 +375,8 @@ def _int8_fwd_kernel_t(
     qt_ref,  # [1, 1, head_dim, block_q] f32/bf16 — Q^T tile
     k_ref,   # [1, 1, block_kv, head_dim] int8
     vt_ref,  # [1, 1, head_dim, block_kv] int8 — V^T tile
-    ks_ref,  # [batch, heads, nkv] f32 in SMEM
-    vs_ref,  # [batch, heads, nkv] f32 in SMEM
+    ks_ref,  # [batch, kv_heads, nkv] f32 in SMEM (indexed by h // group)
+    vs_ref,  # [batch, kv_heads, nkv] f32 in SMEM
     ot_ref,  # [1, 1, head_dim, block_q]
     m_scratch,    # [SUBS, block_q] f32 (row 0 live)
     l_scratch,    # [SUBS, block_q] f32 (row 0 live)
@@ -419,18 +417,13 @@ def _int8_fwd_kernel_t(
         sq_scratch[...] = jnp.broadcast_to(scale, sq_scratch.shape)
 
     diag_offset = kv_len - q_len
-    if causal:
-        last_q_row = q_idx * block_q + diag_offset + block_q - 1
-        should_run = last_q_row >= kv_idx * block_kv
-        if window is not None:
-            first_q_row = q_idx * block_q + diag_offset
-            last_kv_row = kv_idx * block_kv + block_kv - 1
-            in_window = (first_q_row - last_kv_row) < window
-            if sinks:
-                in_window |= kv_idx * block_kv < sinks
-            should_run &= in_window
-    else:
-        should_run = True
+    should_run = block_should_run(
+        causal, window, sinks,
+        q_idx * block_q + diag_offset,
+        q_idx * block_q + diag_offset + block_q - 1,
+        kv_idx * block_kv,
+        kv_idx * block_kv + block_kv - 1,
+    )
 
     @pl.when(should_run)
     def _run():
@@ -546,6 +539,7 @@ def flash_attention_int8_t(
     """Transposed-score fused INT8 attention (optimal for head_dim <= 64)."""
     if q.ndim != 4:
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
+    validate_masking(causal, window, attention_sinks)
     batch, heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
     kv_heads = k.shape[1]
@@ -648,11 +642,7 @@ def flash_attention_int8(
     """
     if q.ndim != 4:
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
-    if window is not None:
-        if not causal:
-            raise ValueError("window requires causal=True")
-        if window < 1:
-            raise ValueError(f"window must be >= 1, got {window}")
+    validate_masking(causal, window, attention_sinks)
     q_len = q.shape[2]
     kv_len = k.shape[2]
     head_dim = q.shape[-1]
