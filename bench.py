@@ -78,10 +78,10 @@ def main():
     int8_small = flash_attention_int8(qs[:, :2, small], ks[:, :2, small], vs[:, :2, small])
     gate = compare(int8_small, ref_small, abs_tol=1e-1, rel_tol=1e-1)
 
-    # Chip-state noise on the tunneled v5e is one-sided (spikes only):
-    # the min pair estimate is the stable per-run statistic; the median
-    # is reported alongside (see profiles/md/run3 on measured variance).
-    value_ms = t_headline.best_ms
+    # Headline statistic: the MEDIAN per-run estimate (the honest central
+    # number); the min-batch fit — robust to the tunnel's one-sided spikes —
+    # rides along as extra (see profiles/md/run3 on measured variance).
+    value_ms = t_headline.median_ms
     result = {
         "metric": "fused_int8_mha_ms_reference_workload_N8192_h32_d32",
         "value": round(value_ms, 3),
@@ -96,7 +96,7 @@ def main():
             "bf16_n4k_d64_ms": round(t_bf16.median_ms, 3),
             "bf16_n4k_d64_tflops": round(rl_bf16.tflops_achieved, 2),
             "bf16_pct_mxu_sol": round(rl_bf16.pct_of_compute_sol, 1),
-            "headline_median_ms": round(t_headline.median_ms, 3),
+            "headline_best_ms": round(t_headline.best_ms, 3),
             "windowed_32k_w4k_bf16_ms": round(t_win.median_ms, 3),
             "int8_vs_fp32_max_abs_err": round(gate.max_abs, 5),
             "int8_vs_fp32_max_rel_err": round(gate.max_rel, 5),

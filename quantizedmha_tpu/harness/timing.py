@@ -39,6 +39,7 @@ def _sync(out) -> None:
 class Timing:
     estimate_s: float       # robust per-run estimate (the headline)
     pair_estimates_s: List[float]  # raw per-pair estimates (spread diagnostic)
+    best_s: float = 0.0     # min-batch fit (see best_ms)
 
     @property
     def median_s(self) -> float:
@@ -50,9 +51,14 @@ class Timing:
 
     @property
     def best_ms(self) -> float:
-        """Min over pair estimates — the stable statistic on a tunneled/
-        co-tenant chip where noise is one-sided positive (spikes only)."""
-        return min(self.pair_estimates_s, default=self.estimate_s) * 1e3
+        """(min t(K2) - min t(K1)) / (K2 - K1): both mins are robust to the
+        tunnel's one-sided positive spikes. NOT the min over per-pair
+        estimates — a spike landing in a pair's small-K batch deflates that
+        pair's estimate, and min-over-pairs would select exactly those
+        deflated pairs, publishing a number faster than the kernel."""
+        if self.best_s > 0.0:
+            return self.best_s * 1e3
+        return self.estimate_s * 1e3
 
     @property
     def spread(self) -> float:
@@ -121,4 +127,5 @@ def benchmark(
         )
     est = max(raw, 1e-9)
     pairs = [max((t2 - t1) / (runs - k1), 1e-9) for t1, t2 in zip(t1s, t2s)]
-    return Timing(est, pairs)
+    best = max((min(t2s) - min(t1s)) / (runs - k1), 1e-9)
+    return Timing(est, pairs, best)

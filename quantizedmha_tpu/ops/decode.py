@@ -36,7 +36,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from quantizedmha_tpu.ops.flash_attention import DEFAULT_MASK_VALUE, LANES, _auto_interpret
+from quantizedmha_tpu.ops.flash_attention import (
+    DEFAULT_MASK_VALUE,
+    LANES,
+    _auto_interpret,
+    validate_masking,
+)
 
 _INT8_PRECISION = jax.lax.Precision.DEFAULT
 _SUB = 8  # f32 sublane quantum; the GQA group dim is padded up to this
@@ -180,8 +185,10 @@ def paged_decode_attention(
     if group_p != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
 
-    if window is not None and window < 1:
-        raise ValueError(f"window must be >= 1, got {window}")
+    # Same masking contract as flash_attention/flash_attention_int8 (decode
+    # is causal by construction): sinks without a window must raise here
+    # too, not be silently ignored.
+    validate_masking(True, window, attention_sinks)
     kernel = functools.partial(
         _decode_kernel,
         sm_scale=scale,
@@ -366,8 +373,7 @@ def paged_decode_attention_int4(
     group = num_q_heads // num_kv_heads
     assert group * num_kv_heads == num_q_heads
     scale = sm_scale if sm_scale is not None else head_dim**-0.5
-    if window is not None and window < 1:
-        raise ValueError(f"window must be >= 1, got {window}")
+    validate_masking(True, window, attention_sinks)
 
     group_p = max(group, _SUB)
     qg = q.reshape(batch, num_kv_heads, group, head_dim)

@@ -58,7 +58,11 @@ def sample(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits.astype(jnp.float32) / params.temperature
     if params.top_k > 0:
-        kth = jax.lax.top_k(scaled, params.top_k)[0][..., -1:]
+        # Clamp to the vocab size: SamplingParams.validate() can't know it,
+        # and an oversized top_k would raise at trace time inside the jitted
+        # decode loop. top_k >= vocab degrades to no truncation.
+        k = min(params.top_k, logits.shape[-1])
+        kth = jax.lax.top_k(scaled, k)[0][..., -1:]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
     if params.top_p < 1.0:
         # Nucleus: keep the smallest set of tokens whose probability mass

@@ -65,7 +65,20 @@ def _load_npz(path: pathlib.Path, like: Any) -> Any:
                 f"checkpoint tree does not match template: first differing "
                 f"path {bad[0]!r} (saved) vs {bad[1]!r} (template)"
             )
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    # Enforce the class contract: restore INTO the template's shapes/dtypes
+    # (the orbax path's abstract-tree restore already does). A dtype drift
+    # between save and restore must not silently flow through — at best it
+    # forces recompiles, at worst it changes numerics.
+    cast = []
+    for i, (leaf, like_leaf) in enumerate(zip(leaves, like_leaves)):
+        want_shape = np.shape(like_leaf)
+        if leaf.shape != want_shape:
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {leaf.shape}, template "
+                f"expects {want_shape}"
+            )
+        cast.append(np.asarray(leaf, dtype=np.asarray(like_leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, cast)
 
 
 def _orbax():
