@@ -30,6 +30,13 @@ REFERENCE_INT8_MS = 7.70  # fa_tc_int8_b on L4, reference README.md:19
 
 
 def main():
+    # Persistent compile cache: bench compiles ~6 kernels; on a warm cache
+    # the run fits comfortably inside the driver's timeout even when the
+    # chip/compile-helper is having a slow day.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     rng = np.random.default_rng(42)
 
     # --- Headline: the reference's exact workload, its ABI (flat [N, d_model]).
@@ -58,6 +65,19 @@ def main():
     chip = detect_chip()
     rl_int8 = roofline(t_int8.median_s, flops, 0, dtype="int8", chip=chip)
     rl_bf16 = roofline(t_bf16.median_s, flops, 0, dtype="bf16", chip=chip)
+
+    # --- d=128 SoL row (same total FLOPs as the d=64 config): at head_dim
+    # 128 the QK contraction fills the MXU, separating kernel quality from
+    # the d<=64 shape tax (run9 showed the d<=64 gap is shape-bound: the
+    # serial VPU softmax + half-empty contraction; see
+    # profiles/md/run9_mxu_gap/notes.md).
+    q128 = jnp.asarray(rng.normal(0, 0.5, (1, 8, S, 128)), jnp.float32)
+    k128 = jnp.asarray(rng.normal(0, 0.5, (1, 8, S, 128)), jnp.float32)
+    v128 = jnp.asarray(rng.normal(0, 0.5, (1, 8, S, 128)), jnp.float32)
+    t_128 = benchmark(fa_int8, q128, k128, v128, warmup=3, runs=24, repeats=5)
+    rl_128 = roofline(
+        t_128.median_s, attention_flops(1, 8, S, S, 128), 0,
+        dtype="int8", chip=chip)
 
     # --- Long-context extra: 32K causal sliding-window bf16 (the shrunk-
     # grid O(seq*W) path; full causal comparison lives in scripts/
@@ -96,6 +116,8 @@ def main():
             "bf16_n4k_d64_ms": round(t_bf16.median_ms, 3),
             "bf16_n4k_d64_tflops": round(rl_bf16.tflops_achieved, 2),
             "bf16_pct_mxu_sol": round(rl_bf16.pct_of_compute_sol, 1),
+            "int8_n4k_d128_ms": round(t_128.median_ms, 3),
+            "int8_n4k_d128_pct_mxu_sol": round(rl_128.pct_of_compute_sol, 1),
             "headline_best_ms": round(t_headline.best_ms, 3),
             "windowed_32k_w4k_bf16_ms": round(t_win.median_ms, 3),
             "int8_vs_fp32_max_abs_err": round(gate.max_abs, 5),
