@@ -1,0 +1,290 @@
+"""HuggingFace safetensors -> quantizedmha_tpu Llama params.
+
+The reference has no model zoo at all (its capability ceiling is one
+attention op behind bindings, reference extensions/torch/torch_ext.cpp:11-43);
+the north star is Llama-3 8B/70B *inference*, and serving a model you can't
+load real weights for isn't serving. This module maps a HF Llama/Mistral
+checkpoint directory (config.json + *.safetensors [+ index]) onto the
+pytree `models/llama.py` uses, with:
+
+  * the exact HF tensor-name mapping (model.layers.{i}.self_attn.q_proj...),
+  * the RoPE convention fix: HF checkpoints store q/k projections PERMUTED
+    for the rotate-half convention; our kernels and jnp golden rotate
+    interleaved (even, odd) pairs (reference/mha.py apply_rope), so q/k
+    rows are unpermuted on load (inverse of HF's convert-script permute),
+  * optional on-load per-output-channel INT8 weight quantization
+    (quant/weights.quantize_weight -> w8a16/w8a8 serving modes),
+  * optional shard-on-load: each leaf is device_put with its
+    models.llama.param_shardings spec as it is read, so a 70B checkpoint
+    never materializes unsharded on one host.
+
+Weights are loaded lazily per tensor (safetensors mmaps the file), cast to
+the config dtype, and stacked along the layer dimension to match the
+lax.scan layout.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantizedmha_tpu.models.llama import LlamaConfig
+
+
+def config_from_hf(path) -> LlamaConfig:
+    """Build a LlamaConfig from a HF config.json (llama/mistral families)."""
+    cfg = json.loads((pathlib.Path(path) / "config.json").read_text())
+    n_heads = cfg["num_attention_heads"]
+    return LlamaConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=n_heads,
+        num_kv_heads=cfg.get("num_key_value_heads", n_heads),
+        head_dim=cfg.get("head_dim"),
+        rope_theta=float(cfg.get("rope_theta", 10000.0)),
+        rms_eps=float(cfg.get("rms_norm_eps", 1e-5)),
+        sliding_window=cfg.get("sliding_window"),
+    )
+
+
+class _ShardedReader:
+    """Reads tensors by HF name across one or many safetensors shards."""
+
+    def __init__(self, path):
+        from safetensors import safe_open
+
+        self.path = pathlib.Path(path)
+        self._open = safe_open
+        index = self.path / "model.safetensors.index.json"
+        if index.exists():
+            self.weight_map = json.loads(index.read_text())["weight_map"]
+        else:
+            files = sorted(self.path.glob("*.safetensors"))
+            if not files:
+                raise FileNotFoundError(f"no .safetensors under {self.path}")
+            self.weight_map = {}
+            for f in files:
+                with safe_open(f, framework="numpy") as sf:
+                    for name in sf.keys():
+                        self.weight_map[name] = f.name
+        self._handles: Dict[str, Any] = {}
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.weight_map
+
+    def get(self, name: str) -> np.ndarray:
+        fname = self.weight_map[name]
+        if fname not in self._handles:
+            self._handles[fname] = self._open(
+                self.path / fname, framework="numpy")
+        return self._handles[fname].get_tensor(name)
+
+
+def _unpermute_rope(w: np.ndarray, n_heads: int, head_dim: int) -> np.ndarray:
+    """Invert the HF conversion permute on a [out, in] q/k projection.
+
+    HF's convert script reorders each head's output rows from interleaved
+    (f0, f0', f1, f1', ...) to half-split (f0, f1, ..., f0', f1', ...) so
+    `rotate_half` RoPE works. Our apply_rope rotates interleaved pairs
+    (reference/mha.py:36), so invert: rows (head, 2, hd/2) -> (head, hd/2, 2).
+    """
+    out, inp = w.shape
+    w = w.reshape(n_heads, 2, head_dim // 2, inp)
+    return np.ascontiguousarray(w.transpose(0, 2, 1, 3)).reshape(out, inp)
+
+
+def load_llama(
+    path,
+    cfg: Optional[LlamaConfig] = None,
+    *,
+    quantize: bool = False,
+    mesh=None,
+    dtype=None,
+) -> Dict[str, Any]:
+    """Load a HF Llama/Mistral checkpoint directory into the params pytree.
+
+    quantize: per-output-channel int8 (QuantizedWeight) for every projection
+    (norms/embed/lm_head stay float — standard practice).
+    mesh: if given, each leaf is device_put with its param_shardings spec
+    inside the mesh (shard-on-load; required for 70B-class checkpoints).
+    """
+    cfg = cfg or config_from_hf(path)
+    dtype = dtype or cfg.dtype
+    reader = _ShardedReader(path)
+    hd = cfg.hd
+
+    place = _make_placer(cfg, mesh)
+
+    def proj(name: str, layer: int, kind: str) -> Any:
+        w = reader.get(f"model.layers.{layer}.{name}.weight")
+        if kind == "q":
+            w = _unpermute_rope(w, cfg.num_heads, hd)
+        elif kind == "k":
+            w = _unpermute_rope(w, cfg.num_kv_heads, hd)
+        # HF stores [out_features, in_features]; ours is [in, out].
+        return np.ascontiguousarray(w.T)
+
+    layers: Dict[str, list] = {k: [] for k in (
+        "attn_norm", "wq", "wk", "wv", "wo", "mlp_norm",
+        "w_gate", "w_up", "w_down")}
+    for i in range(cfg.num_layers):
+        layers["attn_norm"].append(
+            reader.get(f"model.layers.{i}.input_layernorm.weight"))
+        layers["wq"].append(proj("self_attn.q_proj", i, "q"))
+        layers["wk"].append(proj("self_attn.k_proj", i, "k"))
+        layers["wv"].append(proj("self_attn.v_proj", i, "-"))
+        layers["wo"].append(proj("self_attn.o_proj", i, "-"))
+        layers["mlp_norm"].append(
+            reader.get(f"model.layers.{i}.post_attention_layernorm.weight"))
+        layers["w_gate"].append(proj("mlp.gate_proj", i, "-"))
+        layers["w_up"].append(proj("mlp.up_proj", i, "-"))
+        layers["w_down"].append(proj("mlp.down_proj", i, "-"))
+
+    stacked = {}
+    for name, ws in layers.items():
+        arr = np.stack(ws)
+        is_proj = name.startswith("w")
+        stacked[name] = place(
+            ("layers", name), arr, dtype,
+            quantize=quantize and is_proj,
+        )
+
+    embed = reader.get("model.embed_tokens.weight")
+    if "lm_head.weight" in reader:
+        lm_head = np.ascontiguousarray(reader.get("lm_head.weight").T)
+    else:  # tied embeddings (llama-3.2 class checkpoints)
+        lm_head = np.ascontiguousarray(embed.T)
+    return dict(
+        embed=place(("embed",), embed, dtype),
+        layers=stacked,
+        final_norm=place(("final_norm",), reader.get("model.norm.weight"), dtype),
+        lm_head=place(("lm_head",), lm_head, dtype),
+    )
+
+
+def _make_placer(cfg: LlamaConfig, mesh):
+    """Returns place(path, np_array, dtype, quantize=False) -> leaf."""
+    specs = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        from quantizedmha_tpu.models.llama import param_shardings
+
+        specs = param_shardings(cfg)
+
+    def lookup(path):
+        node = specs
+        for key in path:
+            node = node[key]
+        return node
+
+    def place(path, arr, dtype, quantize=False):
+        x = jnp.asarray(arr, dtype)
+        if quantize:
+            from quantizedmha_tpu.quant.weights import quantize_weight
+
+            qw = quantize_weight(x)
+            if specs is not None:
+                from jax.sharding import NamedSharding
+
+                spec = lookup(path)
+                qw = type(qw)(
+                    values=jax.device_put(qw.values, NamedSharding(mesh, spec)),
+                    # per-out-channel scale shards with the LAST axis of the
+                    # weight spec
+                    scale=jax.device_put(
+                        qw.scale,
+                        NamedSharding(mesh, type(spec)(*spec[:-2], spec[-1]))
+                        if len(spec) >= 2 else NamedSharding(mesh, spec),
+                    ),
+                )
+            return qw
+        if specs is not None:
+            from jax.sharding import NamedSharding
+
+            x = jax.device_put(x, NamedSharding(mesh, lookup(path)))
+        return x
+
+    return place
+
+
+def save_llama_synthetic(path, cfg: LlamaConfig, seed: int = 0,
+                         shards: int = 1) -> None:
+    """Write a synthetic HF-format checkpoint (config.json + safetensors
+    [+ index for shards > 1]) with the exact Llama tensor names and the HF
+    rotate-half q/k permutation applied — the unit-test fixture for
+    load_llama, and the documented shape contract for real checkpoints."""
+    from safetensors.numpy import save_file
+
+    p = pathlib.Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    hd = cfg.hd
+    rng = np.random.default_rng(seed)
+
+    def permute(w, n_heads):  # inverse of _unpermute_rope (HF's convert)
+        out, inp = w.shape
+        w = w.reshape(n_heads, hd // 2, 2, inp)
+        return np.ascontiguousarray(w.transpose(0, 2, 1, 3)).reshape(out, inp)
+
+    def r(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    tensors: Dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": r(cfg.vocab_size, cfg.hidden_size),
+        "model.norm.weight": np.ones((cfg.hidden_size,), np.float32),
+        "lm_head.weight": r(cfg.vocab_size, cfg.hidden_size),
+    }
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}."
+        tensors[pre + "input_layernorm.weight"] = np.ones(
+            (cfg.hidden_size,), np.float32)
+        tensors[pre + "post_attention_layernorm.weight"] = np.ones(
+            (cfg.hidden_size,), np.float32)
+        tensors[pre + "self_attn.q_proj.weight"] = permute(
+            r(cfg.num_heads * hd, cfg.hidden_size), cfg.num_heads)
+        tensors[pre + "self_attn.k_proj.weight"] = permute(
+            r(cfg.num_kv_heads * hd, cfg.hidden_size), cfg.num_kv_heads)
+        tensors[pre + "self_attn.v_proj.weight"] = r(
+            cfg.num_kv_heads * hd, cfg.hidden_size)
+        tensors[pre + "self_attn.o_proj.weight"] = r(
+            cfg.hidden_size, cfg.num_heads * hd)
+        tensors[pre + "mlp.gate_proj.weight"] = r(
+            cfg.intermediate_size, cfg.hidden_size)
+        tensors[pre + "mlp.up_proj.weight"] = r(
+            cfg.intermediate_size, cfg.hidden_size)
+        tensors[pre + "mlp.down_proj.weight"] = r(
+            cfg.hidden_size, cfg.intermediate_size)
+
+    (p / "config.json").write_text(json.dumps(dict(
+        architectures=["LlamaForCausalLM"],
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_eps,
+        sliding_window=cfg.sliding_window,
+    )))
+    if shards == 1:
+        save_file(tensors, p / "model.safetensors")
+        return
+    names = sorted(tensors)
+    per = -(-len(names) // shards)
+    weight_map = {}
+    for s in range(shards):
+        fname = f"model-{s + 1:05d}-of-{shards:05d}.safetensors"
+        chunk = {n: tensors[n] for n in names[s * per:(s + 1) * per]}
+        save_file(chunk, p / fname)
+        weight_map.update({n: fname for n in chunk})
+    (p / "model.safetensors.index.json").write_text(
+        json.dumps({"metadata": {}, "weight_map": weight_map}))
