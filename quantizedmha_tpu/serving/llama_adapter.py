@@ -142,15 +142,11 @@ def prefill_chunk(
 
     Returns (logits [1, vocab] at `last_index`, updated cache).
     """
-    from quantizedmha_tpu.ops.flash_attention_int8 import (
-        flash_attention_int8_prequant,
-    )
+    from quantizedmha_tpu.ops.paged_prefill import paged_prefill_attention
 
     b, C = tokens.shape
     assert b == 1, "chunked prefill is per-sequence"
     hd = cfg.hd
-    max_pages = table.shape[0]
-    gathered_len = max_pages * page_size
     reduce_tp = _psum_or_id(axis_name)
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
 
@@ -176,22 +172,18 @@ def prefill_chunk(
         cache_l = write_pages(cache_l, k[0] * keep, v[0] * keep,
                               chunk_pages, page_size)
 
-        # Gather the full (static-length) table; causal offsets mask both the
-        # not-yet-written tail and the padding pages.
-        k_g = cache_l.k_pages[:, table]   # [Hkv, max_pages, page, hd] int8
-        v_g = cache_l.v_pages[:, table]
-        ks_g = cache_l.k_scales[:, table]  # [Hkv, max_pages]
-        vs_g = cache_l.v_scales[:, table]
-        k_g = k_g.reshape(1, cfg.num_kv_heads, gathered_len, hd)
-        v_g = v_g.reshape(1, cfg.num_kv_heads, gathered_len, hd)
-        ks_g, vs_g = ks_g[None], vs_g[None]
-
-        o = flash_attention_int8_prequant(
-            q, k_g, ks_g, v_g, vs_g,
-            causal=True, block_kv=page_size,
+        # Attend straight from the pages (no O(max_pages) gather — the
+        # kernel's clamped index maps make HBM traffic O(prefix), and the
+        # causal mask covers both the not-yet-written tail and padding).
+        o = paged_prefill_attention(
+            q, cache_l.k_pages, cache_l.v_pages,
+            cache_l.k_scales, cache_l.v_scales,
+            jnp.broadcast_to(
+                jnp.asarray(chunk_start + C, jnp.int32), (1,)),
+            jnp.broadcast_to(jnp.asarray(chunk_start, jnp.int32), (1,)),
+            table[None],
             window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
             attention_sinks=cfg.attention_sinks,
-            q_offset=chunk_start, kv_offset=0,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, C, cfg.num_heads * hd)
         x = x + reduce_tp(dense(o.astype(cfg.dtype), p["wo"]))
@@ -251,14 +243,10 @@ def verify_step(
 
     Returns (logits [B, S, vocab], cache).
     """
-    from quantizedmha_tpu.ops.flash_attention_int8 import (
-        flash_attention_int8_prequant,
-    )
+    from quantizedmha_tpu.ops.paged_prefill import paged_prefill_attention
 
     b, S = tokens.shape
     hd = cfg.hd
-    max_pages = tables.shape[1]
-    gathered_len = max_pages * page_size
     reduce_tp = _psum_or_id(axis_name)
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
 
@@ -282,23 +270,17 @@ def verify_step(
                 page_sched[:, j], slot_sched[:, j],
             )
 
-        # Gather each sequence's pages (kv heads stay compact — the
-        # prequant kernel is GQA-native).
-        k_g = cache_l.k_pages[:, tables]   # [Hkv, B, max_pages, page, hd]
-        v_g = cache_l.v_pages[:, tables]
-        ks_g = cache_l.k_scales[:, tables]  # [Hkv, B, max_pages]
-        vs_g = cache_l.v_scales[:, tables]
-        k_g = k_g.transpose(1, 0, 2, 3, 4).reshape(b, cfg.num_kv_heads, gathered_len, hd)
-        v_g = v_g.transpose(1, 0, 2, 3, 4).reshape(b, cfg.num_kv_heads, gathered_len, hd)
-        ks_g = ks_g.transpose(1, 0, 2)
-        vs_g = vs_g.transpose(1, 0, 2)
-
-        o = flash_attention_int8_prequant(
-            q, k_g, ks_g, v_g, vs_g,
-            causal=True, block_kv=page_size,
+        # Attend straight from the pages with PER-SEQUENCE offsets (the
+        # kernel is GQA-native and its clamped index maps keep HBM traffic
+        # O(each sequence's context), not O(max_pages) — no gather).
+        o = paged_prefill_attention(
+            q, cache_l.k_pages, cache_l.v_pages,
+            cache_l.k_scales, cache_l.v_scales,
+            (positions0 + S).astype(jnp.int32),
+            positions0.astype(jnp.int32),
+            tables,
             window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
             attention_sinks=cfg.attention_sinks,
-            q_offset=positions0, kv_offset=jnp.zeros_like(positions0),
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, S, cfg.num_heads * hd)
         x = x + reduce_tp(dense(o.astype(cfg.dtype), p["wo"]))
