@@ -51,6 +51,14 @@ class EngineConfig:
     # the suffix is prefilled (through the chunked-prefill program). Wins
     # whenever requests repeat a system prompt.
     prefix_cache: bool = False
+    # Skip-ahead admission: when the queue head doesn't fit (pages/batch),
+    # scan up to this many queued requests for the first that does —
+    # strict-FCFS head-of-line blocking leaves throughput on the table
+    # when one large request stalls fitting small ones. Bounded
+    # starvation: after the head has been bypassed `starvation_limit`
+    # times, admission reverts to strict FCFS until the head fits.
+    admission_window: int = 8
+    starvation_limit: int = 64
 
 
 @dataclasses.dataclass
@@ -91,6 +99,7 @@ class Engine:
             self.alloc.on_free = self._on_page_free
         self.active: List[_Sequence] = []
         self.finished: Dict[int, List[int]] = {}
+        self._head_bypass = 0  # times the queue head was skipped over
         self._next_id = 0
         self.metrics = Metrics()
         self.sampling = ecfg.sampling.validate()
@@ -133,34 +142,61 @@ class Engine:
                 return b
         raise ValueError(f"prompt length {n} exceeds largest bucket")
 
+    def _resolve_prefix(self, prompt: List[int]) -> List[int]:
+        """Usable cached-prefix pages for this prompt ([] when disabled or
+        when suffix chunking can't fit the table)."""
+        cached = self._cached_prefix(prompt) if self.ecfg.prefix_cache else []
+        if cached and self._suffix_chunk(len(prompt), len(cached)) is None:
+            cached = []
+        return cached
+
+    def _fits(self, prompt: List[int]) -> bool:
+        n = len(prompt)
+        cached = self._resolve_prefix(prompt)
+        if cached:
+            return (self.alloc.pages_needed(n) - len(cached)
+                    <= self.alloc.free_pages)
+        return self.alloc.can_admit(n)
+
     def _try_admit(self) -> bool:
         if not self.queue or len(self.active) >= self.ecfg.max_batch:
             return False
-        rid, prompt, max_new = self.queue[0]
-        n = len(prompt)
-        if -(-n // self.ecfg.page_size) > self.ecfg.max_pages_per_seq:
-            self.queue.popleft()
-            raise ValueError(
-                f"request {rid} (len {n}) exceeds max_pages_per_seq"
-            )
-        cached = self._cached_prefix(prompt) if self.ecfg.prefix_cache else []
-        if cached and self._suffix_chunk(len(prompt), len(cached)) is None:
-            cached = []  # suffix chunking can't fit the table: full prefill
-        if cached:
-            need = self.alloc.pages_needed(n) - len(cached)
-            if need > self.alloc.free_pages:
-                return False
-            self.queue.popleft()
-            self._admit_cached(rid, prompt, max_new, cached)
+        # Scan the queue for the first fitting request (skip-ahead), with a
+        # starvation bound: once the head has been bypassed
+        # starvation_limit times, only the head is considered until it fits.
+        starved = self._head_bypass >= self.ecfg.starvation_limit
+        scan = 1 if starved else min(
+            len(self.queue), max(1, self.ecfg.admission_window))
+        for idx in range(scan):
+            rid, prompt, max_new = self.queue[idx]
+            n = len(prompt)
+            if -(-n // self.ecfg.page_size) > self.ecfg.max_pages_per_seq:
+                del self.queue[idx]
+                raise ValueError(
+                    f"request {rid} (len {n}) exceeds max_pages_per_seq"
+                )
+            if not self._fits(prompt):
+                continue
+            del self.queue[idx]
+            if idx == 0:
+                self._head_bypass = 0
+            else:
+                self._head_bypass += 1
+                self.metrics.inc("admission_skips")
+            self._dispatch_admit(rid, prompt, max_new)
             return True
-        if not self.alloc.can_admit(n):
-            return False
+        return False
+
+    def _dispatch_admit(self, rid: int, prompt: List[int], max_new: int) -> None:
+        n = len(prompt)
+        cached = self._resolve_prefix(prompt)
+        if cached:
+            self._admit_cached(rid, prompt, max_new, cached)
+            return
         if n > max(self.ecfg.prefill_buckets):
             # Long prompt: chunked prefill through the paged INT8 cache.
-            self.queue.popleft()
             self._admit_chunked(rid, prompt, max_new)
-            return True
-        self.queue.popleft()
+            return
         pages = self.alloc.admit(rid, n)
         bucket = self._bucket(n)
         toks = np.zeros((1, bucket), np.int32)
@@ -190,7 +226,6 @@ class Engine:
         first = int(self._sample(logits))
         self._register_prefix(prompt, rid)
         self._activate(_Sequence(rid, prompt, [first], first, max_new))
-        return True
 
     def _admit_chunked(self, rid: int, prompt: List[int], max_new: int) -> None:
         """Prefill a prompt longer than the largest bucket in fixed chunks:
