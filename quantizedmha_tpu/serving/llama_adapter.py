@@ -357,6 +357,7 @@ def decode_loop(
     page_size: int,
     sampling=None,  # serving.sampling.SamplingParams; None -> greedy
     axis_name: Optional[str] = None,
+    return_logits: bool = False,
 ) -> Tuple[jnp.ndarray, PagedKVCacheState]:
     """Fused decode of `n_steps` tokens per sequence, entirely on-device:
     the sampled token feeds the next step inside a lax.scan, and each
@@ -364,8 +365,10 @@ def decode_loop(
     length — no host round-trip per token. The host must pre-reserve the
     pages the loop will touch (engine does this at chunk granularity).
 
-    Returns (tokens [n_steps, B], cache). tokens[i] is the token sampled
-    AFTER the i-th cached append, i.e. the continuation sequence.
+    Returns (tokens [n_steps, B], cache); with return_logits=True,
+    (tokens, cache, logits [n_steps, B, vocab]) — speculative rejection
+    sampling needs the draft's per-position distribution. tokens[i] is the
+    token sampled AFTER the i-th cached append, i.e. the continuation.
     """
     from quantizedmha_tpu.serving.sampling import SamplingParams, sample
 
@@ -384,9 +387,13 @@ def decode_loop(
         )
         key, sub = jax.random.split(key)
         nxt = sample(logits, sub, sampling)
-        return (cache, nxt, lens + 1, key), nxt
+        out = (nxt, logits) if return_logits else nxt
+        return (cache, nxt, lens + 1, key), out
 
     (cache, _, _, _), out = jax.lax.scan(
         body, (cache, tokens, lengths, key), None, length=n_steps
     )
+    if return_logits:
+        toks, logits = out
+        return toks, cache, logits
     return out, cache

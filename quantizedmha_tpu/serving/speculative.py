@@ -1,14 +1,18 @@
-"""Greedy speculative decoding: a small draft model proposes, the target
-model verifies a whole block of tokens in one forward.
+"""Speculative decoding: a small draft model proposes, the target model
+verifies a whole block of tokens in one forward.
 
 No reference analog (the reference has no decoding at all, SURVEY.md §2) —
 north-star serving scope.
 
-Losslessness: with greedy sampling, speculative decoding is EXACT — the
-emitted token stream is identical to plain greedy decoding of the target
-model (the tests gate this token-for-token). The speedup comes from the
-target model reading its weights once per accepted block instead of once
-per token; the draft's cost is proportional to its (much smaller) size.
+Losslessness: with greedy sampling the emitted stream is token-for-token
+identical to plain greedy decoding of the target (argmax-match
+verification; tests gate this). With temperature > 0, verification is
+REJECTION SAMPLING (serving/sampling.rejection_sample): accept draft x_j
+with prob min(1, p_j(x)/q_j(x)), replace from the residual on rejection —
+exact IN DISTRIBUTION vs sampling the target with the same params. The
+speedup comes from the target model reading its weights once per accepted
+block instead of once per token; the draft's cost is proportional to its
+(much smaller) size.
 
 Mechanics per round, for every active sequence in the batch:
   1. draft proposes `k` tokens with its own fused decode loop (its own
@@ -72,16 +76,16 @@ class SpecConfig:
 class SpecDecodeEngine(Engine):
     """Continuous-batching engine with draft-model speculation.
 
-    Greedy sampling only (speculative decoding with temperature needs
-    rejection sampling — future work; a non-greedy config raises).
+    Greedy sampling verifies by argmax match (token-exact vs plain greedy
+    decode); temperature>0 uses rejection sampling (sampling.
+    rejection_sample) — exact IN DISTRIBUTION vs plain sampling of the
+    target with the same SamplingParams.
     """
 
     def __init__(self, cfg: LlamaConfig, params: Dict[str, Any],
                  draft_cfg: LlamaConfig, draft_params: Dict[str, Any],
                  ecfg: EngineConfig, scfg: Optional[SpecConfig] = None):
         scfg = (scfg if scfg is not None else SpecConfig()).validate()
-        if not ecfg.sampling.greedy:
-            raise ValueError("SpecDecodeEngine supports greedy sampling only")
         if ecfg.decode_chunk != 1:
             raise ValueError("decode_chunk and speculation are exclusive")
         if ecfg.prefix_cache:
@@ -109,12 +113,22 @@ class SpecDecodeEngine(Engine):
         self._draft_write = jax.jit(
             functools.partial(llama_adapter.write_prefill, draft_cfg),
             static_argnames=("page_size",))
+        # The draft SAMPLES with the engine's params (greedy drafts under a
+        # non-greedy config would make q a point mass and bias rejection
+        # sampling — q must be the distribution the proposals were drawn
+        # from, and decode_loop + rejection_sample share one warp).
         self._draft_loop = jax.jit(
-            functools.partial(llama_adapter.decode_loop, draft_cfg),
-            static_argnames=("n_steps", "page_size"))
+            functools.partial(llama_adapter.decode_loop, draft_cfg,
+                              sampling=ecfg.sampling),
+            static_argnames=("n_steps", "page_size", "return_logits"))
         self._verify = jax.jit(
             functools.partial(llama_adapter.verify_step, cfg),
             static_argnames=("page_size",))
+        if not self.sampling.greedy:
+            from quantizedmha_tpu.serving.sampling import rejection_sample
+
+            self._rejection = jax.jit(functools.partial(
+                rejection_sample, params=self.sampling))
 
     # -- admission: prefill BOTH models ---------------------------------------
 
@@ -214,17 +228,28 @@ class SpecDecodeEngine(Engine):
         self._check_extend_headroom(S)
 
         # 1. draft proposes k tokens (fused loop on the draft cache).
+        greedy = self.sampling.greedy
         self._reserve(self.draft_alloc, seq_ids, k)
         d_tables = np.zeros((B, max_pages), np.int32)
         d_tables[:nseq] = self.draft_alloc.block_table_array(seq_ids, max_pages)
         with self.metrics.timed("draft"):
             self._key, loop_key = jax.random.split(self._key)
-            drafts, self.draft_cache = self._draft_loop(
-                self.draft_params, self.draft_cache,
-                jnp.asarray(tokens0), jnp.asarray(lengths0),
-                jnp.asarray(d_tables), loop_key,
-                n_steps=k, page_size=page_size)
-            drafts = np.asarray(drafts)  # [k, B]
+            d_logits = None
+            if greedy:
+                drafts_j, self.draft_cache = self._draft_loop(
+                    self.draft_params, self.draft_cache,
+                    jnp.asarray(tokens0), jnp.asarray(lengths0),
+                    jnp.asarray(d_tables), loop_key,
+                    n_steps=k, page_size=page_size)
+            else:
+                # Rejection sampling needs the draft's per-position
+                # distribution (its q) alongside the proposals.
+                drafts_j, self.draft_cache, d_logits = self._draft_loop(
+                    self.draft_params, self.draft_cache,
+                    jnp.asarray(tokens0), jnp.asarray(lengths0),
+                    jnp.asarray(d_tables), loop_key,
+                    n_steps=k, page_size=page_size, return_logits=True)
+            drafts = np.asarray(drafts_j)  # [k, B]
 
         # 2. target verifies pending + drafts in one forward.
         self._reserve(self.alloc, seq_ids, S)
@@ -243,7 +268,19 @@ class SpecDecodeEngine(Engine):
                 jnp.asarray(lengths0), jnp.asarray(page_sched),
                 jnp.asarray(slot_sched), jnp.asarray(t_tables),
                 page_size=page_size)
-            target = np.asarray(jnp.argmax(logits, axis=-1))  # [B, S]
+            if greedy:
+                target = np.asarray(jnp.argmax(logits, axis=-1))  # [B, S]
+            else:
+                # Device-side rejection sampling: accept/replace without
+                # shipping [B, S, vocab] logits to the host. logits[:, j]
+                # is the target distribution for the token at position
+                # L+j, i.e. aligned with draft position j for j < k.
+                self._key, rkey = jax.random.split(self._key)
+                n_acc_j, repl_j = self._rejection(
+                    jnp.transpose(d_logits, (1, 0, 2)), logits[:, :k],
+                    jnp.asarray(drafts.T), rkey)
+                n_acc = np.asarray(n_acc_j)    # [B]
+                repl = np.asarray(repl_j)      # [B]
 
         # 3. host acceptance + 4. rollbacks.
         #
@@ -256,12 +293,18 @@ class SpecDecodeEngine(Engine):
         self.metrics.inc("spec_rounds")
         still_active = []
         for i, seq in enumerate(self.active):
-            accepted = 0
-            while accepted < k and drafts[accepted, i] == target[i, accepted]:
-                accepted += 1
+            if greedy:
+                accepted = 0
+                while accepted < k and drafts[accepted, i] == target[i, accepted]:
+                    accepted += 1
+                correction = int(target[i, accepted]) if accepted < k else None
+            else:
+                accepted = int(n_acc[i])
+                correction = int(repl[i]) if accepted < k else None
             if accepted < k:
-                # a accepted drafts + the target's correction token.
-                emitted = [int(t) for t in target[i, : accepted + 1]]
+                # accepted drafts + the correction token (greedy: the
+                # target argmax; sampled: the residual-distribution draw).
+                emitted = [int(t) for t in drafts[:accepted, i]] + [correction]
                 new_len = int(lengths0[i]) + accepted + 1
             else:
                 # all k accepted: emit them; d_k becomes the new pending.

@@ -118,9 +118,6 @@ def test_page_rollover_in_speculation(models):
 
 def test_guards(models):
     cfg, params, draft_cfg, draft_params = models
-    with pytest.raises(ValueError, match="greedy"):
-        SpecDecodeEngine(cfg, params, draft_cfg, draft_params,
-                         _ecfg(sampling=SamplingParams(temperature=1.0)))
     with pytest.raises(ValueError, match="exclusive"):
         SpecDecodeEngine(cfg, params, draft_cfg, draft_params,
                          _ecfg(decode_chunk=4))
@@ -221,3 +218,40 @@ def test_speculation_trims_window_pages(models):
     out = eng.run()
     assert len(out[0]) == 24
     assert eng.metrics.counter("pages_trimmed") > 0
+
+
+def test_sampled_speculation_runs_and_completes(models):
+    """temperature>0 speculation (rejection sampling): every request
+    completes with the right count, pages recycle, and acceptance is
+    sane."""
+    cfg, params, draft_cfg, draft_params = models
+    rng = np.random.default_rng(21)
+    eng = SpecDecodeEngine(
+        cfg, params, draft_cfg, draft_params,
+        _ecfg(sampling=SamplingParams(temperature=0.8, top_k=40, seed=3),
+              max_new_tokens=8),
+        SpecConfig(num_draft_tokens=3))
+    rids = [eng.add_request(rng.integers(0, cfg.vocab_size, n).tolist())
+            for n in (10, 24)]
+    out = eng.run()
+    assert set(out) == set(rids)
+    assert all(len(t) == 8 for t in out.values())
+    assert 0.0 <= eng.acceptance_rate <= 1.0
+    assert eng.alloc.free_pages == eng.ecfg.num_pages - 1
+    assert eng.draft_alloc.free_pages == eng.ecfg.num_pages - 1
+
+
+def test_sampled_self_speculation_accepts_everything(models):
+    """Draft == target => q == p pointwise => min(1, p/q) = 1: rejection
+    sampling must accept every draft token (up to the small numeric delta
+    between the verify and decode attention kernels)."""
+    cfg, params, _, _ = models
+    eng = SpecDecodeEngine(
+        cfg, params, cfg, params,
+        _ecfg(sampling=SamplingParams(temperature=1.0, seed=11),
+              max_new_tokens=12),
+        SpecConfig(num_draft_tokens=4))
+    eng.add_request([5, 9, 2, 1, 13, 8])
+    out = eng.run()
+    assert len(out[0]) == 12
+    assert eng.acceptance_rate > 0.7, eng.acceptance_rate
