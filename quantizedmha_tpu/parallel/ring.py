@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from quantizedmha_tpu.ops.flash_attention import flash_attention
-from quantizedmha_tpu.ops.flash_attention_int8 import flash_attention_int8_prequant
+from quantizedmha_tpu.ops.flash_attention_int8 import (
+    flash_attention_int8_prequant,
+    flash_attention_int8_t_prequant,
+)
 from quantizedmha_tpu.ops.quantize import quantize_kv_blocks
 from quantizedmha_tpu.parallel.combine import merge_partial_attention, merge_two_partials
 
@@ -183,16 +186,24 @@ def ring_attention_int8(
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
+    # head_dim <= 64: the transposed-score orientation (fastest at small
+    # head_dim) now carries lse + traced offsets, so ring steps run it
+    # directly instead of falling back to the standard orientation.
+    transposed = q.shape[-1] <= 64
+
     def compute(step, o_acc, lse_acc, k_blk, ks, v_blk, vs):
         src = jax.lax.rem(idx - step + n, n)
         kv_offset = (src * kv_shard_len).astype(jnp.int32)
-        o_s, lse_s = flash_attention_int8_prequant(
+        kern = (flash_attention_int8_t_prequant if transposed
+                else flash_attention_int8_prequant)
+        kw = {} if transposed else {"block_kv": block_kv}
+        o_s, lse_s = kern(
             q, k_blk, ks, v_blk, vs,
-            sm_scale=sm_scale, causal=causal, block_kv=block_kv,
+            sm_scale=sm_scale, causal=causal,
             q_offset=q_offset, kv_offset=kv_offset,
             window=window, logit_softcap=logit_softcap,
             attention_sinks=attention_sinks,
-            save_residuals=True, interpret=interpret,
+            save_residuals=True, interpret=interpret, **kw,
         )
         return merge_two_partials(o_acc, lse_acc, o_s, lse_s)
 
