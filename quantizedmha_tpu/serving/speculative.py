@@ -88,10 +88,6 @@ class SpecDecodeEngine(Engine):
         scfg = (scfg if scfg is not None else SpecConfig()).validate()
         if ecfg.decode_chunk != 1:
             raise ValueError("decode_chunk and speculation are exclusive")
-        if ecfg.prefix_cache:
-            raise ValueError(
-                "prefix_cache and speculation are exclusive for now (the "
-                "draft model's cache would need its own shared pages)")
         if draft_cfg.vocab_size != cfg.vocab_size:
             raise ValueError("draft and target must share a vocabulary")
         super().__init__(cfg, params, ecfg)
@@ -110,6 +106,9 @@ class SpecDecodeEngine(Engine):
 
         self._draft_prefill = jax.jit(
             functools.partial(llama_adapter.prefill_at, draft_cfg))
+        self._draft_prefill_chunk = jax.jit(
+            functools.partial(llama_adapter.prefill_chunk, draft_cfg),
+            static_argnames=("page_size",))
         self._draft_write = jax.jit(
             functools.partial(llama_adapter.write_prefill, draft_cfg),
             static_argnames=("page_size",))
@@ -131,28 +130,29 @@ class SpecDecodeEngine(Engine):
                 rejection_sample, params=self.sampling))
 
     # -- admission: prefill BOTH models ---------------------------------------
+    #
+    # Hooks into Engine's skip-ahead admission: _fits gates on BOTH pools
+    # (lockstep), _dispatch_admit runs the target path (bucketed, chunked,
+    # or prefix-cached) then mirrors the prefill on the draft side for
+    # exactly the request that was dispatched — whichever queue position it
+    # came from. The draft never shares prefix pages (its cache is
+    # independent), so under prefix_cache it simply prefills fully.
 
-    def _try_admit(self) -> bool:
-        if not self.queue:
-            return False
-        n_head = len(self.queue[0][1])
-        if n_head > max(self.ecfg.prefill_buckets):
-            raise NotImplementedError(
-                "chunked prefill + speculation not wired up; raise the "
-                "prefill bucket or use the plain Engine for long prompts")
-        if not self.draft_alloc.can_admit(n_head):
-            return False  # keep target and draft admission in lockstep
-        rid, prompt, _ = self.queue[0]  # super pops exactly this head
-        admitted = super()._try_admit()
-        if not admitted:
-            return False
+    def _fits(self, prompt) -> bool:
+        return super()._fits(prompt) and self.draft_alloc.can_admit(len(prompt))
+
+    def _dispatch_admit(self, rid, prompt, max_new) -> None:
+        super()._dispatch_admit(rid, prompt, max_new)
         if all(seq.seq_id != rid for seq in self.active):
             # Finished at activation (EOS on the prefill token / max_new=1):
             # the target already released; skip the draft prefill entirely —
             # admitting it would LEAK draft pages (nothing releases a seq
             # that never becomes active).
-            return True
+            return
         n = len(prompt)
+        if n > max(self.ecfg.prefill_buckets):
+            self._draft_admit_chunked(rid, prompt)
+            return
         pages = self.draft_alloc.admit(rid, n)
         bucket = self._bucket(n)
         toks = np.zeros((1, bucket), np.int32)
@@ -160,7 +160,7 @@ class SpecDecodeEngine(Engine):
         _, k_all, v_all = self._draft_prefill(
             self.draft_params, jnp.asarray(toks), jnp.int32(n - 1))
         # Zero padded rows before the page write (scale-inflation guard,
-        # same as Engine._try_admit).
+        # same as Engine's bucketed admission).
         n_write = len(pages) * self.ecfg.page_size
         k_w = k_all[:, :, :n_write]
         v_w = v_all[:, :, :n_write]
@@ -171,7 +171,32 @@ class SpecDecodeEngine(Engine):
         self.draft_cache = self._draft_write(
             self.draft_cache, k_w, v_w,
             jnp.asarray(pages, jnp.int32), page_size=self.ecfg.page_size)
-        return True
+
+    def _draft_admit_chunked(self, rid, prompt) -> None:
+        """Draft-side mirror of Engine._admit_chunked: prefill the long
+        prompt into the DRAFT paged cache chunk by chunk (logits discarded;
+        only the cached K/V matters for future draft proposals)."""
+        chunk = max(self.ecfg.prefill_buckets)
+        n = len(prompt)
+        n_chunks_total = -(-n // chunk)
+        if (n_chunks_total * chunk // self.ecfg.page_size
+                > self.ecfg.max_pages_per_seq):
+            raise ValueError(
+                f"request {rid}: draft chunked prefill exceeds "
+                f"max_pages_per_seq ({self.ecfg.max_pages_per_seq})")
+        self.draft_alloc.admit(rid, n)
+        table = self.draft_alloc.block_table_array(
+            [rid], self.ecfg.max_pages_per_seq)[0]
+        table_j = jnp.asarray(table, jnp.int32)
+        for ci in range(n_chunks_total):
+            part = prompt[ci * chunk:(ci + 1) * chunk]
+            toks = np.zeros((1, chunk), np.int32)
+            toks[0, :len(part)] = part
+            _, self.draft_cache = self._draft_prefill_chunk(
+                self.draft_params, self.draft_cache, jnp.asarray(toks),
+                jnp.int32(ci * chunk), table_j, jnp.int32(len(part) - 1),
+                page_size=self.ecfg.page_size,
+            )
 
     # -- one speculation round -------------------------------------------------
 

@@ -255,3 +255,30 @@ def test_sampled_self_speculation_accepts_everything(models):
     out = eng.run()
     assert len(out[0]) == 12
     assert eng.acceptance_rate > 0.7, eng.acceptance_rate
+
+
+def test_chunked_prefill_with_speculation(models):
+    """Prompts longer than the largest bucket now speculate too: the target
+    admits via chunked prefill and the draft mirrors it into its own cache.
+    The stream must stay k-invariant and pages must fully recycle."""
+    prompt = list(np.random.default_rng(31).integers(1, 200, 40))
+    _, base = _run_spec(models, 1, [prompt], max_new_tokens=6)
+    eng, got = _run_spec(models, 3, [prompt], max_new_tokens=6)
+    assert got == base
+    assert eng.alloc.free_pages == eng.ecfg.num_pages - 1
+    assert eng.draft_alloc.free_pages == eng.ecfg.num_pages - 1
+
+
+def test_prefix_cache_with_speculation(models):
+    """prefix_cache + speculation compose: the target shares page-aligned
+    prefixes; the draft (independent cache) prefills fully. Output equals
+    the non-cached spec engine's."""
+    rng = np.random.default_rng(33)
+    shared = rng.integers(1, 200, 16).tolist()
+    prompts = [shared + [7, 8, 9], shared + [11, 12]]
+    _, base = _run_spec(models, 2, prompts, max_new_tokens=5)
+    eng, got = _run_spec(models, 2, prompts, max_new_tokens=5,
+                         prefix_cache=True)
+    assert got == base
+    assert eng.metrics.counter("prefix_cache_hits") >= 1
+    assert eng.draft_alloc.free_pages == eng.ecfg.num_pages - 1
