@@ -90,12 +90,19 @@ def benchmark(
     warmup: int = 2,
     runs: int = 16,
     repeats: int = 3,
+    min_signal_s: float = 0.15,
 ) -> Timing:
     """Estimate per-execution latency of `fn(*args)`.
 
     warmup: executions before timing (includes compile).
     runs:   K2 of the two-point fit (K1 = max(1, runs // 4)).
     repeats: batch-time samples per K; medians are differenced.
+    min_signal_s: floor on the (K2-K1) * per-run compute inside each fit.
+      The tunnel's per-sync overhead is ~40 ms AND spiky; a fit whose
+      signal is comparable to that jitter can collapse to ~0 (measured:
+      a 0.9 ms kernel reported 0.016 ms at runs=24). After warmup a rough
+      per-call estimate scales `runs` up (capped at 512) until the fit
+      carries at least this much real work.
     """
     if runs < 2:
         raise ValueError(f"runs must be >= 2 for the two-point fit, got {runs}")
@@ -104,6 +111,15 @@ def benchmark(
         out = fn(*args)
     _sync(out)
 
+    if min_signal_s > 0:
+        # Difference two sizing batches so the constant sync overhead
+        # cancels (using a single batch's mean would fold ~5 ms/call of
+        # overhead into the estimate and undersize `runs`).
+        t8 = _timed_batch(fn, args, 8)
+        t24 = _timed_batch(fn, args, 24)
+        est0 = max((t24 - t8) / 16, t24 / 24 / 4, 1e-7)
+        need = int(min_signal_s / est0) + 1
+        runs = max(runs, min(need + max(1, need // 4), 512))
     k1 = max(1, runs // 4)
     t1s, t2s = [], []
     # A tunnel spike landing in a small-K batch can push median t(K1) above

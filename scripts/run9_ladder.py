@@ -424,7 +424,9 @@ def interleaved(variants, args, rounds=7):
         return {}
     t_est = statistics.median(ests)
     k1 = 2
-    k2 = min(max(k1 + int(round(0.12 / max(t_est, 1e-5))), k1 + 6), 64)
+    # >=150 ms of signal per fit: the tunnel's per-sync overhead is ~40 ms
+    # and spiky — smaller fits can collapse (see memory/tpu-bench-variance).
+    k2 = min(max(k1 + int(round(0.15 / max(t_est, 1e-5))), k1 + 6), 512)
     t1s = {name: [] for name in live}
     t2s = {name: [] for name in live}
     for _ in range(rounds):
