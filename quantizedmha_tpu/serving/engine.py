@@ -88,9 +88,9 @@ class Engine:
                 f"prefill_buckets {bad} are not multiples of "
                 f"page_size={ecfg.page_size}")
         self.cache = llama_adapter.make_cache(cfg, ecfg.num_pages, ecfg.page_size)
-        # Page 0 is reserved as the scrap target for padded batch lanes.
-        self.alloc = PageAllocator(ecfg.num_pages, ecfg.page_size)
-        self.alloc._free.remove(0)
+        # Page 0 is the allocator's first-class scrap page (the DMA
+        # target for padded batch lanes and trimmed table slots).
+        self.alloc = PageAllocator(ecfg.num_pages, ecfg.page_size, scrap_page=0)
         self.queue: deque = deque()
         # Prefix cache: sha1 chain over page-sized token chunks -> page id.
         self._prefix_map: Dict[bytes, int] = {}
@@ -460,7 +460,7 @@ class Engine:
         self.metrics.inc("decode_steps")
         self.metrics.inc("tokens_generated", nseq)
         self.metrics.set("active_sequences", nseq)
-        self.metrics.set("free_pages", len(self.alloc._free))
+        self.metrics.set("free_pages", self.alloc.free_pages)
 
         still_active = []
         for i, seq in enumerate(self.active):
@@ -491,7 +491,7 @@ class Engine:
                 seq.seq_id, w, self.cfg.attention_sinks)
         if freed:
             self.metrics.inc("pages_trimmed", freed)
-            self.metrics.set("free_pages", len(self.alloc._free))
+            self.metrics.set("free_pages", self.alloc.free_pages)
 
     def _step_fused(self, chunk: int) -> None:
         """One fused engine step: `chunk` decode iterations on-device with a
@@ -547,7 +547,7 @@ class Engine:
                 still_active.append(seq)
         self.active = still_active
         self._trim_windows()
-        self.metrics.set("free_pages", len(self.alloc._free))
+        self.metrics.set("free_pages", self.alloc.free_pages)
 
     def run(self) -> Dict[int, List[int]]:
         """Drive until queue and active set drain; returns {req_id: tokens}."""

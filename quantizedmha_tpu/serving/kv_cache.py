@@ -145,10 +145,20 @@ class PageAllocator:
     The scheduler's bookkeeping: O(1) allocate/free, no device interaction.
     """
 
-    def __init__(self, num_pages: int, page_size: int):
+    def __init__(self, num_pages: int, page_size: int,
+                 scrap_page: Optional[int] = None):
+        """scrap_page: a page PERMANENTLY reserved as the harmless DMA
+        target for padded batch lanes and window-trimmed table slots. It is
+        never allocated, never freed, and block_table_array maps trimmed
+        (None) slots to it — first-class here rather than a convention
+        enforced by callers reaching into _free (round-1 advisor finding).
+        """
         self.num_pages = num_pages
         self.page_size = page_size
-        self._free: List[int] = list(range(num_pages - 1, -1, -1))
+        self.scrap_page = scrap_page
+        self._free: List[int] = [
+            p for p in range(num_pages - 1, -1, -1) if p != scrap_page
+        ]
         self.tables: Dict[int, List[int]] = {}
         self.lengths: Dict[int, int] = {}
         # Prefix-cache support: pages referenced by >1 sequence carry a
@@ -275,10 +285,11 @@ class PageAllocator:
         self.lengths.pop(seq_id)
 
     def block_table_array(self, seq_ids: List[int], max_pages: int) -> np.ndarray:
-        out = np.zeros((len(seq_ids), max_pages), np.int32)
+        scrap = self.scrap_page if self.scrap_page is not None else 0
+        out = np.full((len(seq_ids), max_pages), scrap, np.int32)
         for row, sid in enumerate(seq_ids):
             t = self.tables[sid]
-            out[row, : len(t)] = [0 if p is None else p for p in t]
+            out[row, : len(t)] = [scrap if p is None else p for p in t]
         return out
 
     def lengths_array(self, seq_ids: List[int]) -> np.ndarray:

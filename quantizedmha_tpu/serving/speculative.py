@@ -101,8 +101,8 @@ class SpecDecodeEngine(Engine):
             draft_cfg, ecfg.num_pages, ecfg.page_size)
         from quantizedmha_tpu.serving.kv_cache import PageAllocator
 
-        self.draft_alloc = PageAllocator(ecfg.num_pages, ecfg.page_size)
-        self.draft_alloc._free.remove(0)
+        self.draft_alloc = PageAllocator(ecfg.num_pages, ecfg.page_size,
+                                        scrap_page=0)
 
         self._draft_prefill = jax.jit(
             functools.partial(llama_adapter.prefill_at, draft_cfg))
@@ -371,7 +371,7 @@ class SpecDecodeEngine(Engine):
                 self.draft_alloc.trim_window(
                     seq.seq_id, self.draft_cfg.sliding_window,
                     self.draft_cfg.attention_sinks)
-        self.metrics.set("free_pages", len(self.alloc._free))
+        self.metrics.set("free_pages", self.alloc.free_pages)
 
     @property
     def acceptance_rate(self) -> float:

@@ -28,8 +28,7 @@ def test_prefill_chunk_logits_track_full_forward(model, rng):
     prompt = rng.integers(1, cfg.vocab_size, n).tolist()
 
     cache = llama_adapter.make_cache(cfg, 32, page_size)
-    alloc = PageAllocator(32, page_size)
-    alloc._free.remove(0)
+    alloc = PageAllocator(32, page_size, scrap_page=0)
     alloc.admit(0, n)
     table = jnp.asarray(alloc.block_table_array([0], max_pages)[0], jnp.int32)
 
@@ -125,8 +124,7 @@ def test_prefill_chunk_honors_sliding_window(rng):
     prompt = rng.integers(1, cfg.vocab_size, n).tolist()
 
     cache = llama_adapter.make_cache(cfg, 32, page_size)
-    alloc = PageAllocator(32, page_size)
-    alloc._free.remove(0)
+    alloc = PageAllocator(32, page_size, scrap_page=0)
     alloc.admit(0, n)
     table = jnp.asarray(alloc.block_table_array([0], max_pages)[0], jnp.int32)
 

@@ -30,8 +30,7 @@ def test_decode_path_matches_full_forward(tiny_model):
 
     page_size = 128
     cache = llama_adapter.make_cache(cfg, num_pages=8, page_size=page_size)
-    alloc = PageAllocator(8, page_size)
-    alloc._free.remove(0)
+    alloc = PageAllocator(8, page_size, scrap_page=0)
     pages = alloc.admit(0, len(prompt))
 
     toks = np.zeros((1, 128), np.int32)
@@ -163,8 +162,7 @@ def test_rolling_window_page_trim():
 def test_allocator_trim_window_bookkeeping():
     from quantizedmha_tpu.serving.kv_cache import PageAllocator
 
-    alloc = PageAllocator(16, 4)
-    alloc._free.remove(0)
+    alloc = PageAllocator(16, 4, scrap_page=0)
     pages = alloc.admit(7, 40)  # 10 pages, positions 0..39
     free_before = alloc.free_pages
     # window 8 -> first needed position 32 -> block 8; sinks 4 -> block 0 kept
