@@ -40,6 +40,7 @@ def config_from_hf(path) -> LlamaConfig:
     """Build a LlamaConfig from a HF config.json (llama/mistral families)."""
     cfg = json.loads((pathlib.Path(path) / "config.json").read_text())
     n_heads = cfg["num_attention_heads"]
+    archs = " ".join(cfg.get("architectures", []) or [])
     return LlamaConfig(
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
@@ -51,6 +52,8 @@ def config_from_hf(path) -> LlamaConfig:
         rope_theta=float(cfg.get("rope_theta", 10000.0)),
         rms_eps=float(cfg.get("rms_norm_eps", 1e-5)),
         sliding_window=cfg.get("sliding_window"),
+        # Llama configs carry an explicit flag; Qwen2's bias is implicit.
+        attention_bias=bool(cfg.get("attention_bias", "Qwen2" in archs)),
     )
 
 
@@ -88,13 +91,16 @@ class _ShardedReader:
 
 
 def _unpermute_rope(w: np.ndarray, n_heads: int, head_dim: int) -> np.ndarray:
-    """Invert the HF conversion permute on a [out, in] q/k projection.
+    """Invert the HF conversion permute on a q/k projection WEIGHT
+    [out, in] or BIAS [out] (the bias transforms like a column of W).
 
     HF's convert script reorders each head's output rows from interleaved
     (f0, f0', f1, f1', ...) to half-split (f0, f1, ..., f0', f1', ...) so
     `rotate_half` RoPE works. Our apply_rope rotates interleaved pairs
     (reference/mha.py:36), so invert: rows (head, 2, hd/2) -> (head, hd/2, 2).
     """
+    if w.ndim == 1:
+        return _unpermute_rope(w[:, None], n_heads, head_dim)[:, 0]
     out, inp = w.shape
     w = w.reshape(n_heads, 2, head_dim // 2, inp)
     return np.ascontiguousarray(w.transpose(0, 2, 1, 3)).reshape(out, inp)
@@ -131,15 +137,26 @@ def load_llama(
         # HF stores [out_features, in_features]; ours is [in, out].
         return np.ascontiguousarray(w.T)
 
-    layers: Dict[str, list] = {k: [] for k in (
-        "attn_norm", "wq", "wk", "wv", "wo", "mlp_norm",
-        "w_gate", "w_up", "w_down")}
+    names = ["attn_norm", "wq", "wk", "wv", "wo", "mlp_norm",
+             "w_gate", "w_up", "w_down"]
+    if cfg.attention_bias:
+        names += ["bq", "bk", "bv"]
+    layers: Dict[str, list] = {k: [] for k in names}
     for i in range(cfg.num_layers):
         layers["attn_norm"].append(
             reader.get(f"model.layers.{i}.input_layernorm.weight"))
         layers["wq"].append(proj("self_attn.q_proj", i, "q"))
         layers["wk"].append(proj("self_attn.k_proj", i, "k"))
         layers["wv"].append(proj("self_attn.v_proj", i, "-"))
+        if cfg.attention_bias:
+            layers["bq"].append(_unpermute_rope(
+                reader.get(f"model.layers.{i}.self_attn.q_proj.bias"),
+                cfg.num_heads, hd))
+            layers["bk"].append(_unpermute_rope(
+                reader.get(f"model.layers.{i}.self_attn.k_proj.bias"),
+                cfg.num_kv_heads, hd))
+            layers["bv"].append(
+                reader.get(f"model.layers.{i}.self_attn.v_proj.bias"))
         layers["wo"].append(proj("self_attn.o_proj", i, "-"))
         layers["mlp_norm"].append(
             reader.get(f"model.layers.{i}.post_attention_layernorm.weight"))
@@ -229,6 +246,8 @@ def save_llama_synthetic(path, cfg: LlamaConfig, seed: int = 0,
     rng = np.random.default_rng(seed)
 
     def permute(w, n_heads):  # inverse of _unpermute_rope (HF's convert)
+        if w.ndim == 1:
+            return permute(w[:, None], n_heads)[:, 0]
         out, inp = w.shape
         w = w.reshape(n_heads, hd // 2, 2, inp)
         return np.ascontiguousarray(w.transpose(0, 2, 1, 3)).reshape(out, inp)
@@ -261,6 +280,12 @@ def save_llama_synthetic(path, cfg: LlamaConfig, seed: int = 0,
             cfg.intermediate_size, cfg.hidden_size)
         tensors[pre + "mlp.down_proj.weight"] = r(
             cfg.hidden_size, cfg.intermediate_size)
+        if cfg.attention_bias:
+            tensors[pre + "self_attn.q_proj.bias"] = permute(
+                r(cfg.num_heads * hd), cfg.num_heads)
+            tensors[pre + "self_attn.k_proj.bias"] = permute(
+                r(cfg.num_kv_heads * hd), cfg.num_kv_heads)
+            tensors[pre + "self_attn.v_proj.bias"] = r(cfg.num_kv_heads * hd)
 
     (p / "config.json").write_text(json.dumps(dict(
         architectures=["LlamaForCausalLM"],
@@ -274,6 +299,7 @@ def save_llama_synthetic(path, cfg: LlamaConfig, seed: int = 0,
         rope_theta=cfg.rope_theta,
         rms_norm_eps=cfg.rms_eps,
         sliding_window=cfg.sliding_window,
+        attention_bias=cfg.attention_bias,
     )))
     if shards == 1:
         save_file(tensors, p / "model.safetensors")

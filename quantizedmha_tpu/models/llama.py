@@ -54,6 +54,9 @@ class LlamaConfig:
     # StreamingLLM attention sinks: first N positions stay visible beyond
     # the sliding window (only meaningful with sliding_window set).
     attention_sinks: int = 0
+    # Qwen2-style additive bias on the q/k/v projections (the o/MLP
+    # projections stay bias-free in that family too).
+    attention_bias: bool = False
 
     @property
     def hd(self) -> int:
@@ -83,6 +86,15 @@ class LlamaConfig:
         )
 
     @staticmethod
+    def qwen2_7b() -> "LlamaConfig":
+        # Qwen2.5-7B shape: GQA 28/4, q/k/v biases, 1M-theta RoPE.
+        return LlamaConfig(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_layers=28, num_heads=28, num_kv_heads=4,
+            rope_theta=1000000.0, attention_bias=True,
+        )
+
+    @staticmethod
     def tiny(**kw) -> "LlamaConfig":
         base = dict(
             vocab_size=256, hidden_size=128, intermediate_size=256,
@@ -103,19 +115,22 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict[str, Any]:
     layers = []
     for i in range(cfg.num_layers):
         lk = jax.random.split(keys[i], 7)
-        layers.append(
-            dict(
-                attn_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
-                wq=dense(lk[0], (cfg.hidden_size, cfg.num_heads * hd)),
-                wk=dense(lk[1], (cfg.hidden_size, cfg.num_kv_heads * hd)),
-                wv=dense(lk[2], (cfg.hidden_size, cfg.num_kv_heads * hd)),
-                wo=dense(lk[3], (cfg.num_heads * hd, cfg.hidden_size)),
-                mlp_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
-                w_gate=dense(lk[4], (cfg.hidden_size, cfg.intermediate_size)),
-                w_up=dense(lk[5], (cfg.hidden_size, cfg.intermediate_size)),
-                w_down=dense(lk[6], (cfg.intermediate_size, cfg.hidden_size)),
-            )
+        layer = dict(
+            attn_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
+            wq=dense(lk[0], (cfg.hidden_size, cfg.num_heads * hd)),
+            wk=dense(lk[1], (cfg.hidden_size, cfg.num_kv_heads * hd)),
+            wv=dense(lk[2], (cfg.hidden_size, cfg.num_kv_heads * hd)),
+            wo=dense(lk[3], (cfg.num_heads * hd, cfg.hidden_size)),
+            mlp_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
+            w_gate=dense(lk[4], (cfg.hidden_size, cfg.intermediate_size)),
+            w_up=dense(lk[5], (cfg.hidden_size, cfg.intermediate_size)),
+            w_down=dense(lk[6], (cfg.intermediate_size, cfg.hidden_size)),
         )
+        if cfg.attention_bias:
+            layer["bq"] = jnp.zeros((cfg.num_heads * hd,), cfg.dtype)
+            layer["bk"] = jnp.zeros((cfg.num_kv_heads * hd,), cfg.dtype)
+            layer["bv"] = jnp.zeros((cfg.num_kv_heads * hd,), cfg.dtype)
+        layers.append(layer)
     return dict(
         embed=dense(keys[-2], (cfg.vocab_size, cfg.hidden_size), scale=0.02),
         layers=jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
@@ -139,6 +154,11 @@ def param_shardings(cfg: LlamaConfig) -> Dict[str, Any]:
         w_up=P(None, None, "tp"),
         w_down=P(None, "tp", None),
     )
+    if cfg.attention_bias:
+        # biases shard with their projection's output (column) dim
+        layer["bq"] = P(None, "tp")
+        layer["bk"] = P(None, "tp")
+        layer["bv"] = P(None, "tp")
     return dict(
         embed=P(None, None),
         layers=layer,
@@ -151,6 +171,16 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def qkv_proj(dense, h, p: Dict[str, Any], w: str, b: str):
+    """q/k/v projection with optional Qwen2-style additive bias — present
+    iff the layer dict carries the bias key (a STATIC property, so the
+    no-bias path compiles to a bare matmul under lax.scan)."""
+    out = dense(h, p[w])
+    if b in p:
+        out = out + p[b]
+    return out
 
 
 def _attention(cfg: LlamaConfig, q, k, v, *, causal=True):
@@ -187,9 +217,9 @@ def decoder_layer(cfg: LlamaConfig, p: Dict[str, Any], x: jnp.ndarray,
     hd = cfg.hd
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
     h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-    q = dense(h, p["wq"]).reshape(b, s, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-    k = dense(h, p["wk"]).reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
-    v = dense(h, p["wv"]).reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+    q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, s, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+    k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+    v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
     q = apply_rope(q, cfg.rope_theta, positions)
     k = apply_rope(k, cfg.rope_theta, positions)
     o = _attention(cfg, q, k, v, causal=True)

@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from quantizedmha_tpu.models.llama import LlamaConfig, rms_norm, _attention
+from quantizedmha_tpu.models.llama import LlamaConfig, rms_norm, _attention, qkv_proj
 from quantizedmha_tpu.quant.weights import qdense
 from quantizedmha_tpu.ops.decode import paged_decode_attention
 from quantizedmha_tpu.reference.mha import apply_rope
@@ -79,9 +79,9 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
 
     def body(x, p):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-        q = dense(h, p["wq"]).reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        k = dense(h, p["wk"]).reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
-        v = dense(h, p["wv"]).reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cfg.rope_theta)
         k = apply_rope(k, cfg.rope_theta)
         kv_k, kv_v = k, v  # cached post-RoPE
@@ -156,9 +156,9 @@ def prefill_chunk(
     def body(x, scanned):
         p, cache_l = scanned
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-        q = dense(h, p["wq"]).reshape(b, C, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        k = dense(h, p["wk"]).reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
-        v = dense(h, p["wv"]).reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, C, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cfg.rope_theta, positions)
         k = apply_rope(k, cfg.rope_theta, positions)
 
@@ -256,9 +256,9 @@ def verify_step(
     def body(x, scanned):
         p, cache_l = scanned
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-        q = dense(h, p["wq"]).reshape(b, S, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        k = dense(h, p["wk"]).reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
-        v = dense(h, p["wv"]).reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, S, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         q = _rope_positions(q, positions, cfg.rope_theta)
         k = _rope_positions(k, positions, cfg.rope_theta)
 
@@ -317,9 +317,9 @@ def decode_step(
     def body(x, scanned):
         p, cache_l = scanned
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-        q = dense(h, p["wq"]).reshape(b, cfg.num_heads, hd)
-        k = dense(h, p["wk"]).reshape(b, cfg.num_kv_heads, hd)
-        v = dense(h, p["wv"]).reshape(b, cfg.num_kv_heads, hd)
+        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, cfg.num_heads, hd)
+        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, cfg.num_kv_heads, hd)
+        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, cfg.num_kv_heads, hd)
         # RoPE at each sequence's absolute position.
         q = _rope_single(q, positions, cfg.rope_theta)
         k = _rope_single(k, positions, cfg.rope_theta)

@@ -47,26 +47,32 @@ def local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
     )
 
 
-def tp_param_specs(axis: str = "tp") -> Dict[str, Any]:
+def tp_param_specs(axis: str = "tp", attention_bias: bool = False) -> Dict[str, Any]:
     """PartitionSpecs mirroring models.llama.init_params' structure.
 
     Column-sharding wq over the flattened [hid, H*hd] output dim splits on
     contiguous head groups (the reshape to [.., H, hd] is head-major), so
     each shard's heads line up with its shard of the kv cache.
     """
+    layers = dict(
+        attn_norm=P(None, None),
+        wq=P(None, None, axis),
+        wk=P(None, None, axis),
+        wv=P(None, None, axis),
+        wo=P(None, axis, None),
+        mlp_norm=P(None, None),
+        w_gate=P(None, None, axis),
+        w_up=P(None, None, axis),
+        w_down=P(None, axis, None),
+    )
+    if attention_bias:
+        # Qwen2-style q/k/v biases shard with their projection's output dim.
+        layers["bq"] = P(None, axis)
+        layers["bk"] = P(None, axis)
+        layers["bv"] = P(None, axis)
     return dict(
         embed=P(None, None),
-        layers=dict(
-            attn_norm=P(None, None),
-            wq=P(None, None, axis),
-            wk=P(None, None, axis),
-            wv=P(None, None, axis),
-            wo=P(None, axis, None),
-            mlp_norm=P(None, None),
-            w_gate=P(None, None, axis),
-            w_up=P(None, None, axis),
-            w_down=P(None, axis, None),
-        ),
+        layers=layers,
         final_norm=P(None),
         lm_head=P(None, None),
     )
@@ -132,7 +138,8 @@ class TPEngine(Engine):
         self.mesh = mesh
         self.axis = axis
 
-        pspecs = expand_param_specs(params, tp_param_specs(axis))
+        pspecs = expand_param_specs(
+            params, tp_param_specs(axis, attention_bias=cfg.attention_bias))
         cspecs = tp_cache_specs(axis)
         self.params = shard_tree(params, pspecs, mesh)
         self.cache = shard_tree(self.cache, cspecs, mesh)

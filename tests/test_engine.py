@@ -422,3 +422,51 @@ def test_skip_ahead_starvation_bound(tiny_model):
     engine.active.clear()                   # pretend it finished
     assert engine._head_bypass == 1
     assert engine._try_admit() is False     # starved: head-only scan now
+
+
+def test_engine_with_attention_bias_qwen2_style():
+    """A Qwen2-shaped model (q/k/v biases) runs the whole serving stack:
+    bucketed prefill, paged decode, completion — and the decode logits
+    track the full forward like the bias-free path does."""
+    cfg = LlamaConfig.tiny(num_layers=2, num_heads=4, num_kv_heads=2,
+                           dtype=jnp.float32, attention_bias=True)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    # init_params zero-initializes biases; randomize so the path matters.
+    params["layers"]["bq"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(4), params["layers"]["bq"].shape)
+    params["layers"]["bk"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(5), params["layers"]["bk"].shape)
+    params["layers"]["bv"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(6), params["layers"]["bv"].shape)
+    ecfg = EngineConfig(num_pages=8, page_size=128, max_batch=2,
+                        prefill_buckets=(128,), max_new_tokens=4)
+    engine = Engine(cfg, params, ecfg)
+    rid = engine.add_request([5, 3, 8, 1, 2])
+    out = engine.run()
+    assert len(out[rid]) == 4
+
+    # Greedy engine tokens must match plain greedy decode of forward().
+    toks = [5, 3, 8, 1, 2]
+    for _ in range(4):
+        logits = forward(cfg, params, jnp.asarray([toks], jnp.int32))
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    assert out[rid] == toks[5:]
+
+
+def test_tp_engine_with_attention_bias():
+    from quantizedmha_tpu.serving.sharded import TPEngine, make_tp_mesh
+
+    cfg = LlamaConfig.tiny(num_layers=1, num_heads=4, num_kv_heads=2,
+                           dtype=jnp.float32, attention_bias=True)
+    params = init_params(cfg, jax.random.PRNGKey(8))
+    params["layers"]["bq"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(9), params["layers"]["bq"].shape)
+    ecfg = EngineConfig(num_pages=16, page_size=16, max_batch=2,
+                        prefill_buckets=(16,), max_new_tokens=3)
+    ref = Engine(cfg, params, ecfg)
+    ref.add_request([1, 2, 3])
+    want = ref.run()
+    eng = TPEngine(cfg, params, ecfg, make_tp_mesh(2))
+    eng.add_request([1, 2, 3])
+    got = eng.run()
+    assert got == want

@@ -154,3 +154,62 @@ def test_tp_shard_on_load(ckpt):
     with mesh:
         logits = forward(CFG, params, tokens)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_qwen2_style_bias_roundtrip(tmp_path):
+    """Qwen2-family checkpoints carry q/k/v projection biases (q/k biases
+    HF-permuted for rotate-half RoPE like the weights). Load, run, and pin
+    the RoPE-equivalence of the bias path: rope(Wx + b) interleaved must
+    equal rotate-half rope of the HF-layout projection."""
+    cfg = LlamaConfig.tiny(num_layers=1, head_dim=16, attention_bias=True)
+    save_llama_synthetic(tmp_path, cfg, seed=4)
+    loaded_cfg = config_from_hf(tmp_path)
+    assert loaded_cfg.attention_bias
+    params = load_llama(tmp_path, cfg)
+    assert "bq" in params["layers"] and params["layers"]["bq"].shape == (
+        1, cfg.num_heads * cfg.hd)
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    logits = forward(cfg, params, tokens)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    # Bias actually matters: zeroing it must change the logits (the
+    # synthetic biases are random, not zero).
+    import copy
+
+    p0 = copy.deepcopy(params)
+    p0["layers"]["bq"] = jnp.zeros_like(p0["layers"]["bq"])
+    p0["layers"]["bk"] = jnp.zeros_like(p0["layers"]["bk"])
+    p0["layers"]["bv"] = jnp.zeros_like(p0["layers"]["bv"])
+    logits0 = forward(cfg, p0, tokens)
+    assert float(jnp.max(jnp.abs(logits - logits0))) > 1e-4
+
+
+def test_bias_rope_convention():
+    """q = W_hf x + b_hf under rotate-half RoPE == unpermute(W) x +
+    unpermute(b) under interleaved RoPE (modulo the row-order relabeling)."""
+    n_heads, hd, hidden, S = 2, 16, 32, 4
+    rng = np.random.default_rng(5)
+    w_hf = rng.standard_normal((n_heads * hd, hidden)).astype(np.float32)
+    b_hf = rng.standard_normal((n_heads * hd,)).astype(np.float32)
+    x = rng.standard_normal((S, hidden)).astype(np.float32)
+
+    w_m = _unpermute_rope(w_hf, n_heads, hd)
+    b_m = _unpermute_rope(b_hf, n_heads, hd)
+    q_m = ((x @ w_m.T) + b_m).reshape(S, n_heads, hd).transpose(1, 0, 2)[None]
+    got = np.asarray(apply_rope(jnp.asarray(q_m), 10000.0), np.float32)
+    got_half = np.concatenate([got[..., 0::2], got[..., 1::2]], -1)
+
+    def rotate_half_rope(q):
+        half = hd // 2
+        pos = np.arange(S, dtype=np.float32)
+        freqs = 10000.0 ** (-np.arange(0, half, dtype=np.float32) / half)
+        ang = pos[:, None] * freqs[None, :]
+        cos = np.concatenate([np.cos(ang), np.cos(ang)], -1)
+        sin = np.concatenate([np.sin(ang), np.sin(ang)], -1)
+        q1, q2 = q[..., :half], q[..., half:]
+        rot = np.concatenate([-q2, q1], -1)
+        return q * cos + rot * sin
+
+    q_hf = ((x @ w_hf.T) + b_hf).reshape(S, n_heads, hd).transpose(1, 0, 2)[None]
+    want = rotate_half_rope(q_hf)
+    np.testing.assert_allclose(got_half, want, rtol=3e-4, atol=3e-4)
