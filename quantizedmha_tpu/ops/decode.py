@@ -269,8 +269,8 @@ def _decode_kernel_int4(
     q_ref,             # [1, 1, group_p, head_dim] f32/bf16
     k_page_ref,        # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
     v_page_ref,        # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
-    ks_ref,            # [num_kv_heads, num_pages] f32 in SMEM
-    vs_ref,            # [num_kv_heads, num_pages] f32 in SMEM
+    ks_ref,            # [num_kv_heads, num_pages, subs] f32 in SMEM
+    vs_ref,            # [num_kv_heads, num_pages, subs] f32 in SMEM
     # outputs
     o_ref,             # [1, 1, group_p, head_dim]
     # scratch
@@ -283,6 +283,7 @@ def _decode_kernel_int4(
     page_size: int,
     group_p: int,
     half_dim: int,
+    subs: int = 1,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: int = 0,
@@ -292,7 +293,12 @@ def _decode_kernel_int4(
     int8 — decode is bandwidth-bound, so this is the 2x-traffic lever. The
     packing needs no lane reassembly: unpack into two contiguous
     half-head_dim tiles (int32 shifts; int8 shifts don't lower in Mosaic on
-    this backend) and run every dot per half."""
+    this backend) and run every dot per half.
+
+    subs: scale sub-tiles per page — int4's 3 magnitude bits can't afford
+    one max-abs scale across a whole 256-token page (run12 measures the
+    accuracy cliff); scores/probs are re-scaled per column group instead of
+    per page (two extra VPU passes on a bandwidth-bound kernel)."""
     from quantizedmha_tpu.ops.quantize import unpack_int4_halves
 
     b = pl.program_id(0)
@@ -315,6 +321,16 @@ def _decode_kernel_int4(
             in_win |= i * page_size < sinks
         in_ctx &= in_win
 
+    def _scale_cols(scales_ref, page):
+        """[1, page_size] per-column dequant row from the page's sub-tile
+        scales (subs is static and small, so this unrolls)."""
+        if subs == 1:
+            return scales_ref[h, page, 0]
+        sub_w = page_size // subs
+        return jnp.concatenate(
+            [jnp.full((1, sub_w), scales_ref[h, page, j], jnp.float32)
+             for j in range(subs)], axis=1)
+
     @pl.when(in_ctx)
     def _run():
         page = tables_ref[b, i]
@@ -332,7 +348,7 @@ def _decode_kernel_int4(
                 q_hi, k_hi.astype(jnp.float32), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_INT8_PRECISION)
-        ) * ks_ref[h, page]
+        ) * _scale_cols(ks_ref, page)
         if softcap is not None:
             s = softcap * jnp.tanh(s / softcap)
 
@@ -356,15 +372,17 @@ def _decode_kernel_int4(
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
         v_lo, v_hi = unpack_int4_halves(v_page_ref[0, 0, :, :])
-        vsc = vs_ref[h, page]
+        # V's sub-tile scale applies per kv ROW: fold into p's columns once
+        # (both halves share it), then the dots dequantize for free.
+        p_s = p * _scale_cols(vs_ref, page)
         acc_lo[...] = acc_lo[...] * alpha + jax.lax.dot_general(
-            p, v_lo.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p_s, v_lo.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_INT8_PRECISION) * vsc
+            precision=_INT8_PRECISION)
         acc_hi[...] = acc_hi[...] * alpha + jax.lax.dot_general(
-            p, v_hi.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p_s, v_hi.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_INT8_PRECISION) * vsc
+            precision=_INT8_PRECISION)
 
     @pl.when(i == num_pages_grid - 1)
     def _epilogue():
@@ -392,10 +410,23 @@ def paged_decode_attention_int4(
     """Single-token attention against an INT4 (nibble-packed) paged KV
     cache: half the HBM traffic of the int8 cache on the bandwidth-bound
     decode path. k/v_pages: [num_kv_heads, num_pages, page_size,
-    head_dim // 2] int8 in quantize_kv_blocks_int4's deinterleaved layout;
-    everything else matches paged_decode_attention."""
+    head_dim // 2] int8 in quantize_kv_blocks_int4's deinterleaved layout.
+    k/v_scales: [num_kv_heads, num_pages] (one scale per page) or
+    [num_kv_heads, num_pages, subs] (sub-page scale tiles — int4 accuracy
+    needs finer scales than a 256-token page, run12); everything else
+    matches paged_decode_attention."""
     batch, num_q_heads, head_dim = q.shape
     num_kv_heads, num_pages, page_size, half = k_pages.shape
+    if k_scales.ndim == 2:
+        k_scales = k_scales[..., None]
+    if v_scales.ndim == 2:
+        v_scales = v_scales[..., None]
+    subs = k_scales.shape[-1]
+    if page_size % subs:
+        raise ValueError(
+            f"page_size {page_size} not a multiple of scale sub-tiles {subs}")
+    if v_scales.shape[-1] != subs:
+        raise ValueError("k_scales and v_scales must agree on sub-tiles")
     if half * 2 != head_dim:
         raise ValueError(
             f"packed pages last dim {half} != head_dim // 2 ({head_dim // 2})")
@@ -416,6 +447,7 @@ def paged_decode_attention_int4(
         page_size=page_size,
         group_p=group_p,
         half_dim=half,
+        subs=subs,
         window=window,
         softcap=logit_softcap,
         sinks=attention_sinks,

@@ -42,21 +42,32 @@ def dequantize_kv_blocks(values: jnp.ndarray, scales: jnp.ndarray, block: int) -
 
 
 def quantize_kv_blocks_int4(
-    x: jnp.ndarray, block: int, *, scale_clamp: float = 1e-8
+    x: jnp.ndarray, block: int, *, scale_clamp: float = 1e-8,
+    scale_block: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-(seq block) max-abs INT4 quantization, nibble-packed.
 
     x: [batch, heads, seq, head_dim] (seq a multiple of `block`, head_dim
     even). Returns (packed int8 [b, h, s, head_dim//2], scales f32
-    [b, h, s/block]). DEINTERLEAVED packing: byte j holds element j in its
-    low nibble and element j + head_dim//2 in its high nibble, so a kernel
-    can unpack into two contiguous half-head_dim tiles with int32 shifts
-    and run the attention dots per half — no lane reassembly needed
-    (quantizedmha_tpu.ops.decode _decode_kernel_int4)."""
+    [b, h, s/scale_block]). DEINTERLEAVED packing: byte j holds element j
+    in its low nibble and element j + head_dim//2 in its high nibble, so a
+    kernel can unpack into two contiguous half-head_dim tiles with int32
+    shifts and run the attention dots per half — no lane reassembly needed
+    (quantizedmha_tpu.ops.decode _decode_kernel_int4).
+
+    scale_block (default = block): the SCALE tile can be finer than the
+    storage block — int4 has only 3 magnitude bits, so a whole 256-token
+    page sharing one max-abs scale wastes most of them on outlier-free
+    tokens (run8's unexamined coupling; measured in run12). Must divide
+    `block`.
+    """
     b, h, s, d = x.shape
+    scale_block = block if scale_block is None else scale_block
     assert s % block == 0, f"seq {s} not a multiple of block {block}"
+    assert block % scale_block == 0, (
+        f"scale_block {scale_block} must divide block {block}")
     assert d % 2 == 0, f"head_dim {d} must be even for nibble packing"
-    xr = x.reshape(b, h, s // block, block, d).astype(jnp.float32)
+    xr = x.reshape(b, h, s // scale_block, scale_block, d).astype(jnp.float32)
     amax = jnp.max(jnp.abs(xr), axis=(-2, -1))
     scale = jnp.maximum(amax, scale_clamp) / 7.0
     q = jnp.clip(jnp.round(xr / scale[..., None, None]), -7, 7)
@@ -81,6 +92,7 @@ def unpack_int4_halves(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def dequantize_kv_blocks_int4(
     packed: jnp.ndarray, scales: jnp.ndarray, block: int
 ) -> jnp.ndarray:
+    """`block` here is the SCALE tile (scales.shape[-1] * block == seq)."""
     b, h, s, d2 = packed.shape
     lo, hi = unpack_int4_halves(packed)
     vals = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)

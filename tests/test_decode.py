@@ -247,3 +247,47 @@ def test_int4_quantize_roundtrip(rng):
     assert p.dtype == jnp.int8 and p.shape == (1, 2, 64, 32)
     deq = dequantize_kv_blocks_int4(p, s, 32)
     assert float(jnp.abs(deq - x).max()) <= float(s.max()) * 0.5 + 1e-6
+
+
+def test_int4_decode_with_subpage_scales(rng):
+    """Sub-page scale tiles (run12): the int4 kernel with
+    [kvh, pages, subs] scales must match the dequantized-cache reference
+    exactly as the per-page path does, and agree with it when the scales
+    are constant across sub-tiles."""
+    from quantizedmha_tpu.ops.decode import paged_decode_attention_int4
+    from quantizedmha_tpu.ops.quantize import quantize_kv_blocks_int4
+
+    kvh, page, hd, n_pages = 2, 32, 32, 4
+    S = page * n_pages
+    k = jnp.asarray(rng.normal(0, 0.5, (1, kvh, S, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.5, (1, kvh, S, hd)), jnp.float32)
+    q = jnp.asarray(rng.normal(0, 0.5, (1, kvh * 2, hd)), jnp.float32)
+    lengths = jnp.asarray([100], jnp.int32)
+    tables = jnp.arange(n_pages, dtype=jnp.int32)[None]
+
+    for subs in (1, 2, 4):
+        tile = page // subs
+        kq, ks = quantize_kv_blocks_int4(k, page, scale_block=tile)
+        vq, vs = quantize_kv_blocks_int4(v, page, scale_block=tile)
+        k_pages = kq[0].reshape(kvh, n_pages, page, hd // 2)
+        v_pages = vq[0].reshape(kvh, n_pages, page, hd // 2)
+        k_sc = ks[0].reshape(kvh, n_pages, subs)
+        v_sc = vs[0].reshape(kvh, n_pages, subs)
+        out = paged_decode_attention_int4(
+            q, k_pages, v_pages,
+            k_sc if subs > 1 else k_sc[..., 0],
+            v_sc if subs > 1 else v_sc[..., 0],
+            lengths, tables)
+        # reference on the dequantized cache
+        from quantizedmha_tpu.ops.quantize import dequantize_kv_blocks_int4
+
+        kd = np.asarray(dequantize_kv_blocks_int4(kq, ks, tile))[0, :, :100]
+        vd = np.asarray(dequantize_kv_blocks_int4(vq, vs, tile))[0, :, :100]
+        kg = np.repeat(kd, 2, axis=0)
+        vg = np.repeat(vd, 2, axis=0)
+        s = np.einsum("hd,hkd->hk", np.asarray(q)[0], kg) / np.sqrt(hd)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = np.einsum("hk,hkd->hd", p, vg)
+        np.testing.assert_allclose(np.asarray(out)[0], want,
+                                   atol=2e-3, rtol=2e-2)
