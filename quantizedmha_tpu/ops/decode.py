@@ -60,20 +60,23 @@ def _decode_kernel(
     v_page_ref,        # [1, 1, page_size, head_dim] int8
     ks_ref,            # [num_kv_heads, num_pages] f32 in SMEM
     vs_ref,            # [num_kv_heads, num_pages] f32 in SMEM
-    # outputs
-    o_ref,             # [1, 1, group_p, head_dim]
-    # scratch
-    m_scratch,         # [group_p, LANES] f32
-    l_scratch,         # [group_p, LANES] f32
-    acc_scratch,       # [group_p, head_dim] f32
-    *,
+    # outputs: o_ref [1, 1, group_p, head_dim] (+ lse_ref [1, 1, group_p,
+    # LANES] when save_residuals), then scratch m/l [group_p, LANES],
+    # acc [group_p, head_dim]
+    *refs,
     sm_scale: float,
     page_size: int,
     group_p: int,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: int = 0,
+    save_residuals: bool = False,
 ):
+    if save_residuals:
+        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = refs
+        lse_ref = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     i = pl.program_id(2)
@@ -144,6 +147,14 @@ def _decode_kernel(
         l = l_scratch[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if save_residuals:
+            # lse in the merge convention of parallel/combine: m + log(l)
+            # over the SCALED logits; an empty region (l == 0, e.g. the
+            # whole batch lane masked) is exactly -inf so it drops out of
+            # merge_two_partials.
+            m = m_scratch[:, :1]
+            lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(jnp.maximum(l, 1e-38)))
+            lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _make_clamped_page_idx(page_size: int, window, sinks: int):
@@ -185,6 +196,7 @@ def paged_decode_attention(
     window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
+    save_residuals: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token attention against a paged INT8 KV cache.
@@ -198,7 +210,10 @@ def paged_decode_attention(
     k/v_scales:   [num_kv_heads, num_pages] f32
     lengths:      [batch] i32 — current context length per sequence
     block_tables: [batch, max_pages] i32 — physical page ids (pad with 0)
-    Returns [batch, num_q_heads, head_dim].
+    Returns [batch, num_q_heads, head_dim]; with save_residuals=True,
+    (out, lse [batch, num_q_heads] f32) — the partial-attention form
+    parallel/combine.merge_two_partials consumes (mixed-precision KV
+    merges, decode-side context parallelism).
     """
     batch, num_q_heads, head_dim = q.shape
     num_kv_heads, num_pages, page_size, _ = k_pages.shape
@@ -226,8 +241,15 @@ def paged_decode_attention(
         window=window,
         softcap=logit_softcap,
         sinks=attention_sinks,
+        save_residuals=save_residuals,
     )
     page_idx = _make_clamped_page_idx(page_size, window, attention_sinks)
+    out_block = pl.BlockSpec(
+        (1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)
+    )
+    lse_block = pl.BlockSpec(
+        (1, 1, group_p, LANES), lambda b, h, i, L, T: (b, h, 0, 0)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(batch, num_kv_heads, max_pages),
@@ -238,26 +260,30 @@ def paged_decode_attention(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)
-        ),
+        out_specs=(out_block, lse_block) if save_residuals else out_block,
         scratch_shapes=[
             pltpu.VMEM((group_p, LANES), jnp.float32),
             pltpu.VMEM((group_p, LANES), jnp.float32),
             pltpu.VMEM((group_p, head_dim), jnp.float32),
         ],
     )
+    o_shape = jax.ShapeDtypeStruct((batch, num_kv_heads, group_p, head_dim), q.dtype)
+    lse_shape = jax.ShapeDtypeStruct((batch, num_kv_heads, group_p, LANES), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_kv_heads, group_p, head_dim), q.dtype
-        ),
+        out_shape=(o_shape, lse_shape) if save_residuals else o_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
     )(lengths, block_tables, qg, k_pages, v_pages, k_scales, v_scales)
+    if save_residuals:
+        o, lse = out
+        return (
+            o[:, :, :group, :].reshape(batch, num_q_heads, head_dim),
+            lse[:, :, :group, 0].reshape(batch, num_q_heads),
+        )
     return out[:, :, :group, :].reshape(batch, num_q_heads, head_dim)
 
 
@@ -271,14 +297,10 @@ def _decode_kernel_int4(
     v_page_ref,        # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
     ks_ref,            # [num_kv_heads, num_pages, subs] f32 in SMEM
     vs_ref,            # [num_kv_heads, num_pages, subs] f32 in SMEM
-    # outputs
-    o_ref,             # [1, 1, group_p, head_dim]
-    # scratch
-    m_scratch,         # [group_p, LANES] f32
-    l_scratch,         # [group_p, LANES] f32
-    acc_lo,            # [group_p, head_dim//2] f32
-    acc_hi,            # [group_p, head_dim//2] f32
-    *,
+    # outputs: o_ref [1, 1, group_p, head_dim] (+ lse_ref [1, 1, group_p,
+    # LANES] when save_residuals), then scratch m/l [group_p, LANES],
+    # acc_lo/acc_hi [group_p, head_dim//2]
+    *refs,
     sm_scale: float,
     page_size: int,
     group_p: int,
@@ -287,6 +309,7 @@ def _decode_kernel_int4(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: int = 0,
+    save_residuals: bool = False,
 ):
     """INT4-KV decode: pages arrive nibble-packed (ops.quantize
     quantize_kv_blocks_int4's deinterleaved layout), HALF the HBM bytes of
@@ -301,6 +324,11 @@ def _decode_kernel_int4(
     per page (two extra VPU passes on a bandwidth-bound kernel)."""
     from quantizedmha_tpu.ops.quantize import unpack_int4_halves
 
+    if save_residuals:
+        o_ref, lse_ref, m_scratch, l_scratch, acc_lo, acc_hi = refs
+    else:
+        o_ref, m_scratch, l_scratch, acc_lo, acc_hi = refs
+        lse_ref = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     i = pl.program_id(2)
@@ -390,6 +418,10 @@ def _decode_kernel_int4(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0, :, :half_dim] = (acc_lo[...] * l_inv).astype(o_ref.dtype)
         o_ref[0, 0, :, half_dim:] = (acc_hi[...] * l_inv).astype(o_ref.dtype)
+        if save_residuals:
+            m = m_scratch[:, :1]
+            lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(jnp.maximum(l, 1e-38)))
+            lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def paged_decode_attention_int4(
@@ -405,6 +437,7 @@ def paged_decode_attention_int4(
     window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
+    save_residuals: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token attention against an INT4 (nibble-packed) paged KV
@@ -414,7 +447,8 @@ def paged_decode_attention_int4(
     k/v_scales: [num_kv_heads, num_pages] (one scale per page) or
     [num_kv_heads, num_pages, subs] (sub-page scale tiles — int4 accuracy
     needs finer scales than a 256-token page, run12); everything else
-    matches paged_decode_attention."""
+    matches paged_decode_attention, including save_residuals -> (out, lse)
+    for partial-attention merging."""
     batch, num_q_heads, head_dim = q.shape
     num_kv_heads, num_pages, page_size, half = k_pages.shape
     if k_scales.ndim == 2:
@@ -451,8 +485,15 @@ def paged_decode_attention_int4(
         window=window,
         softcap=logit_softcap,
         sinks=attention_sinks,
+        save_residuals=save_residuals,
     )
     page_idx = _make_clamped_page_idx(page_size, window, attention_sinks)
+    out_block = pl.BlockSpec(
+        (1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)
+    )
+    lse_block = pl.BlockSpec(
+        (1, 1, group_p, LANES), lambda b, h, i, L, T: (b, h, 0, 0)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(batch, num_kv_heads, max_pages),
@@ -463,9 +504,7 @@ def paged_decode_attention_int4(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)
-        ),
+        out_specs=(out_block, lse_block) if save_residuals else out_block,
         scratch_shapes=[
             pltpu.VMEM((group_p, LANES), jnp.float32),
             pltpu.VMEM((group_p, LANES), jnp.float32),
@@ -473,15 +512,21 @@ def paged_decode_attention_int4(
             pltpu.VMEM((group_p, half), jnp.float32),
         ],
     )
+    o_shape = jax.ShapeDtypeStruct((batch, num_kv_heads, group_p, head_dim), q.dtype)
+    lse_shape = jax.ShapeDtypeStruct((batch, num_kv_heads, group_p, LANES), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_kv_heads, group_p, head_dim), q.dtype
-        ),
+        out_shape=(o_shape, lse_shape) if save_residuals else o_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
     )(lengths, block_tables, qg, k_pages, v_pages, k_scales, v_scales)
+    if save_residuals:
+        o, lse = out
+        return (
+            o[:, :, :group, :].reshape(batch, num_q_heads, head_dim),
+            lse[:, :, :group, 0].reshape(batch, num_q_heads),
+        )
     return out[:, :, :group, :].reshape(batch, num_q_heads, head_dim)

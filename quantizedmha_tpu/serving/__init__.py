@@ -5,6 +5,10 @@ from quantizedmha_tpu.serving.kv_cache import (
     append_token,
     write_pages,
 )
+from quantizedmha_tpu.serving.mixed_kv import (
+    MixedPagedKVState,
+    mixed_paged_decode_attention,
+)
 from quantizedmha_tpu.serving.sampling import SamplingParams
 from quantizedmha_tpu.serving.sharded import TPEngine, make_tp_mesh
 from quantizedmha_tpu.serving.speculative import SpecConfig, SpecDecodeEngine
@@ -17,6 +21,8 @@ __all__ = [
     "SamplingParams",
     "SpecConfig",
     "SpecDecodeEngine",
+    "MixedPagedKVState",
+    "mixed_paged_decode_attention",
     "PageAllocator",
     "PagedKVCacheState",
     "append_token",

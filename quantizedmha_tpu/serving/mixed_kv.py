@@ -1,0 +1,242 @@
+"""Mixed-precision paged KV: INT8 sink pages + INT4 bulk pages.
+
+Run 12 (profiles/md/run12_int4_scales) resolved the int4-KV accuracy
+question: the error floor is the 3 magnitude bits themselves, not the
+scale granularity — finer scales recover only ~10 % of the error. The fix
+it filed is MIXED precision: keep the pages holding attention-sink /
+early-context tokens (where StreamingLLM-style outliers concentrate, and
+whose probabilities the softmax revisits on every step) at INT8, and the
+long bulk of the context at INT4 — 2x the cache capacity of int8 within
+epsilon of its accuracy where it matters.
+
+TPU-native composition — NOT a mixed-dtype kernel: the two regions run
+the existing `paged_decode_attention` (int8) and
+`paged_decode_attention_int4` kernels with `save_residuals=True` and the
+partials merge EXACTLY with `parallel.combine.merge_two_partials` (the
+same lse algebra ring/context-parallel attention uses). Softmax over a
+row is associative across disjoint position sets, so the split is
+mathematically exact; positions carry no intra-kernel encoding (RoPE is
+applied upstream), so the int4 region simply sees `length - boundary`
+valid positions.
+
+The reference has no serving cache at all (its per-launch slabs:
+/root/reference/include/launchers.h:27-33); this extends the repo's own
+north-star serving scope (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quantizedmha_tpu.ops.decode import (
+    paged_decode_attention,
+    paged_decode_attention_int4,
+)
+from quantizedmha_tpu.parallel.combine import merge_two_partials
+
+
+@dataclasses.dataclass
+class MixedPagedKVState:
+    """One layer's mixed cache: a small INT8 pool for the first
+    `boundary_tokens` positions of every sequence, an INT4 (nibble-packed)
+    pool for the rest. Pools are separate page spaces with separate block
+    tables — a sequence's logical page i maps into the int8 table for
+    i < boundary_pages and into the int4 table (at i - boundary_pages)
+    beyond."""
+
+    k8: jnp.ndarray        # [Hkv, n8, page, hd] int8
+    v8: jnp.ndarray
+    k8_scales: jnp.ndarray  # [Hkv, n8] f32
+    v8_scales: jnp.ndarray
+    k4: jnp.ndarray        # [Hkv, n4, page, hd // 2] int8 (nibble-packed)
+    v4: jnp.ndarray
+    k4_scales: jnp.ndarray  # [Hkv, n4, subs] f32
+    v4_scales: jnp.ndarray
+
+    @staticmethod
+    def create(num_kv_heads: int, n8_pages: int, n4_pages: int,
+               page_size: int, head_dim: int, subs: int = 4) -> "MixedPagedKVState":
+        if head_dim % 2:
+            raise ValueError("head_dim must be even for nibble packing")
+        if page_size % subs:
+            raise ValueError(f"page_size {page_size} not a multiple of subs {subs}")
+        return MixedPagedKVState(
+            k8=jnp.zeros((num_kv_heads, n8_pages, page_size, head_dim), jnp.int8),
+            v8=jnp.zeros((num_kv_heads, n8_pages, page_size, head_dim), jnp.int8),
+            k8_scales=jnp.ones((num_kv_heads, n8_pages), jnp.float32),
+            v8_scales=jnp.ones((num_kv_heads, n8_pages), jnp.float32),
+            k4=jnp.zeros((num_kv_heads, n4_pages, page_size, head_dim // 2), jnp.int8),
+            v4=jnp.zeros((num_kv_heads, n4_pages, page_size, head_dim // 2), jnp.int8),
+            k4_scales=jnp.ones((num_kv_heads, n4_pages, subs), jnp.float32),
+            v4_scales=jnp.ones((num_kv_heads, n4_pages, subs), jnp.float32),
+        )
+
+    @property
+    def page_size(self) -> int:
+        return self.k8.shape[2]
+
+    @property
+    def subs(self) -> int:
+        return self.k4_scales.shape[-1]
+
+
+jax.tree_util.register_dataclass(
+    MixedPagedKVState,
+    data_fields=["k8", "v8", "k8_scales", "v8_scales",
+                 "k4", "v4", "k4_scales", "v4_scales"],
+    meta_fields=[],
+)
+
+
+def quantize_page_int4(
+    x: jnp.ndarray, subs: int, scale_clamp: float = 1e-8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x: [Hkv, page_size, head_dim] -> (nibble-packed [Hkv, page_size,
+    head_dim//2] int8, per-(head, sub-tile) scales [Hkv, subs] f32), in
+    ops.quantize.quantize_kv_blocks_int4's deinterleaved layout."""
+    h, p, d = x.shape
+    if p % subs:
+        raise ValueError(f"page_size {p} not a multiple of subs {subs}")
+    xr = x.reshape(h, subs, p // subs, d).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xr), axis=(-2, -1))
+    scale = jnp.maximum(amax, scale_clamp) / 7.0
+    q = jnp.clip(jnp.round(xr / scale[..., None, None]), -7, 7)
+    q = q.reshape(h, p, d).astype(jnp.int32)
+    lo = q[..., : d // 2]
+    hi = q[..., d // 2:]
+    packed = jnp.bitwise_and(lo, 0xF) | jnp.left_shift(hi, 4)
+    return packed.astype(jnp.int8), scale
+
+
+def write_pages_mixed(
+    state: MixedPagedKVState,
+    k_new: jnp.ndarray,   # [Hkv, n_tokens, hd] — positions 0..n_tokens of a seq
+    v_new: jnp.ndarray,
+    page_ids8: jnp.ndarray,  # [p8] physical int8-pool pages (the sink region)
+    page_ids4: jnp.ndarray,  # [p4] physical int4-pool pages (the bulk)
+) -> MixedPagedKVState:
+    """Prefill write: the first len(page_ids8) pages of tokens land in the
+    INT8 pool, the rest nibble-packed in the INT4 pool. n_tokens must be
+    (p8 + p4) * page_size (pad first, as with kv_cache.write_pages)."""
+    from quantizedmha_tpu.serving.kv_cache import quantize_page
+
+    page = state.page_size
+    h, n_tokens, d = k_new.shape
+    p8 = page_ids8.shape[0]
+    p4 = page_ids4.shape[0]
+    if n_tokens != (p8 + p4) * page:
+        raise ValueError(
+            f"n_tokens {n_tokens} != ({p8}+{p4}) pages x {page}")
+    kr = k_new.reshape(h, p8 + p4, page, d).transpose(1, 0, 2, 3)
+    vr = v_new.reshape(h, p8 + p4, page, d).transpose(1, 0, 2, 3)
+
+    def write8(state: MixedPagedKVState, inputs):
+        pid, kp, vp = inputs
+        kq, ks = quantize_page(kp)
+        vq, vs = quantize_page(vp)
+        return dataclasses.replace(
+            state,
+            k8=state.k8.at[:, pid].set(kq),
+            v8=state.v8.at[:, pid].set(vq),
+            k8_scales=state.k8_scales.at[:, pid].set(ks),
+            v8_scales=state.v8_scales.at[:, pid].set(vs),
+        ), None
+
+    def write4(state: MixedPagedKVState, inputs):
+        pid, kp, vp = inputs
+        kq, ks = quantize_page_int4(kp, state.subs)
+        vq, vs = quantize_page_int4(vp, state.subs)
+        return dataclasses.replace(
+            state,
+            k4=state.k4.at[:, pid].set(kq),
+            v4=state.v4.at[:, pid].set(vq),
+            k4_scales=state.k4_scales.at[:, pid].set(ks),
+            v4_scales=state.v4_scales.at[:, pid].set(vs),
+        ), None
+
+    if p8:
+        state, _ = jax.lax.scan(write8, state, (page_ids8, kr[:p8], vr[:p8]))
+    if p4:
+        state, _ = jax.lax.scan(write4, state, (page_ids4, kr[p8:], vr[p8:]))
+    return state
+
+
+def append_token_int4(
+    state: MixedPagedKVState,
+    k_tok: jnp.ndarray,  # [Hkv, hd]
+    v_tok: jnp.ndarray,
+    page_id: jnp.ndarray,  # scalar i32 int4-pool physical page
+    slot: jnp.ndarray,     # scalar i32 offset within the page
+) -> MixedPagedKVState:
+    """Append one decoded token into the INT4 bulk (decode positions are
+    past the int8 boundary by the prefill-covers-the-boundary contract —
+    see mixed_paged_decode_attention). Same scale policy as
+    kv_cache.append_tokens_batched: the SUB-TILE's scale is fitted by the
+    first token landing in it, later tokens clamp into it."""
+    page = state.page_size
+    subs = state.subs
+    sub_w = page // subs
+    sub = slot // sub_w
+    d = k_tok.shape[-1]
+    half = d // 2
+
+    def upd(pages, scales, tok):
+        tf = tok.astype(jnp.float32)                       # [Hkv, hd]
+        fit = jnp.maximum(jnp.max(jnp.abs(tf), axis=-1), 1e-8) / 7.0
+        s = jnp.where(slot % sub_w == 0, fit, scales[:, page_id, sub])
+        q = jnp.clip(jnp.round(tf / s[:, None]), -7, 7).astype(jnp.int32)
+        packed = (jnp.bitwise_and(q[:, :half], 0xF)
+                  | jnp.left_shift(q[:, half:], 4)).astype(jnp.int8)
+        return (pages.at[:, page_id, slot].set(packed),
+                scales.at[:, page_id, sub].set(s))
+
+    k4, k4s = upd(state.k4, state.k4_scales, k_tok)
+    v4, v4s = upd(state.v4, state.v4_scales, v_tok)
+    return dataclasses.replace(
+        state, k4=k4, v4=v4, k4_scales=k4s, v4_scales=v4s)
+
+
+def mixed_paged_decode_attention(
+    q: jnp.ndarray,            # [batch, num_q_heads, head_dim]
+    state: MixedPagedKVState,
+    lengths: jnp.ndarray,      # [batch] i32 — TOTAL live context
+    tables8: jnp.ndarray,      # [batch, max_pages8] i32 into the int8 pool
+    tables4: jnp.ndarray,      # [batch, max_pages4] i32 into the int4 pool
+    boundary_tokens: int,      # int8 region size (page-aligned, static)
+    *,
+    sm_scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Decode attention over the mixed cache: positions
+    [0, min(length, boundary)) read the INT8 pool, positions
+    [boundary, length) the INT4 pool; the two partial softmaxes merge
+    exactly via lse. Sequences shorter than the boundary get an all-masked
+    int4 partial (lse = -inf) that drops out of the merge exactly.
+
+    Sliding-window masking is intentionally NOT offered here: with a
+    window the bulk is *recycled* (kv_cache.trim_window) and the sink
+    pages already are the int8 region, so windowed serving wants window
+    trimming + this same full-causal mixed read — the window never
+    re-masks inside the live region.
+    """
+    page = state.page_size
+    if boundary_tokens % page:
+        raise ValueError(
+            f"boundary_tokens {boundary_tokens} not page-aligned ({page})")
+    len8 = jnp.minimum(lengths, boundary_tokens)
+    len4 = jnp.maximum(lengths - boundary_tokens, 0)
+    o8, lse8 = paged_decode_attention(
+        q, state.k8, state.v8, state.k8_scales, state.v8_scales,
+        len8, tables8, sm_scale=sm_scale, logit_softcap=logit_softcap,
+        save_residuals=True, interpret=interpret)
+    o4, lse4 = paged_decode_attention_int4(
+        q, state.k4, state.v4, state.k4_scales, state.v4_scales,
+        len4, tables4, sm_scale=sm_scale, logit_softcap=logit_softcap,
+        save_residuals=True, interpret=interpret)
+    o, _ = merge_two_partials(o8, lse8, o4, lse4)
+    return o

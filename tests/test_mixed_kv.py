@@ -1,0 +1,256 @@
+"""Mixed-precision KV (INT8 sink pages + INT4 bulk) and decode lse merging.
+
+Run 12 filed mixed pages as the resolution of the int4 accuracy negative;
+serving/mixed_kv.py implements it as two kernel partials merged exactly
+with the parallel/combine lse algebra. Goldens follow test_decode.py's
+convention: dequantize what the cache actually stores and run exact
+softmax attention — the kernels' arithmetic on stored payloads is exact,
+so tolerances are kernel-arithmetic tolerances, not format tolerances.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedmha_tpu.ops.decode import (
+    paged_decode_attention,
+    paged_decode_attention_int4,
+)
+from quantizedmha_tpu.ops.quantize import unpack_int4_halves
+from quantizedmha_tpu.serving.mixed_kv import (
+    MixedPagedKVState,
+    append_token_int4,
+    mixed_paged_decode_attention,
+    quantize_page_int4,
+    write_pages_mixed,
+)
+
+PAGE = 128
+HD = 64
+HKV = 2
+HQ = 4
+
+
+def _golden(q, k, v, length):
+    """q: [Hq, D]; k/v: [Hkv, n, D] float64; exact softmax over :length."""
+    hq, d = q.shape
+    hkv = k.shape[0]
+    group = hq // hkv
+    qg = q.reshape(hkv, group, d).astype(np.float64)
+    s = np.einsum("hgd,hnd->hgn", qg, k[:, :length].astype(np.float64)) * d**-0.5
+    s -= s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(-1, keepdims=True)
+    o = np.einsum("hgn,hnd->hgd", p, v[:, :length].astype(np.float64))
+    return o.reshape(hq, d)
+
+
+def _dequant8(pages, scales, table):
+    x = np.asarray(pages)[:, table].astype(np.float64)
+    x *= np.asarray(scales)[:, table][:, :, None, None]
+    return x.reshape(x.shape[0], -1, x.shape[-1])
+
+
+def _dequant4(pages, scales, table):
+    lo, hi = unpack_int4_halves(jnp.asarray(np.asarray(pages)[:, table]))
+    x = np.concatenate([np.asarray(lo), np.asarray(hi)], axis=-1).astype(np.float64)
+    # scales: [Hkv, n4, subs] -> per-token rows within each page
+    s = np.asarray(scales)[:, table]  # [Hkv, p, subs]
+    h, p, subs = s.shape
+    s_rows = np.repeat(s, PAGE // subs, axis=-1)  # [Hkv, p, PAGE]
+    x *= s_rows[..., None]
+    return x.reshape(h, -1, x.shape[-1])
+
+
+def _fill_mixed(rng, lengths, boundary_pages=1, n8=4, n4=12, subs=4,
+                sink_outliers=False):
+    """Build a mixed cache + simple sequential page tables; returns
+    (state, tables8, tables4, k_full, v_full)."""
+    state = MixedPagedKVState.create(HKV, n8, n4, PAGE, HD, subs=subs)
+    boundary = boundary_pages * PAGE
+    tables8, tables4, k_full, v_full = [], [], [], []
+    next8, next4 = 1, 1  # page 0 of each pool is the scrap page
+    for n in lengths:
+        n_pad = -(-n // PAGE) * PAGE
+        k = rng.normal(0, 0.5, (HKV, n_pad, HD)).astype(np.float32)
+        v = rng.normal(0, 0.5, (HKV, n_pad, HD)).astype(np.float32)
+        if sink_outliers:
+            # StreamingLLM-style: early (sink) tokens carry 8x outliers —
+            # the case that wrecks a shared int4 page scale (run12).
+            k[:, :16] *= 8.0
+            v[:, :16] *= 8.0
+        k[:, n:] = 0
+        v[:, n:] = 0
+        p_total = n_pad // PAGE
+        p8 = min(p_total, boundary_pages)
+        p4 = p_total - p8
+        ids8 = np.arange(next8, next8 + p8, dtype=np.int32)
+        ids4 = np.arange(next4, next4 + p4, dtype=np.int32)
+        next8 += p8
+        next4 += p4
+        state = write_pages_mixed(
+            state, jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(ids8), jnp.asarray(ids4))
+        tables8.append(ids8)
+        tables4.append(ids4)
+        k_full.append(k)
+        v_full.append(v)
+
+    def pad_tables(rows, width):
+        out = np.zeros((len(rows), width), np.int32)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+        return out
+
+    max8 = max(boundary_pages, max(len(t) for t in tables8))
+    max4 = max(1, max(len(t) for t in tables4))
+    return (state, pad_tables(tables8, max8), pad_tables(tables4, max4),
+            k_full, v_full, boundary)
+
+
+def test_decode_save_residuals_lse_is_log_sum_exp(rng):
+    """The int8 decode's lse output equals log-sum-exp of the scaled
+    logits over the stored (dequantized) keys."""
+    from quantizedmha_tpu.serving.kv_cache import PagedKVCacheState, write_pages
+
+    n, n_pages = 200, 4
+    n_pad = -(-n // PAGE) * PAGE
+    k = rng.normal(0, 0.5, (HKV, n_pad, HD)).astype(np.float32)
+    v = rng.normal(0, 0.5, (HKV, n_pad, HD)).astype(np.float32)
+    k[:, n:] = 0
+    v[:, n:] = 0
+    state = PagedKVCacheState.create(HKV, n_pages, PAGE, HD)
+    table = np.arange(n_pad // PAGE, dtype=np.int32)
+    state = write_pages(state, jnp.asarray(k), jnp.asarray(v),
+                        jnp.asarray(table), PAGE)
+    q = rng.normal(0, 0.5, (1, HQ, HD)).astype(np.float32)
+    out, lse = paged_decode_attention(
+        jnp.asarray(q), state.k_pages, state.v_pages, state.k_scales,
+        state.v_scales, jnp.asarray([n], np.int32),
+        jnp.asarray(table[None]), save_residuals=True)
+    assert lse.shape == (1, HQ)
+
+    kk = _dequant8(state.k_pages, state.k_scales, table)
+    qg = q[0].reshape(HKV, HQ // HKV, HD).astype(np.float64)
+    s = np.einsum("hgd,hnd->hgn", qg, kk[:, :n]) * HD**-0.5
+    want = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + s.max(-1)
+    np.testing.assert_allclose(
+        np.asarray(lse)[0], want.reshape(HQ), rtol=2e-5, atol=2e-5)
+
+
+def test_mixed_decode_matches_stored_golden(rng):
+    """Mixed decode == exact attention over what each pool actually
+    stores, across boundary-straddling and multi-page-bulk lengths."""
+    lengths = [200, 300]
+    state, t8, t4, k_full, v_full, boundary = _fill_mixed(rng, lengths)
+    q = rng.normal(0, 0.5, (len(lengths), HQ, HD)).astype(np.float32)
+    out = mixed_paged_decode_attention(
+        jnp.asarray(q), state, jnp.asarray(lengths, np.int32),
+        jnp.asarray(t8), jnp.asarray(t4), boundary)
+    for b, n in enumerate(lengths):
+        k8 = _dequant8(state.k8, state.k8_scales, t8[b][t8[b] > 0])
+        v8 = _dequant8(state.v8, state.v8_scales, t8[b][t8[b] > 0])
+        k4 = _dequant4(state.k4, state.k4_scales, t4[b][t4[b] > 0])
+        v4 = _dequant4(state.v4, state.v4_scales, t4[b][t4[b] > 0])
+        kk = np.concatenate([k8, k4], axis=1)
+        vv = np.concatenate([v8, v4], axis=1)
+        want = _golden(q[b], kk, vv, n)
+        np.testing.assert_allclose(np.asarray(out[b]), want, rtol=2e-4, atol=2e-4)
+
+
+def test_mixed_short_sequence_equals_pure_int8(rng):
+    """A sequence shorter than the boundary produces an all-masked int4
+    partial (lse = -inf) that must drop out of the merge EXACTLY."""
+    lengths = [100]  # < boundary of 128
+    state, t8, t4, k_full, v_full, boundary = _fill_mixed(rng, lengths)
+    q = rng.normal(0, 0.5, (1, HQ, HD)).astype(np.float32)
+    mixed = mixed_paged_decode_attention(
+        jnp.asarray(q), state, jnp.asarray(lengths, np.int32),
+        jnp.asarray(t8), jnp.asarray(t4), boundary)
+    pure8 = paged_decode_attention(
+        jnp.asarray(q), state.k8, state.v8, state.k8_scales, state.v8_scales,
+        jnp.asarray(lengths, np.int32), jnp.asarray(t8))
+    np.testing.assert_allclose(
+        np.asarray(mixed), np.asarray(pure8), rtol=1e-6, atol=1e-6)
+
+
+def test_mixed_beats_pure_int4_with_sink_outliers(rng):
+    """Run 12's motivating case: 8x outliers in the sink tokens. The mixed
+    cache (int8 sinks) must be materially closer to the float golden than
+    an all-int4 cache."""
+    from quantizedmha_tpu.ops.quantize import quantize_kv_blocks_int4
+
+    lengths = [384]
+    state, t8, t4, k_full, v_full, boundary = _fill_mixed(
+        rng, lengths, sink_outliers=True)
+    q = rng.normal(0, 0.5, (1, HQ, HD)).astype(np.float32)
+    n = lengths[0]
+    mixed = mixed_paged_decode_attention(
+        jnp.asarray(q), state, jnp.asarray(lengths, np.int32),
+        jnp.asarray(t8), jnp.asarray(t4), boundary)
+
+    # All-int4 cache over the same tokens (page-granular scales via subs=4,
+    # same as the mixed bulk).
+    k = k_full[0][None]  # [1, Hkv, n_pad, HD] for quantize_kv_blocks_int4
+    v = v_full[0][None]
+    kq, ks = quantize_kv_blocks_int4(jnp.asarray(k), PAGE, scale_block=PAGE // 4)
+    vq, vs = quantize_kv_blocks_int4(jnp.asarray(v), PAGE, scale_block=PAGE // 4)
+    n_pages = k.shape[2] // PAGE
+    table = np.arange(n_pages, dtype=np.int32)[None]
+    pure4 = paged_decode_attention_int4(
+        jnp.asarray(q),
+        kq[0].reshape(HKV, n_pages, PAGE, HD // 2),
+        vq[0].reshape(HKV, n_pages, PAGE, HD // 2),
+        ks[0].reshape(HKV, n_pages, 4),
+        vs[0].reshape(HKV, n_pages, 4),
+        jnp.asarray(lengths, np.int32), jnp.asarray(table))
+
+    want = _golden(q[0], k_full[0].astype(np.float64),
+                   v_full[0].astype(np.float64), n)
+    err_mixed = np.abs(np.asarray(mixed[0]) - want).mean()
+    err_int4 = np.abs(np.asarray(pure4[0]) - want).mean()
+    assert err_mixed < err_int4 * 0.8, (
+        f"mixed {err_mixed:.5f} not materially better than int4 {err_int4:.5f}")
+
+
+def test_append_token_int4_roundtrip(rng):
+    """Decode-time appends land nibble-packed in the int4 bulk and are
+    read back by the mixed decode within int4 quantization error."""
+    lengths = [256]  # exactly boundary(128) + one full int4 page
+    state, t8, t4, k_full, v_full, boundary = _fill_mixed(rng, lengths)
+    # Append 3 tokens into a fresh int4 page (id 2 in the pool).
+    new_page = 2
+    t4 = np.concatenate([t4, [[new_page]]], axis=1)
+    k_toks = rng.normal(0, 0.5, (3, HKV, HD)).astype(np.float32)
+    v_toks = rng.normal(0, 0.5, (3, HKV, HD)).astype(np.float32)
+    for i in range(3):
+        state = append_token_int4(
+            state, jnp.asarray(k_toks[i]), jnp.asarray(v_toks[i]),
+            jnp.asarray(new_page, jnp.int32), jnp.asarray(i, jnp.int32))
+    n = lengths[0] + 3
+    q = rng.normal(0, 0.5, (1, HQ, HD)).astype(np.float32)
+    out = mixed_paged_decode_attention(
+        jnp.asarray(q), state, jnp.asarray([n], np.int32),
+        jnp.asarray(t8), jnp.asarray(t4), boundary)
+
+    k_all = np.concatenate([k_full[0], k_toks.transpose(1, 0, 2)], axis=1)
+    v_all = np.concatenate([v_full[0], v_toks.transpose(1, 0, 2)], axis=1)
+    want = _golden(q[0], k_all.astype(np.float64), v_all.astype(np.float64), n)
+    # Bulk is int4: format-level tolerance vs the FLOAT golden.
+    np.testing.assert_allclose(np.asarray(out[0]), want, rtol=0.12, atol=0.12)
+
+
+def test_quantize_page_int4_matches_blocks_helper(rng):
+    """The per-page quantizer must produce the same layout as
+    ops.quantize.quantize_kv_blocks_int4 (the decode kernel's contract)."""
+    from quantizedmha_tpu.ops.quantize import quantize_kv_blocks_int4
+
+    x = rng.normal(0, 0.5, (HKV, PAGE, HD)).astype(np.float32)
+    qp, sp = quantize_page_int4(jnp.asarray(x), subs=4)
+    qb, sb = quantize_kv_blocks_int4(
+        jnp.asarray(x[None]), PAGE, scale_block=PAGE // 4)
+    np.testing.assert_array_equal(np.asarray(qp), np.asarray(qb)[0])
+    np.testing.assert_allclose(
+        np.asarray(sp), np.asarray(sb)[0].reshape(HKV, 4), rtol=1e-6)
