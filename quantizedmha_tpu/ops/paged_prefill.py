@@ -179,7 +179,9 @@ def paged_prefill_attention(
     block_tables: [batch, max_pages] i32
     Returns [batch, num_q_heads, q_len, head_dim]. HBM traffic per
     (batch, kv_head) is O(lengths[b]) pages, NOT O(max_pages): pages past
-    the causal bound are DMA-elided via a clamped index map.
+    the causal bound are DMA-elided via a clamped index map — and with a
+    sliding window, pages wholly behind it elide too (O(window + sinks)
+    per q block, mirroring the decode kernel's clamp).
     """
     validate_masking(True, window, attention_sinks)
     batch, num_q_heads, q_len, head_dim = q.shape
@@ -210,12 +212,26 @@ def paged_prefill_attention(
     )
 
     def _page_idx(b, h, qb, i, L, S, T):
-        # Clamp to the last page this q block can see: all later grid steps
-        # re-reference that page and Pallas elides the repeated copy.
+        # Clamp to the page range this q block can see: trailing steps
+        # re-reference the last visible page, behind-the-window steps the
+        # first visible one (sink pages pass through) — Pallas elides the
+        # repeated copies, mirroring decode's _make_clamped_page_idx, so
+        # windowed chunked prefill pays O(window + sinks) traffic, not
+        # O(prefix).
         last_pos = jnp.minimum(
             S[b] + (qb + 1) * block_q - 1, jnp.maximum(L[b] - 1, 0))
         last_page = jnp.maximum(last_pos, 0) // page_size
-        return (h, T[b, jnp.minimum(i, last_page)], 0, 0)
+        ic = jnp.minimum(i, last_page)
+        if window is not None:
+            first_vis = jnp.maximum(S[b] + qb * block_q - window + 1, 0)
+            lo = jnp.minimum(first_vis // page_size, last_page)
+            clamped = jnp.clip(i, lo, last_page)
+            if attention_sinks:
+                sink_pages = -(-attention_sinks // page_size)
+                ic = jnp.where(i < sink_pages, ic, clamped)
+            else:
+                ic = clamped
+        return (h, T[b, ic], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
