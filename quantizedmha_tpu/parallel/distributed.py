@@ -118,9 +118,13 @@ def hybrid_mesh(
 # DCN-aware collective audit.
 # ---------------------------------------------------------------------------
 
+# -start lines carry the replica groups; -done lines reference the same
+# op and MUST NOT count again (async collectives — the normal TPU form —
+# compile to a start/done pair per collective), so `-done` is NOT in the
+# optional suffix: "all-reduce-done(" cannot match "all-reduce(?:-start)?\(".
 _OP_RE = re.compile(
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start|-done)?\(")
+    r"(?:-start)?\(")
 _LITERAL_GROUPS_RE = re.compile(
     r"replica_groups=\{(\{[^}]*\}(?:,\{[^}]*\})*)?\}")
 # iota v2 syntax: replica_groups=[num_groups,group_size]<=[shape]T(perm)?

@@ -34,8 +34,11 @@ _DTYPE_BYTES = {
 }
 
 # e.g. "f32[4,128,64]{...} all-reduce(", "bf16[2048]{0} collective-permute("
+# `(?:-start)?` admits the async form TPU compilation emits (each
+# collective becomes a start/done pair); `-done` lines deliberately do
+# NOT match — they name the same collective and would double-count.
 _HLO_RE = re.compile(
-    r"(\w+)\[([\d,]*)\][^=]*?\s(" + "|".join(_COLLECTIVE_OPS) + r")\(")
+    r"(\w+)\[([\d,]*)\][^=]*?\s(" + "|".join(_COLLECTIVE_OPS) + r")(?:-start)?\(")
 
 
 @dataclasses.dataclass(frozen=True)
