@@ -213,3 +213,36 @@ def test_bias_rope_convention():
     q_hf = ((x @ w_hf.T) + b_hf).reshape(S, n_heads, hd).transpose(1, 0, 2)[None]
     want = rotate_half_rope(q_hf)
     np.testing.assert_allclose(got_half, want, rtol=3e-4, atol=3e-4)
+
+
+def test_logits_match_real_transformers(tmp_path):
+    """The decisive convention test: a checkpoint written by transformers
+    ITSELF (random weights) must produce the same logits through our
+    loader + forward as through transformers' own LlamaForCausalLM.
+    The synthetic roundtrip cannot catch a wrong RoPE permute or name
+    mapping (writer and reader would share the bug); this can."""
+    import dataclasses
+
+    torch = pytest.importorskip("torch")
+    tfs = pytest.importorskip("transformers")
+
+    hf_cfg = tfs.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = tfs.LlamaForCausalLM(hf_cfg).eval().float()
+    model.save_pretrained(tmp_path / "hf", safe_serialization=True)
+
+    tokens = np.array([[1, 5, 9, 2, 7, 11, 3, 6]], np.int32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens).long()).logits.numpy()
+
+    cfg = dataclasses.replace(
+        config_from_hf(tmp_path / "hf"),
+        dtype=jnp.float32, attention_impl="reference")
+    params = load_llama(tmp_path / "hf", cfg, dtype=jnp.float32)
+    got = np.asarray(forward(cfg, params, jnp.asarray(tokens)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
