@@ -51,7 +51,10 @@ def config_from_hf(path) -> LlamaConfig:
         head_dim=cfg.get("head_dim"),
         rope_theta=float(cfg.get("rope_theta", 10000.0)),
         rms_eps=float(cfg.get("rms_norm_eps", 1e-5)),
-        sliding_window=cfg.get("sliding_window"),
+        # Qwen2-class configs may serialize a sliding_window VALUE with
+        # use_sliding_window=false (older transformers did) — the flag wins.
+        sliding_window=(cfg.get("sliding_window")
+                        if cfg.get("use_sliding_window", True) else None),
         # Llama configs carry an explicit flag; Qwen2's bias is implicit.
         attention_bias=bool(cfg.get("attention_bias", "Qwen2" in archs)),
     )

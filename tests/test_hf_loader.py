@@ -246,3 +246,36 @@ def test_logits_match_real_transformers(tmp_path):
     got = np.asarray(forward(cfg, params, jnp.asarray(tokens)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_qwen2_logits_match_real_transformers(tmp_path):
+    """Same decisive check for the Qwen2 family: q/k/v projection BIASES
+    ride the same rotate-half permute as their weights — a convention
+    error in _unpermute_rope's bias path would only show against
+    transformers' own forward."""
+    import dataclasses
+
+    torch = pytest.importorskip("torch")
+    tfs = pytest.importorskip("transformers")
+
+    hf_cfg = tfs.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False,
+        use_sliding_window=False,
+    )
+    torch.manual_seed(1)
+    model = tfs.Qwen2ForCausalLM(hf_cfg).eval().float()
+    model.save_pretrained(tmp_path / "hf", safe_serialization=True)
+
+    tokens = np.array([[2, 4, 8, 16, 32, 64, 9, 13]], np.int32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens).long()).logits.numpy()
+
+    cfg = config_from_hf(tmp_path / "hf")
+    assert cfg.attention_bias, "Qwen2 config must infer attention_bias"
+    cfg = dataclasses.replace(
+        cfg, dtype=jnp.float32, attention_impl="reference")
+    params = load_llama(tmp_path / "hf", cfg, dtype=jnp.float32)
+    got = np.asarray(forward(cfg, params, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
