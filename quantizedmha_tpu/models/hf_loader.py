@@ -41,6 +41,18 @@ def config_from_hf(path) -> LlamaConfig:
     cfg = json.loads((pathlib.Path(path) / "config.json").read_text())
     n_heads = cfg["num_attention_heads"]
     archs = " ".join(cfg.get("architectures", []) or [])
+    # Qwen2-class per-layer window patterns (window only on layer_idx >=
+    # max_window_layers) are NOT representable by the global sliding_window
+    # field — loading one silently as global would diverge from the HF
+    # forward on exactly the early full-attention layers. Refuse loudly.
+    if (cfg.get("use_sliding_window", False)
+            and cfg.get("sliding_window") is not None
+            and 0 < cfg.get("max_window_layers", 0) < cfg["num_hidden_layers"]):
+        raise ValueError(
+            "per-layer sliding-window checkpoints (use_sliding_window with "
+            f"max_window_layers={cfg['max_window_layers']} < "
+            f"{cfg['num_hidden_layers']} layers) are not supported — the "
+            "config only models a global window")
     return LlamaConfig(
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],

@@ -37,8 +37,9 @@ _DTYPE_BYTES = {
 # `(?:-start)?` admits the async form TPU compilation emits (each
 # collective becomes a start/done pair); `-done` lines deliberately do
 # NOT match — they name the same collective and would double-count.
-_HLO_RE = re.compile(
-    r"(\w+)\[([\d,]*)\][^=]*?\s(" + "|".join(_COLLECTIVE_OPS) + r")(?:-start)?\(")
+_OP_ONLY_RE = re.compile(
+    r"\s(" + "|".join(_COLLECTIVE_OPS) + r")(?:-start)?\(")
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,12 +75,23 @@ def audit_hlo(hlo_text: str) -> CollectiveReport:
     rotations — that each run n_devices-1 times per step)."""
     counts: Counter = Counter()
     bytes_by_kind: Counter = Counter()
-    for m in _HLO_RE.finditer(hlo_text):
-        dtype, dims, kind = m.group(1), m.group(2), m.group(3)
-        # "-start" variants pair with "-done"; the regex only sees the op
-        # name right before '(' so starts are counted once each.
+    for line in hlo_text.splitlines():
+        m = _OP_ONLY_RE.search(line)
+        if not m:
+            continue
+        kind = m.group(1)
         counts[kind] += 1
-        bytes_by_kind[kind] += _shape_bytes(dtype, dims)
+        # Payload = the LARGEST shape left of the op name. Sync form has
+        # only the result there; the async "-start" form has an
+        # (operand, result, ...context) tuple whose largest element is the
+        # gathered/permuted result (first-tuple-element parsing understated
+        # all-gather by the group-size factor). Known bias: async
+        # reduce-scatter-start reports its operand (on-wire) size where the
+        # sync form reports the smaller result.
+        shapes = _SHAPE_RE.findall(line[: m.start(1)])
+        if shapes:
+            bytes_by_kind[kind] += max(
+                _shape_bytes(dt, dims) for dt, dims in shapes)
     return CollectiveReport(
         counts=dict(counts),
         bytes_by_kind=dict(bytes_by_kind),

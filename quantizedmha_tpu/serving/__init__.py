@@ -7,6 +7,7 @@ from quantizedmha_tpu.serving.kv_cache import (
 )
 from quantizedmha_tpu.serving.mixed_kv import (
     MixedPagedKVState,
+    append_token_mixed,
     mixed_paged_decode_attention,
 )
 from quantizedmha_tpu.serving.sampling import SamplingParams
@@ -22,6 +23,7 @@ __all__ = [
     "SpecConfig",
     "SpecDecodeEngine",
     "MixedPagedKVState",
+    "append_token_mixed",
     "mixed_paged_decode_attention",
     "PageAllocator",
     "PagedKVCacheState",

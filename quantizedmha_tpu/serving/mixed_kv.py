@@ -96,20 +96,17 @@ def quantize_page_int4(
     x: jnp.ndarray, subs: int, scale_clamp: float = 1e-8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: [Hkv, page_size, head_dim] -> (nibble-packed [Hkv, page_size,
-    head_dim//2] int8, per-(head, sub-tile) scales [Hkv, subs] f32), in
-    ops.quantize.quantize_kv_blocks_int4's deinterleaved layout."""
+    head_dim//2] int8, per-(head, sub-tile) scales [Hkv, subs] f32).
+    A per-page view of ops.quantize.quantize_kv_blocks_int4 — ONE
+    implementation owns the pack layout the decode kernel unpacks."""
+    from quantizedmha_tpu.ops.quantize import quantize_kv_blocks_int4
+
     h, p, d = x.shape
     if p % subs:
         raise ValueError(f"page_size {p} not a multiple of subs {subs}")
-    xr = x.reshape(h, subs, p // subs, d).astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xr), axis=(-2, -1))
-    scale = jnp.maximum(amax, scale_clamp) / 7.0
-    q = jnp.clip(jnp.round(xr / scale[..., None, None]), -7, 7)
-    q = q.reshape(h, p, d).astype(jnp.int32)
-    lo = q[..., : d // 2]
-    hi = q[..., d // 2:]
-    packed = jnp.bitwise_and(lo, 0xF) | jnp.left_shift(hi, 4)
-    return packed.astype(jnp.int8), scale
+    packed, scale = quantize_kv_blocks_int4(
+        x[None], p, scale_clamp=scale_clamp, scale_block=p // subs)
+    return packed[0], scale[0].reshape(h, subs)
 
 
 def write_pages_mixed(
@@ -165,6 +162,35 @@ def write_pages_mixed(
     return state
 
 
+def append_token_mixed(
+    state: MixedPagedKVState,
+    k_tok: jnp.ndarray,  # [Hkv, hd]
+    v_tok: jnp.ndarray,
+    *,
+    position: int,          # absolute position of the token (host-side int)
+    boundary_tokens: int,
+    page_id: jnp.ndarray,   # physical page in the pool that owns `position`
+    slot: jnp.ndarray,
+) -> MixedPagedKVState:
+    """Route a decode-time append to the pool that owns `position`:
+    below the boundary the token lands INT8 (a prefill shorter than the
+    sink region keeps decoding into it), at or past it INT4. `position`
+    is a host int (the allocator knows lengths host-side), so the routing
+    is static per jit specialization."""
+    if position < boundary_tokens:
+        from quantizedmha_tpu.serving.kv_cache import (
+            PagedKVCacheState, append_token)
+
+        view = PagedKVCacheState(
+            k_pages=state.k8, v_pages=state.v8,
+            k_scales=state.k8_scales, v_scales=state.v8_scales)
+        view = append_token(view, k_tok, v_tok, page_id, slot)
+        return dataclasses.replace(
+            state, k8=view.k_pages, v8=view.v_pages,
+            k8_scales=view.k_scales, v8_scales=view.v_scales)
+    return append_token_int4(state, k_tok, v_tok, page_id, slot)
+
+
 def append_token_int4(
     state: MixedPagedKVState,
     k_tok: jnp.ndarray,  # [Hkv, hd]
@@ -172,9 +198,8 @@ def append_token_int4(
     page_id: jnp.ndarray,  # scalar i32 int4-pool physical page
     slot: jnp.ndarray,     # scalar i32 offset within the page
 ) -> MixedPagedKVState:
-    """Append one decoded token into the INT4 bulk (decode positions are
-    past the int8 boundary by the prefill-covers-the-boundary contract —
-    see mixed_paged_decode_attention). Same scale policy as
+    """Append one decoded token into the INT4 bulk (positions at or past
+    the boundary — append_token_mixed routes). Same scale policy as
     kv_cache.append_tokens_batched: the SUB-TILE's scale is fitted by the
     first token landing in it, later tokens clamp into it."""
     page = state.page_size
@@ -209,7 +234,9 @@ def mixed_paged_decode_attention(
     boundary_tokens: int,      # int8 region size (page-aligned, static)
     *,
     sm_scale: Optional[float] = None,
+    window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Decode attention over the mixed cache: positions
@@ -218,16 +245,28 @@ def mixed_paged_decode_attention(
     exactly via lse. Sequences shorter than the boundary get an all-masked
     int4 partial (lse = -inf) that drops out of the merge exactly.
 
-    Sliding-window masking is intentionally NOT offered here: with a
-    window the bulk is *recycled* (kv_cache.trim_window) and the sink
-    pages already are the int8 region, so windowed serving wants window
-    trimming + this same full-causal mixed read — the window never
-    re-masks inside the live region.
+    Windowed (StreamingLLM) serving: requires `attention_sinks ==
+    boundary_tokens` — the int8 region IS the sink region, which is the
+    whole design point of mixed pages. The int8 partial is then the
+    always-visible sinks (full causal over len8) and the int4 partial
+    applies the window in its own frame: its position p4 = absolute -
+    boundary, so `p4 >= len4 - window  <=>  absolute >= length - window`
+    — exact, with window masking (not just page trimming) protecting any
+    table slot kv_cache.trim_window has remapped to the scrap page.
     """
     page = state.page_size
     if boundary_tokens % page:
         raise ValueError(
             f"boundary_tokens {boundary_tokens} not page-aligned ({page})")
+    if window is None and attention_sinks:
+        raise ValueError("attention_sinks requires a window (same contract "
+                         "as the decode kernels)")
+    if window is not None and attention_sinks != boundary_tokens:
+        raise ValueError(
+            f"windowed mixed decode needs attention_sinks "
+            f"({attention_sinks}) == boundary_tokens ({boundary_tokens}): "
+            "the int8 region must be exactly the always-visible sink "
+            "region for the two partial masks to compose exactly")
     len8 = jnp.minimum(lengths, boundary_tokens)
     len4 = jnp.maximum(lengths - boundary_tokens, 0)
     o8, lse8 = paged_decode_attention(
@@ -236,7 +275,8 @@ def mixed_paged_decode_attention(
         save_residuals=True, interpret=interpret)
     o4, lse4 = paged_decode_attention_int4(
         q, state.k4, state.v4, state.k4_scales, state.v4_scales,
-        len4, tables4, sm_scale=sm_scale, logit_softcap=logit_softcap,
+        len4, tables4, sm_scale=sm_scale, window=window,
+        logit_softcap=logit_softcap,
         save_residuals=True, interpret=interpret)
     o, _ = merge_two_partials(o8, lse8, o4, lse4)
     return o

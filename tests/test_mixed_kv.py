@@ -254,3 +254,106 @@ def test_quantize_page_int4_matches_blocks_helper(rng):
     np.testing.assert_array_equal(np.asarray(qp), np.asarray(qb)[0])
     np.testing.assert_allclose(
         np.asarray(sp), np.asarray(sb)[0].reshape(HKV, 4), rtol=1e-6)
+
+
+def _golden_masked(q, k, v, visible):
+    """Exact softmax attention over an explicit position-visibility mask."""
+    hq, d = q.shape
+    hkv = k.shape[0]
+    group = hq // hkv
+    qg = q.reshape(hkv, group, d).astype(np.float64)
+    s = np.einsum("hgd,hnd->hgn", qg, k.astype(np.float64)) * d**-0.5
+    s = np.where(visible[None, None, :], s, -np.inf)
+    s -= s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(-1, keepdims=True)
+    o = np.einsum("hgn,hnd->hgd", p, v.astype(np.float64))
+    return o.reshape(hq, d)
+
+
+def test_mixed_windowed_decode_and_trimmed_slot_safety(rng):
+    """StreamingLLM serving shape: sinks == boundary, sliding window on the
+    bulk. The masks of the two partials must compose to exactly
+    sinks + window — and table slots the engine has trimmed (remapped to
+    a scrap/garbage page) must be PROVABLY masked, not just unread."""
+    n, window = 640, 256  # boundary/sinks = 128 (one page)
+    state, t8, t4, k_full, v_full, boundary = _fill_mixed(
+        rng, [n], n8=4, n4=12)
+    q = rng.normal(0, 0.5, (1, HQ, HD)).astype(np.float32)
+    out = mixed_paged_decode_attention(
+        jnp.asarray(q), state, jnp.asarray([n], np.int32),
+        jnp.asarray(t8), jnp.asarray(t4), boundary,
+        window=window, attention_sinks=boundary)
+
+    # Golden over the stored payloads with the exact visibility set:
+    # sinks [0, 128) + window [n - 256, n).
+    k8 = _dequant8(state.k8, state.k8_scales, t8[0][t8[0] > 0])
+    v8 = _dequant8(state.v8, state.v8_scales, t8[0][t8[0] > 0])
+    k4 = _dequant4(state.k4, state.k4_scales, t4[0][t4[0] > 0])
+    v4 = _dequant4(state.v4, state.v4_scales, t4[0][t4[0] > 0])
+    kk = np.concatenate([k8, k4], axis=1)[:, :n]
+    vv = np.concatenate([v8, v4], axis=1)[:, :n]
+    pos = np.arange(n)
+    visible = (pos < boundary) | (pos >= n - window)
+    want = _golden_masked(q[0], kk, vv, visible)
+    np.testing.assert_allclose(np.asarray(out[0]), want, rtol=2e-4, atol=2e-4)
+
+    # Trim simulation: int4 logical pages covering absolute [128, 384) are
+    # wholly behind the window — remap their table slots to a GARBAGE page
+    # (id 11, filled with +127 nibbles). Output must not move at all.
+    garbage = jnp.full_like(state.k4[:, :1], 0x77)  # both nibbles = +7
+    state2 = dataclasses.replace(
+        state,
+        k4=state.k4.at[:, 11].set(garbage[:, 0]),
+        v4=state.v4.at[:, 11].set(garbage[:, 0]),
+        k4_scales=state.k4_scales.at[:, 11].set(1.0),
+        v4_scales=state.v4_scales.at[:, 11].set(1.0),
+    )
+    t4_trim = t4.copy()
+    t4_trim[0, :2] = 11  # int4 logical pages 0,1 = absolute [128, 384)
+    out2 = mixed_paged_decode_attention(
+        jnp.asarray(q), state2, jnp.asarray([n], np.int32),
+        jnp.asarray(t8), jnp.asarray(t4_trim), boundary,
+        window=window, attention_sinks=boundary)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_mixed_windowed_requires_sinks_equal_boundary(rng):
+    state, t8, t4, _, _, boundary = _fill_mixed(rng, [256])
+    q = jnp.zeros((1, HQ, HD), jnp.float32)
+    with pytest.raises(ValueError, match="boundary_tokens"):
+        mixed_paged_decode_attention(
+            q, state, jnp.asarray([256], np.int32),
+            jnp.asarray(t8), jnp.asarray(t4), boundary,
+            window=128, attention_sinks=0)
+
+
+def test_append_token_mixed_routes_below_boundary(rng):
+    """A prefill SHORTER than the boundary keeps decoding into the INT8
+    pool: appended tokens must be readable (the int4-only append would
+    silently drop them)."""
+    from quantizedmha_tpu.serving.mixed_kv import append_token_mixed
+
+    lengths = [100]  # < boundary 128: tokens 100.. belong to the int8 pool
+    state, t8, t4, k_full, v_full, boundary = _fill_mixed(rng, lengths)
+    page8 = int(t8[0, 0])  # the partially-filled int8 page
+    k_toks = rng.normal(0, 0.5, (3, HKV, HD)).astype(np.float32)
+    v_toks = rng.normal(0, 0.5, (3, HKV, HD)).astype(np.float32)
+    for i in range(3):
+        state = append_token_mixed(
+            state, jnp.asarray(k_toks[i]), jnp.asarray(v_toks[i]),
+            position=100 + i, boundary_tokens=boundary,
+            page_id=jnp.asarray(page8, jnp.int32),
+            slot=jnp.asarray(100 + i, jnp.int32))
+    n = 103
+    q = rng.normal(0, 0.5, (1, HQ, HD)).astype(np.float32)
+    out = mixed_paged_decode_attention(
+        jnp.asarray(q), state, jnp.asarray([n], np.int32),
+        jnp.asarray(t8), jnp.asarray(t4), boundary)
+    k_all = np.concatenate(
+        [k_full[0][:, :100], k_toks.transpose(1, 0, 2)], axis=1)
+    v_all = np.concatenate(
+        [v_full[0][:, :100], v_toks.transpose(1, 0, 2)], axis=1)
+    want = _golden(q[0], k_all.astype(np.float64), v_all.astype(np.float64), n)
+    # int8-format tolerance (appends clamp into the page's existing scale)
+    np.testing.assert_allclose(np.asarray(out[0]), want, rtol=2e-2, atol=2e-2)
