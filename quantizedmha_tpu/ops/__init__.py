@@ -15,7 +15,10 @@ from quantizedmha_tpu.ops.quantize import (
     quantize_kv_blocks,
     quantize_kv_blocks_int4,
 )
-from quantizedmha_tpu.ops.paged_prefill import paged_prefill_attention
+from quantizedmha_tpu.ops.paged_prefill import (
+    paged_prefill_attention,
+    paged_prefill_attention_int4,
+)
 from quantizedmha_tpu.ops.unfused import unfused_mha
 from quantizedmha_tpu.reference.mha import apply_rope, mha_reference_shaped
 
@@ -23,6 +26,7 @@ __all__ = [
     "paged_decode_attention",
     "paged_decode_attention_int4",
     "paged_prefill_attention",
+    "paged_prefill_attention_int4",
     "flash_attention",
     "flash_attention_int8",
     "flash_attention_int8_prequant",

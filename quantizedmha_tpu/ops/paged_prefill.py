@@ -269,3 +269,256 @@ def paged_prefill_attention(
       k_scales, v_scales)
     out = out[:, :, :, :q_len, :]
     return out.reshape(batch, num_q_heads, q_len, head_dim)
+
+
+def _prefill_kernel_int4(
+    # scalar prefetch
+    lengths_ref,   # [batch] i32
+    qstarts_ref,   # [batch] i32
+    tables_ref,    # [batch, max_pages] i32
+    # inputs
+    q_ref,         # [1, 1, group, block_q, head_dim]
+    k_page_ref,    # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
+    v_page_ref,    # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
+    ks_ref,        # [num_kv_heads, num_pages, subs] f32 in SMEM
+    vs_ref,        # [num_kv_heads, num_pages, subs] f32 in SMEM
+    # outputs
+    o_ref,         # [1, 1, group, block_q, head_dim]
+    # scratch
+    m_scratch,     # [group*block_q, LANES] f32
+    l_scratch,     # [group*block_q, LANES] f32
+    acc_lo,        # [group*block_q, head_dim//2] f32
+    acc_hi,        # [group*block_q, head_dim//2] f32
+    *,
+    sm_scale: float,
+    page_size: int,
+    block_q: int,
+    group: int,
+    half_dim: int,
+    subs: int = 1,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    sinks: int = 0,
+):
+    """INT4-KV multi-token kernel: _prefill_kernel over nibble-packed
+    pages (ops.quantize's deinterleaved layout — unpack into two
+    contiguous half-head_dim tiles, dot per half; per-sub-tile scales
+    applied per score/probability column, exactly as the int4 decode
+    kernel does). Completes the int4 path's q_len > 1 surface — the
+    missing piece for chunked prefill over a mixed-precision cache."""
+    from quantizedmha_tpu.ops.quantize import unpack_int4_halves
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qb = pl.program_id(2)
+    i = pl.program_id(3)
+    num_pages_grid = pl.num_programs(3)
+    length = lengths_ref[b]
+    q_start = qstarts_ref[b] + qb * block_q
+
+    @pl.when(i == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_lo[...] = jnp.zeros_like(acc_lo)
+        acc_hi[...] = jnp.zeros_like(acc_hi)
+
+    last_q_pos = q_start + block_q - 1
+    in_ctx = (i * page_size <= last_q_pos) & (i * page_size < length)
+    if window is not None:
+        in_win = (i + 1) * page_size > q_start - window + 1
+        if sinks:
+            in_win |= i * page_size < sinks
+        in_ctx &= in_win
+
+    def _scale_cols(scales_ref, page):
+        if subs == 1:
+            return scales_ref[h, page, 0]
+        sub_w = page_size // subs
+        return jnp.concatenate(
+            [jnp.full((1, sub_w), scales_ref[h, page, j], jnp.float32)
+             for j in range(subs)], axis=1)
+
+    @pl.when(in_ctx)
+    def _run():
+        page = tables_ref[b, i]
+        gbq = group * block_q
+        q = q_ref[0, 0].reshape(gbq, q_ref.shape[-1]).astype(jnp.float32)
+        q = q * sm_scale
+        q_lo, q_hi = q[:, :half_dim], q[:, half_dim:]
+        k_lo, k_hi = unpack_int4_halves(k_page_ref[0, 0, :, :])
+        s = (
+            jax.lax.dot_general(
+                q_lo, k_lo.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION)
+            + jax.lax.dot_general(
+                q_hi, k_hi.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION)
+        ) * _scale_cols(ks_ref, page)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gbq, page_size), 0)
+        qpos = q_start + jax.lax.rem(rows, block_q)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (gbq, page_size), 1) + i * page_size
+        valid = (kpos <= qpos) & (kpos < length)
+        if window is not None:
+            in_win = kpos > qpos - window
+            if sinks:
+                in_win |= kpos < sinks
+            valid &= in_win
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        p = jnp.where(m_next > DEFAULT_MASK_VALUE * 0.5, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+        v_lo, v_hi = unpack_int4_halves(v_page_ref[0, 0, :, :])
+        p_s = p * _scale_cols(vs_ref, page)
+        acc_lo[...] = acc_lo[...] * alpha + jax.lax.dot_general(
+            p_s, v_lo.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_INT8_PRECISION)
+        acc_hi[...] = acc_hi[...] * alpha + jax.lax.dot_general(
+            p_s, v_hi.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_INT8_PRECISION)
+
+    @pl.when(i == num_pages_grid - 1)
+    def _epilogue():
+        l = l_scratch[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        gbq = group * block_q
+        out = jnp.concatenate(
+            [acc_lo[...] * l_inv, acc_hi[...] * l_inv], axis=-1)
+        o_ref[0, 0] = out.reshape(o_ref.shape[2:]).astype(o_ref.dtype)
+
+
+def paged_prefill_attention_int4(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    k_scales: jnp.ndarray,
+    v_scales: jnp.ndarray,
+    lengths: jnp.ndarray,
+    q_starts: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    block_q: int = 256,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """paged_prefill_attention over an INT4 (nibble-packed) cache.
+
+    k/v_pages: [num_kv_heads, num_pages, page_size, head_dim // 2] int8 in
+    quantize_kv_blocks_int4's deinterleaved layout; k/v_scales:
+    [num_kv_heads, num_pages] or [num_kv_heads, num_pages, subs]
+    (sub-page scale tiles, run12). Everything else — offsets, masking,
+    clamped index maps (O(length), and O(window + sinks) when windowed) —
+    matches paged_prefill_attention."""
+    validate_masking(True, window, attention_sinks)
+    batch, num_q_heads, q_len, head_dim = q.shape
+    num_kv_heads, num_pages, page_size, half = k_pages.shape
+    if half * 2 != head_dim:
+        raise ValueError(
+            f"packed pages last dim {half} != head_dim // 2 ({head_dim // 2})")
+    if k_scales.ndim == 2:
+        k_scales = k_scales[..., None]
+    if v_scales.ndim == 2:
+        v_scales = v_scales[..., None]
+    subs = k_scales.shape[-1]
+    if page_size % subs:
+        raise ValueError(
+            f"page_size {page_size} not a multiple of scale sub-tiles {subs}")
+    if v_scales.shape[-1] != subs:
+        raise ValueError("k_scales and v_scales must agree on sub-tiles")
+    max_pages = block_tables.shape[1]
+    group = num_q_heads // num_kv_heads
+    if group * num_kv_heads != num_q_heads:
+        raise ValueError(
+            f"q heads {num_q_heads} not a multiple of kv heads {num_kv_heads}")
+    scale = sm_scale if sm_scale is not None else head_dim**-0.5
+
+    block_q = min(block_q, max(q_len, 16))
+    q_pad = (-q_len) % block_q
+    qg = q.reshape(batch, num_kv_heads, group, q_len, head_dim)
+    if q_pad:
+        qg = jnp.pad(qg, ((0, 0),) * 3 + ((0, q_pad), (0, 0)))
+    q_len_p = q_len + q_pad
+
+    kernel = functools.partial(
+        _prefill_kernel_int4,
+        sm_scale=scale,
+        page_size=page_size,
+        block_q=block_q,
+        group=group,
+        half_dim=half,
+        subs=subs,
+        window=window,
+        softcap=logit_softcap,
+        sinks=attention_sinks,
+    )
+
+    def _page_idx(b, h, qb, i, L, S, T):
+        last_pos = jnp.minimum(
+            S[b] + (qb + 1) * block_q - 1, jnp.maximum(L[b] - 1, 0))
+        last_page = jnp.maximum(last_pos, 0) // page_size
+        ic = jnp.minimum(i, last_page)
+        if window is not None:
+            first_vis = jnp.maximum(S[b] + qb * block_q - window + 1, 0)
+            lo = jnp.minimum(first_vis // page_size, last_page)
+            clamped = jnp.clip(i, lo, last_page)
+            if attention_sinks:
+                sink_pages = -(-attention_sinks // page_size)
+                ic = jnp.where(i < sink_pages, ic, clamped)
+            else:
+                ic = clamped
+        return (h, T[b, ic], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(batch, num_kv_heads, q_len_p // block_q, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, group, block_q, head_dim),
+                         lambda b, h, qb, i, L, S, T: (b, h, 0, qb, 0)),
+            pl.BlockSpec((1, 1, page_size, half), _page_idx),
+            pl.BlockSpec((1, 1, page_size, half), _page_idx),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group, block_q, head_dim),
+            lambda b, h, qb, i, L, S, T: (b, h, 0, qb, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group * block_q, LANES), jnp.float32),
+            pltpu.VMEM((group * block_q, LANES), jnp.float32),
+            pltpu.VMEM((group * block_q, half), jnp.float32),
+            pltpu.VMEM((group * block_q, half), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_kv_heads, group, q_len_p, head_dim), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=_auto_interpret(interpret),
+    )(lengths.astype(jnp.int32), q_starts.astype(jnp.int32),
+      block_tables.astype(jnp.int32), qg, k_pages, v_pages,
+      k_scales, v_scales)
+    out = out[:, :, :, :q_len, :]
+    return out.reshape(batch, num_q_heads, q_len, head_dim)

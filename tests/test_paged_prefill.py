@@ -175,3 +175,95 @@ def test_decode_agreement():
     )[:, :, 0, :]
     np.testing.assert_allclose(
         np.asarray(via_decode), np.asarray(via_prefill), atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# INT4 multi-token kernel (paged_prefill_attention_int4)
+# ---------------------------------------------------------------------------
+
+
+def _mk_cache_int4(rng, kv_heads, page, hd, length, subs=4):
+    """One sequence's worth of int4 pages (sequential table from 0)."""
+    from quantizedmha_tpu.ops.quantize import (
+        dequantize_kv_blocks_int4, quantize_kv_blocks_int4)
+
+    n_pages = -(-length // page)
+    n_tok = n_pages * page
+    k = rng.normal(0, 0.5, (1, kv_heads, n_tok, hd)).astype(np.float32)
+    v = rng.normal(0, 0.5, (1, kv_heads, n_tok, hd)).astype(np.float32)
+    k[:, :, length:] = 0
+    v[:, :, length:] = 0
+    tile = page // subs
+    kq, ks = quantize_kv_blocks_int4(jnp.asarray(k), page, scale_block=tile)
+    vq, vs = quantize_kv_blocks_int4(jnp.asarray(v), page, scale_block=tile)
+    kd = np.asarray(dequantize_kv_blocks_int4(kq, ks, tile))[0]
+    vd = np.asarray(dequantize_kv_blocks_int4(vq, vs, tile))[0]
+    pages_k = np.asarray(kq)[0].reshape(kv_heads, n_pages, page, hd // 2)
+    pages_v = np.asarray(vq)[0].reshape(kv_heads, n_pages, page, hd // 2)
+    scales_k = np.asarray(ks)[0].reshape(kv_heads, n_pages, subs)
+    scales_v = np.asarray(vs)[0].reshape(kv_heads, n_pages, subs)
+    return (jnp.asarray(pages_k), jnp.asarray(pages_v),
+            jnp.asarray(scales_k), jnp.asarray(scales_v), kd, vd)
+
+
+@pytest.mark.parametrize("group", [1, 4])
+def test_int4_parity_vs_dequantized_reference(group):
+    from quantizedmha_tpu.ops.paged_prefill import paged_prefill_attention_int4
+
+    rng = np.random.default_rng(7)
+    kv_heads, page, hd = 2, 32, 64
+    length, q_len = 200, 48  # chunk [152, 200) of the context
+    q_start = length - q_len
+    kp, vp, ks, vs, kd, vd = _mk_cache_int4(rng, kv_heads, page, hd, length)
+    n_pages = kp.shape[1]
+    q = rng.normal(0, 0.5, (1, kv_heads * group, q_len, hd)).astype(np.float32)
+    table = np.arange(n_pages, dtype=np.int32)[None]
+
+    out = paged_prefill_attention_int4(
+        jnp.asarray(q), kp, vp, ks, vs,
+        jnp.asarray([length], np.int32), jnp.asarray([q_start], np.int32),
+        jnp.asarray(table), block_q=16)
+    want = _ref_attention(q[0], kd, vd, q_start, length)
+    np.testing.assert_allclose(np.asarray(out[0]), want, rtol=2e-4, atol=2e-4)
+
+
+def test_int4_window_and_sinks():
+    from quantizedmha_tpu.ops.paged_prefill import paged_prefill_attention_int4
+
+    rng = np.random.default_rng(8)
+    kv_heads, page, hd = 2, 32, 64
+    length, q_len = 160, 32
+    q_start = length - q_len
+    kp, vp, ks, vs, kd, vd = _mk_cache_int4(rng, kv_heads, page, hd, length)
+    n_pages = kp.shape[1]
+    q = rng.normal(0, 0.5, (1, kv_heads * 2, q_len, hd)).astype(np.float32)
+    table = np.arange(n_pages, dtype=np.int32)[None]
+
+    out = paged_prefill_attention_int4(
+        jnp.asarray(q), kp, vp, ks, vs,
+        jnp.asarray([length], np.int32), jnp.asarray([q_start], np.int32),
+        jnp.asarray(table), block_q=16, window=48, attention_sinks=8)
+    want = _ref_attention(q[0], kd, vd, q_start, length, window=48, sinks=8)
+    np.testing.assert_allclose(np.asarray(out[0]), want, rtol=2e-4, atol=2e-4)
+
+
+def test_int4_agrees_with_int4_decode_at_qlen1():
+    from quantizedmha_tpu.ops.decode import paged_decode_attention_int4
+    from quantizedmha_tpu.ops.paged_prefill import paged_prefill_attention_int4
+
+    rng = np.random.default_rng(9)
+    kv_heads, page, hd = 2, 32, 64
+    length = 100
+    kp, vp, ks, vs, kd, vd = _mk_cache_int4(rng, kv_heads, page, hd, length)
+    n_pages = kp.shape[1]
+    q = rng.normal(0, 0.5, (1, kv_heads * 4, 1, hd)).astype(np.float32)
+    table = np.arange(n_pages, dtype=np.int32)[None]
+    lengths = jnp.asarray([length], np.int32)
+
+    out_p = paged_prefill_attention_int4(
+        jnp.asarray(q), kp, vp, ks, vs, lengths,
+        jnp.asarray([length - 1], np.int32), jnp.asarray(table))
+    out_d = paged_decode_attention_int4(
+        jnp.asarray(q[:, :, 0]), kp, vp, ks, vs, lengths, jnp.asarray(table))
+    np.testing.assert_allclose(
+        np.asarray(out_p[:, :, 0]), np.asarray(out_d), rtol=2e-5, atol=2e-5)
