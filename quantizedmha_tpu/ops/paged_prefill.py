@@ -45,6 +45,20 @@ from quantizedmha_tpu.ops.flash_attention import (
 _INT8_PRECISION = jax.lax.Precision.DEFAULT
 
 
+def _out_block(group, block_q, head_dim):
+    return pl.BlockSpec(
+        (1, 1, group, block_q, head_dim),
+        lambda b, h, qb, i, L, S, T: (b, h, 0, qb, 0),
+    )
+
+
+def _lse_block(group, block_q):
+    return pl.BlockSpec(
+        (1, 1, group, block_q, LANES),
+        lambda b, h, qb, i, L, S, T: (b, h, 0, qb, 0),
+    )
+
+
 def _prefill_kernel(
     # scalar prefetch
     lengths_ref,   # [batch] i32 — total visible context length
@@ -56,13 +70,10 @@ def _prefill_kernel(
     v_page_ref,    # [1, 1, page_size, head_dim] int8
     ks_ref,        # [num_kv_heads, num_pages] f32 in SMEM
     vs_ref,        # [num_kv_heads, num_pages] f32 in SMEM
-    # outputs
-    o_ref,         # [1, 1, group, block_q, head_dim]
-    # scratch
-    m_scratch,     # [group*block_q, LANES] f32
-    l_scratch,     # [group*block_q, LANES] f32
-    acc_scratch,   # [group*block_q, head_dim] f32
-    *,
+    # outputs: o_ref [1, 1, group, block_q, head_dim] (+ lse_ref
+    # [1, 1, group, block_q, LANES] when save_residuals), then scratch
+    # m/l [group*block_q, LANES], acc [group*block_q, head_dim]
+    *refs,
     sm_scale: float,
     page_size: int,
     block_q: int,
@@ -70,7 +81,13 @@ def _prefill_kernel(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: int = 0,
+    save_residuals: bool = False,
 ):
+    if save_residuals:
+        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = refs
+        lse_ref = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     qb = pl.program_id(2)
@@ -149,6 +166,16 @@ def _prefill_kernel(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         out = acc_scratch[...] * l_inv
         o_ref[0, 0] = out.reshape(o_ref.shape[2:]).astype(o_ref.dtype)
+        if save_residuals:
+            # lse in parallel/combine's merge convention (m + log l over
+            # the scaled logits); a row with no visible positions is
+            # exactly -inf so it drops out of merge_two_partials.
+            m = m_scratch[:, :1]
+            lse = jnp.where(l == 0.0, -jnp.inf,
+                            m + jnp.log(jnp.maximum(l, 1e-38)))
+            lse_ref[0, 0] = jnp.broadcast_to(
+                lse, (lse.shape[0], lse_ref.shape[-1])
+            ).reshape(lse_ref.shape[2:])
 
 
 def paged_prefill_attention(
@@ -166,9 +193,14 @@ def paged_prefill_attention(
     window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
+    save_residuals: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Multi-token causal attention straight from the paged INT8 cache.
+
+    save_residuals=True additionally returns lse [batch, num_q_heads,
+    q_len] f32 — the partial-attention form merge_two_partials consumes
+    (mixed-precision chunked prefill).
 
     q:            [batch, num_q_heads, q_len, head_dim] — a prefill chunk's
                   or a speculative verify window's queries (post-RoPE)
@@ -209,6 +241,7 @@ def paged_prefill_attention(
         window=window,
         softcap=logit_softcap,
         sinks=attention_sinks,
+        save_residuals=save_residuals,
     )
 
     def _page_idx(b, h, qb, i, L, S, T):
@@ -244,9 +277,10 @@ def paged_prefill_attention(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, group, block_q, head_dim),
-            lambda b, h, qb, i, L, S, T: (b, h, 0, qb, 0),
+        out_specs=(
+            (_out_block(group, block_q, head_dim),
+             _lse_block(group, block_q)) if save_residuals
+            else _out_block(group, block_q, head_dim)
         ),
         scratch_shapes=[
             pltpu.VMEM((group * block_q, LANES), jnp.float32),
@@ -254,12 +288,14 @@ def paged_prefill_attention(
             pltpu.VMEM((group * block_q, head_dim), jnp.float32),
         ],
     )
+    o_shape = jax.ShapeDtypeStruct(
+        (batch, num_kv_heads, group, q_len_p, head_dim), q.dtype)
+    lse_shape = jax.ShapeDtypeStruct(
+        (batch, num_kv_heads, group, q_len_p, LANES), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_kv_heads, group, q_len_p, head_dim), q.dtype
-        ),
+        out_shape=(o_shape, lse_shape) if save_residuals else o_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
         ),
@@ -267,6 +303,12 @@ def paged_prefill_attention(
     )(lengths.astype(jnp.int32), q_starts.astype(jnp.int32),
       block_tables.astype(jnp.int32), qg, k_pages, v_pages,
       k_scales, v_scales)
+    if save_residuals:
+        o, lse = out
+        return (
+            o[:, :, :, :q_len, :].reshape(batch, num_q_heads, q_len, head_dim),
+            lse[:, :, :, :q_len, 0].reshape(batch, num_q_heads, q_len),
+        )
     out = out[:, :, :, :q_len, :]
     return out.reshape(batch, num_q_heads, q_len, head_dim)
 
@@ -282,14 +324,10 @@ def _prefill_kernel_int4(
     v_page_ref,    # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
     ks_ref,        # [num_kv_heads, num_pages, subs] f32 in SMEM
     vs_ref,        # [num_kv_heads, num_pages, subs] f32 in SMEM
-    # outputs
-    o_ref,         # [1, 1, group, block_q, head_dim]
-    # scratch
-    m_scratch,     # [group*block_q, LANES] f32
-    l_scratch,     # [group*block_q, LANES] f32
-    acc_lo,        # [group*block_q, head_dim//2] f32
-    acc_hi,        # [group*block_q, head_dim//2] f32
-    *,
+    # outputs: o_ref [1, 1, group, block_q, head_dim] (+ lse_ref
+    # [1, 1, group, block_q, LANES] when save_residuals), then scratch
+    # m/l [group*block_q, LANES], acc_lo/acc_hi [group*block_q, head_dim//2]
+    *refs,
     sm_scale: float,
     page_size: int,
     block_q: int,
@@ -299,6 +337,7 @@ def _prefill_kernel_int4(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: int = 0,
+    save_residuals: bool = False,
 ):
     """INT4-KV multi-token kernel: _prefill_kernel over nibble-packed
     pages (ops.quantize's deinterleaved layout — unpack into two
@@ -308,6 +347,11 @@ def _prefill_kernel_int4(
     missing piece for chunked prefill over a mixed-precision cache."""
     from quantizedmha_tpu.ops.quantize import unpack_int4_halves
 
+    if save_residuals:
+        o_ref, lse_ref, m_scratch, l_scratch, acc_lo, acc_hi = refs
+    else:
+        o_ref, m_scratch, l_scratch, acc_lo, acc_hi = refs
+        lse_ref = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     qb = pl.program_id(2)
@@ -395,10 +439,16 @@ def _prefill_kernel_int4(
     def _epilogue():
         l = l_scratch[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        gbq = group * block_q
         out = jnp.concatenate(
             [acc_lo[...] * l_inv, acc_hi[...] * l_inv], axis=-1)
         o_ref[0, 0] = out.reshape(o_ref.shape[2:]).astype(o_ref.dtype)
+        if save_residuals:
+            m = m_scratch[:, :1]
+            lse = jnp.where(l == 0.0, -jnp.inf,
+                            m + jnp.log(jnp.maximum(l, 1e-38)))
+            lse_ref[0, 0] = jnp.broadcast_to(
+                lse, (lse.shape[0], lse_ref.shape[-1])
+            ).reshape(lse_ref.shape[2:])
 
 
 def paged_prefill_attention_int4(
@@ -416,6 +466,7 @@ def paged_prefill_attention_int4(
     window: Optional[int] = None,
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
+    save_residuals: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """paged_prefill_attention over an INT4 (nibble-packed) cache.
@@ -467,6 +518,7 @@ def paged_prefill_attention_int4(
         window=window,
         softcap=logit_softcap,
         sinks=attention_sinks,
+        save_residuals=save_residuals,
     )
 
     def _page_idx(b, h, qb, i, L, S, T):
@@ -496,9 +548,10 @@ def paged_prefill_attention_int4(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, group, block_q, head_dim),
-            lambda b, h, qb, i, L, S, T: (b, h, 0, qb, 0),
+        out_specs=(
+            (_out_block(group, block_q, head_dim),
+             _lse_block(group, block_q)) if save_residuals
+            else _out_block(group, block_q, head_dim)
         ),
         scratch_shapes=[
             pltpu.VMEM((group * block_q, LANES), jnp.float32),
@@ -507,12 +560,14 @@ def paged_prefill_attention_int4(
             pltpu.VMEM((group * block_q, half), jnp.float32),
         ],
     )
+    o_shape = jax.ShapeDtypeStruct(
+        (batch, num_kv_heads, group, q_len_p, head_dim), q.dtype)
+    lse_shape = jax.ShapeDtypeStruct(
+        (batch, num_kv_heads, group, q_len_p, LANES), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_kv_heads, group, q_len_p, head_dim), q.dtype
-        ),
+        out_shape=(o_shape, lse_shape) if save_residuals else o_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
         ),
@@ -520,5 +575,11 @@ def paged_prefill_attention_int4(
     )(lengths.astype(jnp.int32), q_starts.astype(jnp.int32),
       block_tables.astype(jnp.int32), qg, k_pages, v_pages,
       k_scales, v_scales)
+    if save_residuals:
+        o, lse = out
+        return (
+            o[:, :, :, :q_len, :].reshape(batch, num_q_heads, q_len, head_dim),
+            lse[:, :, :, :q_len, 0].reshape(batch, num_q_heads, q_len),
+        )
     out = out[:, :, :, :q_len, :]
     return out.reshape(batch, num_q_heads, q_len, head_dim)

@@ -9,6 +9,7 @@ from quantizedmha_tpu.serving.mixed_kv import (
     MixedPagedKVState,
     append_token_mixed,
     mixed_paged_decode_attention,
+    mixed_paged_prefill_attention,
 )
 from quantizedmha_tpu.serving.sampling import SamplingParams
 from quantizedmha_tpu.serving.sharded import TPEngine, make_tp_mesh
@@ -25,6 +26,7 @@ __all__ = [
     "MixedPagedKVState",
     "append_token_mixed",
     "mixed_paged_decode_attention",
+    "mixed_paged_prefill_attention",
     "PageAllocator",
     "PagedKVCacheState",
     "append_token",

@@ -36,6 +36,10 @@ from quantizedmha_tpu.ops.decode import (
     paged_decode_attention,
     paged_decode_attention_int4,
 )
+from quantizedmha_tpu.ops.paged_prefill import (
+    paged_prefill_attention,
+    paged_prefill_attention_int4,
+)
 from quantizedmha_tpu.parallel.combine import merge_two_partials
 
 
@@ -277,6 +281,58 @@ def mixed_paged_decode_attention(
         q, state.k4, state.v4, state.k4_scales, state.v4_scales,
         len4, tables4, sm_scale=sm_scale, window=window,
         logit_softcap=logit_softcap,
+        save_residuals=True, interpret=interpret)
+    o, _ = merge_two_partials(o8, lse8, o4, lse4)
+    return o
+
+
+def mixed_paged_prefill_attention(
+    q: jnp.ndarray,            # [batch, num_q_heads, q_len, head_dim]
+    state: MixedPagedKVState,
+    lengths: jnp.ndarray,      # [batch] i32 — TOTAL visible context
+    q_starts: jnp.ndarray,     # [batch] i32 — absolute position of q row 0
+    tables8: jnp.ndarray,
+    tables4: jnp.ndarray,
+    boundary_tokens: int,
+    *,
+    sm_scale: Optional[float] = None,
+    block_q: int = 256,
+    window: Optional[int] = None,
+    logit_softcap: Optional[float] = None,
+    attention_sinks: int = 0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Chunked prefill / speculative verify over the mixed cache: the
+    q_len > 1 form of mixed_paged_decode_attention, same two-partial lse
+    merge. Frames: the int8 partial sees absolute positions (its region
+    starts at 0); the int4 partial's positions and q_starts shift by the
+    boundary, which preserves BOTH the causal relation (kpos <= qpos is
+    shift-invariant) and, when windowed, the window relation — so rows
+    that start below the boundary simply mask out of the int4 partial
+    (negative frame position => lse = -inf => exact dropout). Windowed
+    use requires attention_sinks == boundary_tokens, as in decode."""
+    page = state.page_size
+    if boundary_tokens % page:
+        raise ValueError(
+            f"boundary_tokens {boundary_tokens} not page-aligned ({page})")
+    if window is None and attention_sinks:
+        raise ValueError("attention_sinks requires a window (same contract "
+                         "as the paged kernels)")
+    if window is not None and attention_sinks != boundary_tokens:
+        raise ValueError(
+            f"windowed mixed prefill needs attention_sinks "
+            f"({attention_sinks}) == boundary_tokens ({boundary_tokens})")
+    len8 = jnp.minimum(lengths, boundary_tokens)
+    len4 = jnp.maximum(lengths - boundary_tokens, 0)
+    o8, lse8 = paged_prefill_attention(
+        q, state.k8, state.v8, state.k8_scales, state.v8_scales,
+        len8, q_starts, tables8, sm_scale=sm_scale, block_q=block_q,
+        logit_softcap=logit_softcap, save_residuals=True,
+        interpret=interpret)
+    o4, lse4 = paged_prefill_attention_int4(
+        q, state.k4, state.v4, state.k4_scales, state.v4_scales,
+        len4, q_starts - boundary_tokens, tables4, sm_scale=sm_scale,
+        block_q=block_q, window=window, logit_softcap=logit_softcap,
         save_residuals=True, interpret=interpret)
     o, _ = merge_two_partials(o8, lse8, o4, lse4)
     return o

@@ -357,3 +357,80 @@ def test_append_token_mixed_routes_below_boundary(rng):
     want = _golden(q[0], k_all.astype(np.float64), v_all.astype(np.float64), n)
     # int8-format tolerance (appends clamp into the page's existing scale)
     np.testing.assert_allclose(np.asarray(out[0]), want, rtol=2e-2, atol=2e-2)
+
+
+def test_mixed_prefill_matches_stored_golden(rng):
+    """q_len > 1 mixed attention: a chunk STRADDLING the boundary must see
+    the int8 region for its early rows and both regions causally for the
+    late ones."""
+    from quantizedmha_tpu.serving.mixed_kv import mixed_paged_prefill_attention
+
+    n = 320
+    state, t8, t4, k_full, v_full, boundary = _fill_mixed(rng, [n])
+    q_len, q_start = 64, 96  # rows at absolute [96, 160): straddles 128
+    q = rng.normal(0, 0.5, (1, HQ, q_len, HD)).astype(np.float32)
+    out = mixed_paged_prefill_attention(
+        jnp.asarray(q), state, jnp.asarray([n], np.int32),
+        jnp.asarray([q_start], np.int32),
+        jnp.asarray(t8), jnp.asarray(t4), boundary, block_q=16)
+
+    k8 = _dequant8(state.k8, state.k8_scales, t8[0][t8[0] > 0])
+    v8 = _dequant8(state.v8, state.v8_scales, t8[0][t8[0] > 0])
+    k4 = _dequant4(state.k4, state.k4_scales, t4[0][t4[0] > 0])
+    v4 = _dequant4(state.v4, state.v4_scales, t4[0][t4[0] > 0])
+    kk = np.concatenate([k8, k4], axis=1)
+    vv = np.concatenate([v8, v4], axis=1)
+    group = HQ // HKV
+    for r in range(q_len):
+        qpos = q_start + r
+        want = _golden(q[0, :, r, :], kk, vv, qpos + 1)
+        np.testing.assert_allclose(
+            np.asarray(out[0, :, r, :]), want, rtol=3e-4, atol=3e-4)
+
+
+def test_mixed_prefill_agrees_with_mixed_decode_at_qlen1(rng):
+    from quantizedmha_tpu.serving.mixed_kv import mixed_paged_prefill_attention
+
+    n = 300
+    state, t8, t4, k_full, v_full, boundary = _fill_mixed(rng, [n])
+    q = rng.normal(0, 0.5, (1, HQ, HD)).astype(np.float32)
+    out_d = mixed_paged_decode_attention(
+        jnp.asarray(q), state, jnp.asarray([n], np.int32),
+        jnp.asarray(t8), jnp.asarray(t4), boundary)
+    out_p = mixed_paged_prefill_attention(
+        jnp.asarray(q)[:, :, None, :], state, jnp.asarray([n], np.int32),
+        jnp.asarray([n - 1], np.int32),
+        jnp.asarray(t8), jnp.asarray(t4), boundary)
+    np.testing.assert_allclose(
+        np.asarray(out_p[:, :, 0, :]), np.asarray(out_d),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_mixed_prefill_windowed(rng):
+    """Windowed mixed chunked prefill: sinks == boundary, exact two-frame
+    window composition for q_len > 1."""
+    from quantizedmha_tpu.serving.mixed_kv import mixed_paged_prefill_attention
+
+    n, window = 640, 192
+    state, t8, t4, k_full, v_full, boundary = _fill_mixed(rng, [n])
+    q_len, q_start = 32, n - 32
+    q = rng.normal(0, 0.5, (1, HQ, q_len, HD)).astype(np.float32)
+    out = mixed_paged_prefill_attention(
+        jnp.asarray(q), state, jnp.asarray([n], np.int32),
+        jnp.asarray([q_start], np.int32),
+        jnp.asarray(t8), jnp.asarray(t4), boundary, block_q=16,
+        window=window, attention_sinks=boundary)
+
+    k8 = _dequant8(state.k8, state.k8_scales, t8[0][t8[0] > 0])
+    v8 = _dequant8(state.v8, state.v8_scales, t8[0][t8[0] > 0])
+    k4 = _dequant4(state.k4, state.k4_scales, t4[0][t4[0] > 0])
+    v4 = _dequant4(state.v4, state.v4_scales, t4[0][t4[0] > 0])
+    kk = np.concatenate([k8, k4], axis=1)[:, :n]
+    vv = np.concatenate([v8, v4], axis=1)[:, :n]
+    pos = np.arange(n)
+    for r in range(q_len):
+        qpos = q_start + r
+        visible = ((pos < boundary) | (pos > qpos - window)) & (pos <= qpos)
+        want = _golden_masked(q[0, :, r, :], kk, vv, visible)
+        np.testing.assert_allclose(
+            np.asarray(out[0, :, r, :]), want, rtol=3e-4, atol=3e-4)
