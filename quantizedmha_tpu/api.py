@@ -50,6 +50,7 @@ def solve(
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
     interpret: Optional[bool] = None,
+    abi_fast: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Multi-head attention over flat [N, d_model] Q/K/V (reference ABI).
 
@@ -57,6 +58,18 @@ def solve(
     golden semantics, utils/verify.cu:56-69 — which its GPU kernels skipped),
     runs the selected kernel batched over heads in one launch (replacing the
     per-head host loop + 2 streams of launchers.h:41-62), and concatenates.
+
+    abi_fast: the fa_int8 zero-copy layout path (run15). The transposed-
+    score kernel natively consumes Q and V HEAD-TRANSPOSED ([1, h, d, N]) —
+    which is exactly a free reshape of the flat matrices' transposes — so
+    instead of the per-head split + per-operand relayout chain, Q/V each
+    get ONE whole-matrix transpose, V is quantized directly in that layout
+    (quantize_kv_blocks_t — bitwise the same scales/payload), and the
+    kernel's transposed output reshapes straight back to [N, d_model] with
+    one final relayout. Output is BITWISE identical to the standard route
+    (pure layout change). None = auto (on whenever eligible: fa_int8,
+    head_dim <= 64, no RoPE, N divisible by the kv quant block); False
+    forces the standard route (the run15 A/B baseline).
     """
     if kernel not in KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; choose from {KERNELS}")
@@ -126,6 +139,36 @@ def solve(
             **masked_kw,
         ).astype(qh.dtype)
     elif kernel == "fa_int8":
+        eligible = d <= 64 and not use_rope
+        if eligible:
+            from quantizedmha_tpu.ops.flash_attention_int8 import pick_blocks_t
+
+            _, bkv_eff = pick_blocks_t(n, n, block_q=block_q, block_kv=block_kv)
+            eligible = n % bkv_eff == 0
+        if abi_fast and not eligible:
+            raise ValueError(
+                "abi_fast requires head_dim <= 64, use_rope=False, and "
+                "seq divisible by the kv quant block")
+        if eligible and abi_fast is not False:
+            from quantizedmha_tpu.ops.flash_attention_int8 import (
+                flash_attention_int8_t_prequant)
+            from quantizedmha_tpu.ops.quantize import (
+                quantize_kv_blocks, quantize_kv_blocks_t)
+
+            sc = quant_kw.get("scale_clamp", 1e-8)
+            qt = q.T.reshape(1, num_heads, d, n)   # one relayout, then free
+            vt = v.T.reshape(1, num_heads, d, n)
+            k_i8, k_scales = quantize_kv_blocks(kh, bkv_eff, scale_clamp=sc)
+            vt_i8, v_scales = quantize_kv_blocks_t(vt, bkv_eff, scale_clamp=sc)
+            ot = flash_attention_int8_t_prequant(
+                qt, k_i8, k_scales, vt_i8, v_scales,
+                sm_scale=sm_scale, causal=causal, block_q=block_q,
+                scale_clamp=sc,
+                p_static_scale=quant_kw.get("p_static_scale", 127.0),
+                q_transposed=True, v_transposed=True, out_transposed=True,
+                interpret=interpret, **masked_kw,
+            )
+            return ot[0].reshape(d_model, n).T  # free merge, one relayout
         oh = flash_attention_int8(
             qh, kh, vh, sm_scale=sm_scale, causal=causal,
             block_q=block_q, block_kv=block_kv, interpret=interpret,

@@ -610,6 +610,9 @@ def flash_attention_int8_t_prequant(
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
     interpret: Optional[bool] = None,
+    q_transposed: bool = False,
+    v_transposed: bool = False,
+    out_transposed: bool = False,
 ):
     """Transposed-score INT8 attention over PRE-quantized K/V — the fast
     (head_dim <= 64) orientation with the full composition contract of the
@@ -619,9 +622,20 @@ def flash_attention_int8_t_prequant(
 
     Same argument convention as flash_attention_int8_prequant; block_kv is
     implied by the quantization blocks (k_scales' last dim).
+
+    q_transposed / v_transposed: q (resp. v_i8) is ALREADY in the kernel's
+    native head-transposed layout — [B, H, head_dim, Sq] / [B, Hkv,
+    head_dim, Skv] — so no relayout is issued here. out_transposed: return
+    o in that same layout ([B, H, head_dim, Sq]) instead of transposing
+    back. Callers that hold flat reference-ABI matrices (api.solve) use
+    these to feed the kernel with ONE whole-matrix transpose per operand
+    instead of a per-head split + per-operand relayout chain (run15).
     """
     validate_masking(causal, window, attention_sinks)
-    batch, heads, q_len, head_dim = q.shape
+    if q_transposed:
+        batch, heads, head_dim, q_len = q.shape
+    else:
+        batch, heads, q_len, head_dim = q.shape
     kv_len_p = k_i8.shape[2]
     kv_len = kv_len if kv_len is not None else kv_len_p
     kv_heads = k_i8.shape[1]
@@ -640,7 +654,13 @@ def flash_attention_int8_t_prequant(
         raise ValueError("causal attention requires q_len <= kv_len")
 
     q_pad = (-q_len) % block_q_eff
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, 0))) if q_pad else q
+    if q_pad:
+        seq_dim = 3 if q_transposed else 2
+        widths = [(0, 0)] * 4
+        widths[seq_dim] = (0, q_pad)
+        qp = jnp.pad(q, widths)
+    else:
+        qp = q
     q_len_p = q_len + q_pad
 
     if q_offset is None:
@@ -651,8 +671,8 @@ def flash_attention_int8_t_prequant(
     kv_off_arr = jnp.broadcast_to(jnp.asarray(kv_offset, jnp.int32), (batch,))
     offsets = jnp.stack([q_off_arr, kv_off_arr], axis=1)
 
-    qt = qp.transpose(0, 1, 3, 2)          # [B, H, D, Sq]
-    vt_i8 = v_i8.transpose(0, 1, 3, 2)     # [B, Hkv, D, Skv]
+    qt = qp if q_transposed else qp.transpose(0, 1, 3, 2)      # [B, H, D, Sq]
+    vt_i8 = v_i8 if v_transposed else v_i8.transpose(0, 1, 3, 2)  # [B, Hkv, D, Skv]
 
     nkv_tot = kv_len_p // block_kv_eff
     static_offsets = isinstance(q_offset, int) and isinstance(kv_offset, int)
@@ -741,7 +761,10 @@ def flash_attention_int8_t_prequant(
         ),
         interpret=_auto_interpret(interpret),
     )(offsets, qt, k_i8, vt_i8, k_scales, v_scales)
-    o = results[0].transpose(0, 1, 3, 2)[:, :, :q_len, :]
+    if out_transposed:
+        o = results[0][:, :, :, :q_len]
+    else:
+        o = results[0].transpose(0, 1, 3, 2)[:, :, :q_len, :]
     if save_residuals:
         return o, results[1][:, :, 0, :q_len]
     return o

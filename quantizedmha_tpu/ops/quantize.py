@@ -35,6 +35,32 @@ def quantize_kv_blocks(
     return q.reshape(b, h, s, d), scale
 
 
+def quantize_kv_blocks_t(
+    xt: jnp.ndarray, block: int, *, scale_clamp: float = 1e-8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """quantize_kv_blocks over HEAD-TRANSPOSED values.
+
+    xt: [batch, heads, head_dim, seq] — the layout the transposed-score
+    kernel consumes for V (flash_attention_int8_t_prequant). Quantizing in
+    this layout lets the reference-ABI fast path (api.solve) feed V^T with
+    ONE whole-matrix transpose instead of a per-head split + relayout; the
+    scales and int8 payload are BITWISE the ones quantize_kv_blocks would
+    produce for the untransposed array (max is order-insensitive and the
+    quantization arithmetic is elementwise).
+
+    Returns (values int8 [b, h, d, s], scales f32 [b, h, s/block]).
+    """
+    b, h, d, s = xt.shape
+    assert s % block == 0, f"seq {s} not a multiple of block {block}"
+    xr = xt.reshape(b, h, d, s // block, block).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xr), axis=(2, 4))
+    scale = jnp.maximum(amax, scale_clamp) / 127.0
+    q = jnp.clip(
+        jnp.round(xr / scale[:, :, None, :, None]), -127, 127
+    ).astype(jnp.int8)
+    return q.reshape(b, h, d, s), scale
+
+
 def dequantize_kv_blocks(values: jnp.ndarray, scales: jnp.ndarray, block: int) -> jnp.ndarray:
     b, h, s, d = values.shape
     xr = values.reshape(b, h, s // block, block, d).astype(jnp.float32)

@@ -70,6 +70,36 @@ def test_solve_with_attention_config(rng):
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
 
 
+def test_abi_fast_bitwise_matches_standard(flat_inputs):
+    """The fa_int8 zero-copy ABI path (run15) is a pure LAYOUT change:
+    whole-matrix transposes + transposed-layout V quantization feeding the
+    transposed-score kernel's native operand shapes. Same quantized values,
+    same kernel math => the output must be BITWISE the standard route's,
+    for every masking configuration."""
+    q, k, v, d_model, h = flat_inputs
+    cases = [
+        dict(),
+        dict(causal=True),
+        dict(causal=True, window=64),
+        dict(causal=True, window=64, attention_sinks=8),
+        dict(causal=True, logit_softcap=30.0),
+    ]
+    for kw in cases:
+        fast = solve(q, k, v, d_model, h, kernel="fa_int8", abi_fast=True, **kw)
+        std = solve(q, k, v, d_model, h, kernel="fa_int8", abi_fast=False, **kw)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(std)), kw
+
+    # RoPE needs the head-split layout — auto falls back, forcing raises.
+    out = solve(q, k, v, d_model, h, kernel="fa_int8", use_rope=True)
+    assert out.shape == (q.shape[0], d_model)
+    with pytest.raises(ValueError, match="abi_fast"):
+        solve(q, k, v, d_model, h, kernel="fa_int8", abi_fast=True, use_rope=True)
+    # A kv block that doesn't divide N also falls back (quantization blocks
+    # must tile the flat sequence exactly; the standard route pads instead).
+    fast2 = solve(q, k, v, d_model, h, kernel="fa_int8", block_kv=192)
+    assert fast2.shape == (q.shape[0], d_model)
+
+
 def test_block_sizes_validate_clamps():
     from quantizedmha_tpu.configs import BlockSizes
 
