@@ -36,23 +36,64 @@ import numpy as np
 from quantizedmha_tpu.models.llama import LlamaConfig
 
 
+def _window_pattern_from_hf(cfg: dict, archs: str):
+    """(sliding_window, window_pattern) from a HF config dict.
+
+    Modern configs carry `layer_types` ("sliding_attention"/
+    "full_attention" per layer — transformers' own source of truth); when
+    absent, each family's documented default is derived: Qwen2 slides on
+    layer_idx >= max_window_layers (configuration_qwen2.py), Gemma-2
+    alternates with EVEN layers sliding (configuration_gemma2.py). A
+    uniform pattern collapses to the global sliding_window field."""
+    L = cfg["num_hidden_layers"]
+    # Qwen2-class configs may serialize a sliding_window VALUE with
+    # use_sliding_window=false (older transformers did) — the flag wins.
+    win = cfg.get("sliding_window")
+    if not cfg.get("use_sliding_window", True):
+        win = None
+    layer_types = cfg.get("layer_types")
+    if layer_types is None and win is not None:
+        if "Qwen2" in archs:
+            mwl = cfg.get("max_window_layers", 0)
+            layer_types = ["full_attention" if i < mwl else
+                           "sliding_attention" for i in range(L)]
+        elif "Gemma2" in archs:
+            layer_types = ["sliding_attention" if i % 2 == 0 else
+                           "full_attention" for i in range(L)]
+    if layer_types is None:
+        return win, None
+    if len(layer_types) != L:
+        raise ValueError(
+            f"layer_types has {len(layer_types)} entries for {L} layers")
+    pattern = tuple(
+        win if t == "sliding_attention" else None for t in layer_types)
+    if len(set(pattern)) == 1:
+        return pattern[0], None
+    return None, pattern
+
+
 def config_from_hf(path) -> LlamaConfig:
-    """Build a LlamaConfig from a HF config.json (llama/mistral families)."""
+    """Build a LlamaConfig from a HF config.json (llama/mistral/qwen2/
+    gemma2 families)."""
     cfg = json.loads((pathlib.Path(path) / "config.json").read_text())
     n_heads = cfg["num_attention_heads"]
     archs = " ".join(cfg.get("architectures", []) or [])
-    # Qwen2-class per-layer window patterns (window only on layer_idx >=
-    # max_window_layers) are NOT representable by the global sliding_window
-    # field — loading one silently as global would diverge from the HF
-    # forward on exactly the early full-attention layers. Refuse loudly.
-    if (cfg.get("use_sliding_window", False)
-            and cfg.get("sliding_window") is not None
-            and 0 < cfg.get("max_window_layers", 0) < cfg["num_hidden_layers"]):
-        raise ValueError(
-            "per-layer sliding-window checkpoints (use_sliding_window with "
-            f"max_window_layers={cfg['max_window_layers']} < "
-            f"{cfg['num_hidden_layers']} layers) are not supported — the "
-            "config only models a global window")
+    gemma2 = "Gemma2" in archs
+    win, pattern = _window_pattern_from_hf(cfg, archs)
+    kw = {}
+    if gemma2:
+        kw = dict(
+            hidden_act=("gelu_tanh" if "tanh" in cfg.get(
+                "hidden_activation", "gelu_pytorch_tanh") else "silu"),
+            sandwich_norms=True,
+            rms_plus_one=True,
+            embed_scale=True,
+            query_pre_attn_scalar=float(
+                cfg.get("query_pre_attn_scalar", cfg["hidden_size"]
+                        // n_heads)),
+            logit_softcap=cfg.get("attn_logit_softcapping"),
+            final_logit_softcap=cfg.get("final_logit_softcapping"),
+        )
     return LlamaConfig(
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
@@ -63,12 +104,11 @@ def config_from_hf(path) -> LlamaConfig:
         head_dim=cfg.get("head_dim"),
         rope_theta=float(cfg.get("rope_theta", 10000.0)),
         rms_eps=float(cfg.get("rms_norm_eps", 1e-5)),
-        # Qwen2-class configs may serialize a sliding_window VALUE with
-        # use_sliding_window=false (older transformers did) — the flag wins.
-        sliding_window=(cfg.get("sliding_window")
-                        if cfg.get("use_sliding_window", True) else None),
+        sliding_window=win,
+        window_pattern=pattern,
         # Llama configs carry an explicit flag; Qwen2's bias is implicit.
         attention_bias=bool(cfg.get("attention_bias", "Qwen2" in archs)),
+        **kw,
     )
 
 
@@ -156,10 +196,22 @@ def load_llama(
              "w_gate", "w_up", "w_down"]
     if cfg.attention_bias:
         names += ["bq", "bk", "bv"]
+    if cfg.sandwich_norms:
+        names += ["post_attn_norm", "post_mlp_norm"]
     layers: Dict[str, list] = {k: [] for k in names}
+    # Norm-name mapping: Llama-family "post_attention_layernorm" is the
+    # PRE-MLP norm (our mlp_norm); Gemma-2's sandwich adds true post-norms
+    # and renames the pre-MLP one "pre_feedforward_layernorm".
+    mlp_norm_hf = ("pre_feedforward_layernorm" if cfg.sandwich_norms
+                   else "post_attention_layernorm")
     for i in range(cfg.num_layers):
         layers["attn_norm"].append(
             reader.get(f"model.layers.{i}.input_layernorm.weight"))
+        if cfg.sandwich_norms:
+            layers["post_attn_norm"].append(
+                reader.get(f"model.layers.{i}.post_attention_layernorm.weight"))
+            layers["post_mlp_norm"].append(
+                reader.get(f"model.layers.{i}.post_feedforward_layernorm.weight"))
         layers["wq"].append(proj("self_attn.q_proj", i, "q"))
         layers["wk"].append(proj("self_attn.k_proj", i, "k"))
         layers["wv"].append(proj("self_attn.v_proj", i, "-"))
@@ -174,7 +226,7 @@ def load_llama(
                 reader.get(f"model.layers.{i}.self_attn.v_proj.bias"))
         layers["wo"].append(proj("self_attn.o_proj", i, "-"))
         layers["mlp_norm"].append(
-            reader.get(f"model.layers.{i}.post_attention_layernorm.weight"))
+            reader.get(f"model.layers.{i}.{mlp_norm_hf}.weight"))
         layers["w_gate"].append(proj("mlp.gate_proj", i, "-"))
         layers["w_up"].append(proj("mlp.up_proj", i, "-"))
         layers["w_down"].append(proj("mlp.down_proj", i, "-"))

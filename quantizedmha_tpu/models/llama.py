@@ -57,10 +57,43 @@ class LlamaConfig:
     # Qwen2-style additive bias on the q/k/v projections (the o/MLP
     # projections stay bias-free in that family too).
     attention_bias: bool = False
+    # PER-LAYER window pattern (HF `layer_types`): entry i is layer i's
+    # window (None = full attention). Overrides sliding_window when set.
+    # Covers Qwen2's use_sliding_window/max_window_layers split and
+    # Gemma-2's every-other-layer alternation; forward() picks the scan
+    # decomposition (uniform scan / periodic chunks / contiguous runs) so
+    # each kernel call keeps a STATIC window.
+    window_pattern: Optional[Tuple[Optional[int], ...]] = None
+    # --- Gemma-2 family knobs ---
+    hidden_act: str = "silu"        # "silu" | "gelu_tanh" (gelu_pytorch_tanh)
+    sandwich_norms: bool = False    # post-attention/post-MLP RMSNorms too
+    rms_plus_one: bool = False      # RMSNorm weight convention out*(1+w)
+    embed_scale: bool = False       # embeddings scaled by sqrt(hidden_size)
+    query_pre_attn_scalar: Optional[float] = None  # sm_scale = qpa**-0.5
+    final_logit_softcap: Optional[float] = None    # cap*tanh(logits/cap)
 
     @property
     def hd(self) -> int:
         return self.head_dim or self.hidden_size // self.num_heads
+
+    @property
+    def layer_windows(self) -> Tuple[Optional[int], ...]:
+        """Per-layer window tuple (len num_layers)."""
+        if self.window_pattern is not None:
+            if len(self.window_pattern) != self.num_layers:
+                raise ValueError(
+                    f"window_pattern has {len(self.window_pattern)} entries "
+                    f"for {self.num_layers} layers")
+            return tuple(self.window_pattern)
+        return (self.sliding_window,) * self.num_layers
+
+    @property
+    def sm_scale(self) -> Optional[float]:
+        """None -> kernels default to head_dim**-0.5 (the Llama scaling);
+        Gemma-2 scales by query_pre_attn_scalar**-0.5 instead."""
+        if self.query_pre_attn_scalar is None:
+            return None
+        return float(self.query_pre_attn_scalar) ** -0.5
 
     @staticmethod
     def llama3_8b() -> "LlamaConfig":
@@ -95,6 +128,22 @@ class LlamaConfig:
         )
 
     @staticmethod
+    def gemma2_9b() -> "LlamaConfig":
+        # Gemma-2-9B shape: even layers sliding (window 4096), odd full;
+        # sandwich norms, (1+w) RMSNorm, GeGLU, scaled embeddings, attn
+        # softcap 50 / final-logit softcap 30, tied lm_head.
+        return LlamaConfig(
+            vocab_size=256000, hidden_size=3584, intermediate_size=14336,
+            num_layers=42, num_heads=16, num_kv_heads=8, head_dim=256,
+            rope_theta=10000.0,
+            window_pattern=tuple(
+                4096 if i % 2 == 0 else None for i in range(42)),
+            hidden_act="gelu_tanh", sandwich_norms=True, rms_plus_one=True,
+            embed_scale=True, query_pre_attn_scalar=256.0,
+            logit_softcap=50.0, final_logit_softcap=30.0,
+        )
+
+    @staticmethod
     def tiny(**kw) -> "LlamaConfig":
         base = dict(
             vocab_size=256, hidden_size=128, intermediate_size=256,
@@ -112,20 +161,25 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict[str, Any]:
         scale = scale if scale is not None else shape[0] ** -0.5
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
 
+    # (1+w) RMSNorms initialize their weight at ZERO (identity norm).
+    norm_init = jnp.zeros if cfg.rms_plus_one else jnp.ones
     layers = []
     for i in range(cfg.num_layers):
         lk = jax.random.split(keys[i], 7)
         layer = dict(
-            attn_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
+            attn_norm=norm_init((cfg.hidden_size,), cfg.dtype),
             wq=dense(lk[0], (cfg.hidden_size, cfg.num_heads * hd)),
             wk=dense(lk[1], (cfg.hidden_size, cfg.num_kv_heads * hd)),
             wv=dense(lk[2], (cfg.hidden_size, cfg.num_kv_heads * hd)),
             wo=dense(lk[3], (cfg.num_heads * hd, cfg.hidden_size)),
-            mlp_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
+            mlp_norm=norm_init((cfg.hidden_size,), cfg.dtype),
             w_gate=dense(lk[4], (cfg.hidden_size, cfg.intermediate_size)),
             w_up=dense(lk[5], (cfg.hidden_size, cfg.intermediate_size)),
             w_down=dense(lk[6], (cfg.intermediate_size, cfg.hidden_size)),
         )
+        if cfg.sandwich_norms:
+            layer["post_attn_norm"] = norm_init((cfg.hidden_size,), cfg.dtype)
+            layer["post_mlp_norm"] = norm_init((cfg.hidden_size,), cfg.dtype)
         if cfg.attention_bias:
             layer["bq"] = jnp.zeros((cfg.num_heads * hd,), cfg.dtype)
             layer["bk"] = jnp.zeros((cfg.num_kv_heads * hd,), cfg.dtype)
@@ -134,7 +188,7 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict[str, Any]:
     return dict(
         embed=dense(keys[-2], (cfg.vocab_size, cfg.hidden_size), scale=0.02),
         layers=jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
-        final_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
+        final_norm=norm_init((cfg.hidden_size,), cfg.dtype),
         lm_head=dense(keys[-1], (cfg.hidden_size, cfg.vocab_size)),
     )
 
@@ -154,6 +208,9 @@ def param_shardings(cfg: LlamaConfig) -> Dict[str, Any]:
         w_up=P(None, None, "tp"),
         w_down=P(None, "tp", None),
     )
+    if cfg.sandwich_norms:
+        layer["post_attn_norm"] = P(None, None)
+        layer["post_mlp_norm"] = P(None, None)
     if cfg.attention_bias:
         # biases shard with their projection's output (column) dim
         layer["bq"] = P(None, "tp")
@@ -167,10 +224,26 @@ def param_shardings(cfg: LlamaConfig) -> Dict[str, Any]:
     )
 
 
-def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float,
+             plus_one: bool = False) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+    normed = xf * jax.lax.rsqrt(var + eps)
+    if plus_one:
+        # Gemma convention: scale by (1 + w) IN float32, then cast (HF
+        # Gemma2RMSNorm multiplies before the downcast; Llama's multiplies
+        # after — the bf16 rounding differs, so match each family's).
+        return (normed * (1.0 + w.astype(jnp.float32))).astype(x.dtype)
+    return normed.astype(x.dtype) * w
+
+
+def _act(cfg: "LlamaConfig", x: jnp.ndarray) -> jnp.ndarray:
+    """Gate activation in float32 (both families upcast around the gate)."""
+    if cfg.hidden_act == "silu":
+        return jax.nn.silu(x)
+    if cfg.hidden_act == "gelu_tanh":  # HF "gelu_pytorch_tanh" (Gemma)
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown hidden_act {cfg.hidden_act!r}")
 
 
 def qkv_proj(dense, h, p: Dict[str, Any], w: str, b: str):
@@ -183,66 +256,147 @@ def qkv_proj(dense, h, p: Dict[str, Any], w: str, b: str):
     return out
 
 
-def _attention(cfg: LlamaConfig, q, k, v, *, causal=True):
+_UNSET = object()  # sentinel: "use cfg.sliding_window" for window overrides
+
+
+def _attention(cfg: LlamaConfig, q, k, v, *, causal=True, window=_UNSET):
     """k/v may carry num_kv_heads < num_heads: the flash kernels are
     GQA-native (BlockSpec index maps share each kv head across its query
     group — no materialized repeat); only the jnp reference needs the
-    expansion."""
-    window = cfg.sliding_window if causal else None
+    expansion. window: per-layer override (a STATIC int or None) used by
+    forward()'s window_pattern decomposition; defaults to the global
+    cfg.sliding_window."""
+    if window is _UNSET:
+        window = cfg.sliding_window
+    window = window if causal else None
     sinks = cfg.attention_sinks if window is not None else 0
     if cfg.attention_impl == "flash":
         return flash_attention(
-            q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv,
+            q, k, v, sm_scale=cfg.sm_scale, causal=causal,
+            block_q=cfg.block_q, block_kv=cfg.block_kv,
             window=window, logit_softcap=cfg.logit_softcap,
             attention_sinks=sinks,
         )
     if cfg.attention_impl == "flash_int8":
         return flash_attention_int8(
-            q, k, v, causal=causal, block_q=cfg.block_q, block_kv=cfg.block_kv,
+            q, k, v, sm_scale=cfg.sm_scale, causal=causal,
+            block_q=cfg.block_q, block_kv=cfg.block_kv,
             window=window, logit_softcap=cfg.logit_softcap,
             attention_sinks=sinks,
         )
     from quantizedmha_tpu.reference.mha import mha_masked_reference
 
     return mha_masked_reference(
-        q, k, v, causal=causal, window=window, softcap=cfg.logit_softcap,
-        sinks=sinks)
+        q, k, v, sm_scale=cfg.sm_scale, causal=causal, window=window,
+        softcap=cfg.logit_softcap, sinks=sinks)
 
 
 def decoder_layer(cfg: LlamaConfig, p: Dict[str, Any], x: jnp.ndarray,
-                  positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  positions: Optional[jnp.ndarray] = None,
+                  window=_UNSET) -> jnp.ndarray:
     from quantizedmha_tpu.quant.weights import qdense
 
     b, s, _ = x.shape
     hd = cfg.hd
+    plus1 = cfg.rms_plus_one
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
-    h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+    h = rms_norm(x, p["attn_norm"], cfg.rms_eps, plus1)
     q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, s, cfg.num_heads, hd).transpose(0, 2, 1, 3)
     k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
     v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, s, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
     q = apply_rope(q, cfg.rope_theta, positions)
     k = apply_rope(k, cfg.rope_theta, positions)
-    o = _attention(cfg, q, k, v, causal=True)
+    o = _attention(cfg, q, k, v, causal=True, window=window)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * hd)
-    x = x + dense(o, p["wo"])
+    o = dense(o, p["wo"])
+    if cfg.sandwich_norms:
+        o = rms_norm(o, p["post_attn_norm"], cfg.rms_eps, plus1)
+    x = x + o
 
-    h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-    gate = jax.nn.silu(dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-    x = x + dense(gate * dense(h, p["w_up"]), p["w_down"])
-    return x
+    h = rms_norm(x, p["mlp_norm"], cfg.rms_eps, plus1)
+    gate = _act(cfg, dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    m = dense(gate * dense(h, p["w_up"]), p["w_down"])
+    if cfg.sandwich_norms:
+        m = rms_norm(m, p["post_mlp_norm"], cfg.rms_eps, plus1)
+    return x + m
+
+
+def _pattern_period(windows: Tuple) -> int:
+    """Smallest p dividing len(windows) with windows[i] == windows[i % p]."""
+    L = len(windows)
+    for p in range(1, L + 1):
+        if L % p == 0 and all(windows[i] == windows[i % p] for i in range(L)):
+            return p
+    return L
+
+
+def _pattern_runs(windows: Tuple):
+    """Consecutive equal-window runs as (window, length) pairs."""
+    runs = []
+    for w in windows:
+        if runs and runs[-1][0] == w:
+            runs[-1][1] += 1
+        else:
+            runs.append([w, 1])
+    return [(w, n) for w, n in runs]
 
 
 def forward(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
             positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """tokens: [batch, seq] int32 -> logits [batch, seq, vocab]."""
+    """tokens: [batch, seq] int32 -> logits [batch, seq, vocab].
+
+    Per-layer window patterns keep every kernel call's window STATIC (the
+    shrunk windowed grid is a compile-time shape) by decomposing the layer
+    scan: a uniform pattern is one lax.scan (Llama/Mistral); a short
+    periodic pattern scans [L/p]-chunks with a p-layer unrolled body
+    (Gemma-2's sliding/full alternation, p=2); anything else scans each
+    contiguous equal-window run (Qwen2's full-below-max_window_layers
+    split, 2 runs)."""
     x = params["embed"][tokens].astype(cfg.dtype)
+    if cfg.embed_scale:
+        # Gemma scales embeddings by sqrt(hidden) ROUNDED TO THE MODEL
+        # DTYPE (HF casts the normalizer before multiplying).
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, cfg.dtype)
 
-    def body(x, layer_params):
-        return decoder_layer(cfg, layer_params, x, positions), None
+    windows = cfg.layer_windows
+    period = _pattern_period(windows)
+    if period == 1:
+        def body(x, layer_params):
+            return decoder_layer(cfg, layer_params, x, positions,
+                                 window=windows[0]), None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    return (x @ params["lm_head"]).astype(jnp.float32)
+        x, _ = jax.lax.scan(body, x, params["layers"])
+    elif period <= 4:
+        chunked = jax.tree.map(
+            lambda a: a.reshape(cfg.num_layers // period, period,
+                                *a.shape[1:]),
+            params["layers"])
+
+        def body(x, chunk):
+            for i in range(period):
+                lp = jax.tree.map(lambda a: a[i], chunk)
+                x = decoder_layer(cfg, lp, x, positions, window=windows[i])
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, chunked)
+    else:
+        start = 0
+        for win, n_run in _pattern_runs(windows):
+            sub = jax.tree.map(
+                lambda a: a[start:start + n_run], params["layers"])
+
+            def body(x, layer_params, win=win):
+                return decoder_layer(cfg, layer_params, x, positions,
+                                     window=win), None
+
+            x, _ = jax.lax.scan(body, x, sub)
+            start += n_run
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
+    return logits
 
 
 def loss_fn(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray) -> jnp.ndarray:

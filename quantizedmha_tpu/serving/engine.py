@@ -483,7 +483,10 @@ class Engine:
         sinks) go back to the free list — live KV memory per sequence is
         capped at O(window + sinks) regardless of generation length."""
         w = self.cfg.sliding_window
-        if not w:
+        if not w or self.cfg.window_pattern is not None:
+            # Per-layer patterns include full-attention layers that need
+            # every page alive — no recycling (pattern configs normally
+            # carry sliding_window=None; this guards hand-built ones).
             return
         freed = 0
         for seq in self.active:

@@ -27,7 +27,15 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from quantizedmha_tpu.models.llama import LlamaConfig, rms_norm, _attention, qkv_proj
+from quantizedmha_tpu.models.llama import (
+    LlamaConfig,
+    _act,
+    _attention,
+    _pattern_period,
+    _pattern_runs,
+    qkv_proj,
+    rms_norm,
+)
 from quantizedmha_tpu.quant.weights import qdense
 from quantizedmha_tpu.ops.decode import paged_decode_attention
 from quantizedmha_tpu.reference.mha import apply_rope
@@ -38,8 +46,89 @@ from quantizedmha_tpu.serving.kv_cache import (
 )
 
 
+def ensure_serving_supported(cfg: LlamaConfig) -> None:
+    """Serving supports the full family surface (per-layer windows,
+    sandwich norms, GeGLU, softcaps, Gemma scalings) — this validates the
+    knob VALUES early so a typo'd hidden_act fails at cache creation, not
+    mid-trace."""
+    _act(cfg, jnp.zeros((1,), jnp.float32))  # raises on unknown hidden_act
+    cfg.layer_windows  # raises on a mis-sized window_pattern
+
+
+def _embed(cfg: LlamaConfig, params, tokens) -> jnp.ndarray:
+    x = params["embed"][tokens].astype(cfg.dtype)
+    if cfg.embed_scale:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, cfg.dtype)
+    return x
+
+
+def _final_logits(cfg: LlamaConfig, x, lm_head) -> jnp.ndarray:
+    logits = (x @ lm_head).astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
+    return logits
+
+
+def _attn_residual(cfg: LlamaConfig, dense, p, x, o_flat, reduce_tp):
+    """x + [post-norm](psum(wo @ o)) — the TP psum must precede the Gemma-2
+    post-attention norm (the norm needs the full row sum)."""
+    o = reduce_tp(dense(o_flat.astype(cfg.dtype), p["wo"]))
+    if cfg.sandwich_norms:
+        o = rms_norm(o, p["post_attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    return x + o
+
+
+def _mlp_residual(cfg: LlamaConfig, dense, p, x, reduce_tp):
+    h = rms_norm(x, p["mlp_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    gate = _act(cfg, dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    m = reduce_tp(dense(gate * dense(h, p["w_up"]), p["w_down"]))
+    if cfg.sandwich_norms:
+        m = rms_norm(m, p["post_mlp_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    return x + m
+
+
+def _scan_layers(cfg: LlamaConfig, body, x, xs):
+    """lax.scan over the leading layer axis of `xs` where the body takes
+    each layer's STATIC window: `body(x, scanned_slice, window) -> (x, y)`.
+
+    Same decomposition as models.llama.forward — uniform pattern: one
+    scan; short periodic pattern (Gemma-2 alternation): chunked scan with
+    a p-layer unrolled body; otherwise (Qwen2's max_window_layers split):
+    one scan per contiguous equal-window run. Returns (x, ys) with ys
+    stacked [num_layers, ...] in layer order in every case."""
+    windows = cfg.layer_windows
+    period = _pattern_period(windows)
+    L = cfg.num_layers
+    if period == 1:
+        return jax.lax.scan(lambda x, s: body(x, s, windows[0]), x, xs)
+    if period <= 4:
+        chunked = jax.tree.map(
+            lambda a: a.reshape(L // period, period, *a.shape[1:]), xs)
+
+        def chunk_body(x, chunk):
+            ys = []
+            for i in range(period):
+                s = jax.tree.map(lambda a: a[i], chunk)
+                x, y = body(x, s, windows[i])
+                ys.append(y)
+            return x, jax.tree.map(lambda *zs: jnp.stack(zs), *ys)
+
+        x, ys = jax.lax.scan(chunk_body, x, chunked)
+        return x, jax.tree.map(lambda a: a.reshape(L, *a.shape[2:]), ys)
+    start = 0
+    outs = []
+    for win, n_run in _pattern_runs(windows):
+        sub = jax.tree.map(lambda a: a[start:start + n_run], xs)
+        x, y = jax.lax.scan(lambda x, s, w=win: body(x, s, w), x, sub)
+        outs.append(y)
+        start += n_run
+    return x, jax.tree.map(lambda *zs: jnp.concatenate(zs), *outs)
+
+
 def make_cache(cfg: LlamaConfig, num_pages: int, page_size: int) -> PagedKVCacheState:
     """Layer-stacked cache: every array has a leading num_layers dim."""
+    ensure_serving_supported(cfg)
     one = PagedKVCacheState.create(cfg.num_kv_heads, num_pages, page_size, cfg.hd)
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x, (cfg.num_layers, *x.shape)).copy(), one
@@ -75,30 +164,28 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
     hd = cfg.hd
     reduce_tp = _psum_or_id(axis_name)
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
-    x = params["embed"][tokens].astype(cfg.dtype)
+    x = _embed(cfg, params, tokens)
 
-    def body(x, p):
-        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+    def body(x, p, window):
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
         q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
         k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cfg.rope_theta)
         k = apply_rope(k, cfg.rope_theta)
         kv_k, kv_v = k, v  # cached post-RoPE
-        o = _attention(cfg, q, k, v, causal=True)  # GQA-native kernels
+        o = _attention(cfg, q, k, v, causal=True, window=window)
         o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.num_heads * hd)
-        x = x + reduce_tp(dense(o, p["wo"]))
-        h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-        gate = jax.nn.silu(dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + reduce_tp(dense(gate * dense(h, p["w_up"]), p["w_down"]))
+        x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
+        x = _mlp_residual(cfg, dense, p, x, reduce_tp)
         return x, (kv_k[0], kv_v[0])
 
-    x, (k_all, v_all) = jax.lax.scan(body, x, params["layers"])
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x, (k_all, v_all) = _scan_layers(cfg, body, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
     # Project ONLY the requested position: the full [bucket, vocab] logits
     # would be an extra ~2 TFLOP matmul + ~1 GiB buffer per prefill at
     # Llama-3-8B scale, all discarded but one row.
-    logits = (x[:, last_index] @ params["lm_head"]).astype(jnp.float32)
+    logits = _final_logits(cfg, x[:, last_index], params["lm_head"])
     return logits, k_all, v_all
 
 
@@ -151,11 +238,11 @@ def prefill_chunk(
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
 
     positions = chunk_start + jnp.arange(C, dtype=jnp.int32)
-    x = params["embed"][tokens].astype(cfg.dtype)
+    x = _embed(cfg, params, tokens)
 
-    def body(x, scanned):
+    def body(x, scanned, window):
         p, cache_l = scanned
-        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
         q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, C, cfg.num_heads, hd).transpose(0, 2, 1, 3)
         k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
@@ -182,19 +269,18 @@ def prefill_chunk(
                 jnp.asarray(chunk_start + C, jnp.int32), (1,)),
             jnp.broadcast_to(jnp.asarray(chunk_start, jnp.int32), (1,)),
             table[None],
-            window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
-            attention_sinks=cfg.attention_sinks,
+            sm_scale=cfg.sm_scale,
+            window=window, logit_softcap=cfg.logit_softcap,
+            attention_sinks=cfg.attention_sinks if window is not None else 0,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, C, cfg.num_heads * hd)
-        x = x + reduce_tp(dense(o.astype(cfg.dtype), p["wo"]))
-        h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-        gate = jax.nn.silu(dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + reduce_tp(dense(gate * dense(h, p["w_up"]), p["w_down"]))
+        x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
+        x = _mlp_residual(cfg, dense, p, x, reduce_tp)
         return x, cache_l
 
-    x, cache = jax.lax.scan(body, x, (params["layers"], cache))
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = (x[0, last_index] @ params["lm_head"]).astype(jnp.float32)
+    x, cache = _scan_layers(cfg, body, x, (params["layers"], cache))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    logits = _final_logits(cfg, x[0, last_index], params["lm_head"])
     return logits[None], cache
 
 
@@ -251,11 +337,11 @@ def verify_step(
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
 
     positions = positions0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
-    x = params["embed"][tokens].astype(cfg.dtype)  # [B, S, hid]
+    x = _embed(cfg, params, tokens)  # [B, S, hid]
 
-    def body(x, scanned):
+    def body(x, scanned, window):
         p, cache_l = scanned
-        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
         q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, S, cfg.num_heads, hd).transpose(0, 2, 1, 3)
         k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
@@ -279,19 +365,18 @@ def verify_step(
             (positions0 + S).astype(jnp.int32),
             positions0.astype(jnp.int32),
             tables,
-            window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
-            attention_sinks=cfg.attention_sinks,
+            sm_scale=cfg.sm_scale,
+            window=window, logit_softcap=cfg.logit_softcap,
+            attention_sinks=cfg.attention_sinks if window is not None else 0,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, S, cfg.num_heads * hd)
-        x = x + reduce_tp(dense(o.astype(cfg.dtype), p["wo"]))
-        h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-        gate = jax.nn.silu(dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + reduce_tp(dense(gate * dense(h, p["w_up"]), p["w_down"]))
+        x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
+        x = _mlp_residual(cfg, dense, p, x, reduce_tp)
         return x, cache_l
 
-    x, cache = jax.lax.scan(body, x, (params["layers"], cache))
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)  # [B, S, vocab]
+    x, cache = _scan_layers(cfg, body, x, (params["layers"], cache))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    logits = _final_logits(cfg, x, params["lm_head"])  # [B, S, vocab]
     return logits, cache
 
 
@@ -312,11 +397,11 @@ def decode_step(
     hd = cfg.hd
     reduce_tp = _psum_or_id(axis_name)
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
-    x = params["embed"][tokens][:, None, :].astype(cfg.dtype)  # [B, 1, hid]
+    x = _embed(cfg, params, tokens)[:, None, :]  # [B, 1, hid]
 
-    def body(x, scanned):
+    def body(x, scanned, window):
         p, cache_l = scanned
-        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
         q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, cfg.num_heads, hd)
         k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, cfg.num_kv_heads, hd)
         v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, cfg.num_kv_heads, hd)
@@ -327,20 +412,18 @@ def decode_step(
         o = paged_decode_attention(
             q, cache_l.k_pages, cache_l.v_pages,
             cache_l.k_scales, cache_l.v_scales, lengths, tables,
-            window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
-            attention_sinks=cfg.attention_sinks,
+            sm_scale=cfg.sm_scale,
+            window=window, logit_softcap=cfg.logit_softcap,
+            attention_sinks=cfg.attention_sinks if window is not None else 0,
         )
-        x = x + reduce_tp(
-            dense(o.reshape(b, 1, cfg.num_heads * hd).astype(cfg.dtype), p["wo"])
-        )
-        h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-        gate = jax.nn.silu(dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + reduce_tp(dense(gate * dense(h, p["w_up"]), p["w_down"]))
+        o = o.reshape(b, 1, cfg.num_heads * hd)
+        x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
+        x = _mlp_residual(cfg, dense, p, x, reduce_tp)
         return x, cache_l
 
-    x, cache = jax.lax.scan(body, x, (params["layers"], cache))
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    x, cache = _scan_layers(cfg, body, x, (params["layers"], cache))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    logits = _final_logits(cfg, x[:, 0], params["lm_head"])
     return logits, cache
 
 

@@ -78,3 +78,72 @@ def test_sliding_window_softcap_consistent_across_impls():
                                attention_impl="reference"), params, toks)
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lr),
                                atol=0.06, rtol=0.05)
+
+
+def test_pattern_period_and_runs():
+    from quantizedmha_tpu.models.llama import _pattern_period, _pattern_runs
+
+    assert _pattern_period((None,) * 6) == 1
+    assert _pattern_period((4, None) * 3) == 2
+    assert _pattern_period((None, 4, 4)) == 3
+    assert _pattern_runs((None, 4, 4)) == [(None, 1), (4, 2)]
+    assert _pattern_runs((4, None, 4, None)) == [
+        (4, 1), (None, 1), (4, 1), (None, 1)]
+
+
+def test_window_pattern_decompositions_match_manual_loop():
+    """Every scan decomposition (uniform / periodic chunks / contiguous
+    runs) must equal the straight per-layer loop with the same per-layer
+    windows — the decomposition is a compile-shape optimization, not a
+    semantics change."""
+    import dataclasses
+
+    from quantizedmha_tpu.models.llama import decoder_layer
+
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(0, 256, (1, 32)), jnp.int32)
+
+    # period-2 (Gemma-2 style) on 4 layers, and runs (Qwen2 style) on
+    # 6 layers (period 6 > the unroll cap, so the runs path triggers).
+    for pattern in [(8, None, 8, None), (None, None, None, None, 8, 8)]:
+        # float32: the decompositions trace to differently-fused graphs,
+        # so bf16 would add rounding noise to an exact-semantics check
+        cfg = LlamaConfig.tiny(num_layers=len(pattern),
+                               window_pattern=pattern, dtype=jnp.float32)
+        params = init_params(cfg, jax.random.PRNGKey(1))
+        got = forward(cfg, params, tokens)
+
+        x = params["embed"][tokens].astype(cfg.dtype)
+        for i, w in enumerate(pattern):
+            lp = jax.tree.map(lambda a: a[i], params["layers"])
+            x = decoder_layer(cfg, lp, x, window=w)
+        from quantizedmha_tpu.models.llama import rms_norm
+
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        want = (x @ params["lm_head"]).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+        # and the pattern must actually change the result vs no window
+        cfg_nw = dataclasses.replace(cfg, window_pattern=None)
+        other = forward(cfg_nw, params, tokens)
+        assert float(jnp.max(jnp.abs(got - other))) > 1e-4
+
+
+def test_serving_adapter_validates_knob_values():
+    """Serving supports the family knobs (per-layer windows, sandwich
+    norms, GeGLU, softcaps — tests/test_engine.py runs them end to end);
+    make_cache still fails FAST on invalid values rather than mid-trace."""
+    from quantizedmha_tpu.serving.llama_adapter import make_cache
+
+    with pytest.raises(ValueError, match="hidden_act"):
+        make_cache(LlamaConfig.tiny(hidden_act="gelu??"),
+                   num_pages=4, page_size=8)
+    with pytest.raises(ValueError, match="window_pattern"):
+        make_cache(LlamaConfig.tiny(window_pattern=(8, None, 8)),
+                   num_pages=4, page_size=8)
+    # valid family configs pass
+    make_cache(LlamaConfig.tiny(window_pattern=(8, None),
+                                sandwich_norms=True, rms_plus_one=True,
+                                hidden_act="gelu_tanh"),
+               num_pages=4, page_size=8)
+    make_cache(LlamaConfig.tiny(), num_pages=4, page_size=8)
