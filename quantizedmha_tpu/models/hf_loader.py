@@ -54,7 +54,10 @@ def _window_pattern_from_hf(cfg: dict, archs: str):
     layer_types = cfg.get("layer_types")
     if layer_types is None and win is not None:
         if "Qwen2" in archs:
-            mwl = cfg.get("max_window_layers", 0)
+            # transformers' Qwen2Config defaults max_window_layers to 28
+            # when the key is absent — matching 0 here would wrongly slide
+            # the early layers that HF keeps full.
+            mwl = cfg.get("max_window_layers", 28)
             layer_types = ["full_attention" if i < mwl else
                            "sliding_attention" for i in range(L)]
         elif "Gemma2" in archs:
@@ -65,6 +68,14 @@ def _window_pattern_from_hf(cfg: dict, archs: str):
     if len(layer_types) != L:
         raise ValueError(
             f"layer_types has {len(layer_types)} entries for {L} layers")
+    if win is None and "sliding_attention" in layer_types:
+        # Silently loading these layers as full attention would diverge
+        # from the checkpoint's intended masking — refuse loudly (same
+        # policy as the round-1 loader for unrepresentable window configs).
+        raise ValueError(
+            "layer_types marks sliding_attention layers but the effective "
+            "sliding_window is None (missing, null, or disabled by "
+            "use_sliding_window=false)")
     pattern = tuple(
         win if t == "sliding_attention" else None for t in layer_types)
     if len(set(pattern)) == 1:
@@ -82,15 +93,23 @@ def config_from_hf(path) -> LlamaConfig:
     win, pattern = _window_pattern_from_hf(cfg, archs)
     kw = {}
     if gemma2:
+        # Exact mapping, raising on surprises: "gelu" (erf) and
+        # "gelu_pytorch_tanh" are DIFFERENT curves — a silent fallback
+        # would drift every MLP.
+        act_map = {"gelu_pytorch_tanh": "gelu_tanh", "gelu_tanh": "gelu_tanh",
+                   "gelu": "gelu", "silu": "silu"}
+        act_hf = cfg.get("hidden_activation", "gelu_pytorch_tanh")
+        if act_hf not in act_map:
+            raise ValueError(f"unsupported hidden_activation {act_hf!r}")
         kw = dict(
-            hidden_act=("gelu_tanh" if "tanh" in cfg.get(
-                "hidden_activation", "gelu_pytorch_tanh") else "silu"),
+            hidden_act=act_map[act_hf],
             sandwich_norms=True,
             rms_plus_one=True,
             embed_scale=True,
+            # transformers' Gemma2Config default is 256 (NOT hidden/heads,
+            # which is 224 at the 9B geometry).
             query_pre_attn_scalar=float(
-                cfg.get("query_pre_attn_scalar", cfg["hidden_size"]
-                        // n_heads)),
+                cfg.get("query_pre_attn_scalar", 256)),
             logit_softcap=cfg.get("attn_logit_softcapping"),
             final_logit_softcap=cfg.get("final_logit_softcapping"),
         )

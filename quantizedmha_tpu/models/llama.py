@@ -65,7 +65,8 @@ class LlamaConfig:
     # each kernel call keeps a STATIC window.
     window_pattern: Optional[Tuple[Optional[int], ...]] = None
     # --- Gemma-2 family knobs ---
-    hidden_act: str = "silu"        # "silu" | "gelu_tanh" (gelu_pytorch_tanh)
+    hidden_act: str = "silu"        # "silu" | "gelu_tanh" (HF
+    #   gelu_pytorch_tanh) | "gelu" (exact)
     sandwich_norms: bool = False    # post-attention/post-MLP RMSNorms too
     rms_plus_one: bool = False      # RMSNorm weight convention out*(1+w)
     embed_scale: bool = False       # embeddings scaled by sqrt(hidden_size)
@@ -86,6 +87,20 @@ class LlamaConfig:
                     f"for {self.num_layers} layers")
             return tuple(self.window_pattern)
         return (self.sliding_window,) * self.num_layers
+
+    @property
+    def recyclable_window(self) -> Optional[int]:
+        """The single window shared by EVERY layer, or None.
+
+        Rolling-window KV-page recycling (engine/spec-decode trim) is only
+        sound when NO layer needs pages behind the window — i.e. the
+        per-layer pattern is uniform and windowed. A mixed pattern
+        (Gemma-2 alternation, Qwen2 split) returns None: its
+        full-attention layers keep every page alive."""
+        ws = set(self.layer_windows)
+        if len(ws) == 1:
+            return next(iter(ws))
+        return None
 
     @property
     def sm_scale(self) -> Optional[float]:
@@ -243,6 +258,8 @@ def _act(cfg: "LlamaConfig", x: jnp.ndarray) -> jnp.ndarray:
         return jax.nn.silu(x)
     if cfg.hidden_act == "gelu_tanh":  # HF "gelu_pytorch_tanh" (Gemma)
         return jax.nn.gelu(x, approximate=True)
+    if cfg.hidden_act == "gelu":  # HF "gelu" (exact erf GELU)
+        return jax.nn.gelu(x, approximate=False)
     raise ValueError(f"unknown hidden_act {cfg.hidden_act!r}")
 
 
@@ -341,62 +358,82 @@ def _pattern_runs(windows: Tuple):
     return [(w, n) for w, n in runs]
 
 
-def forward(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
-            positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """tokens: [batch, seq] int32 -> logits [batch, seq, vocab].
+def scan_layers(windows: Tuple, body, x, xs):
+    """lax.scan over the leading layer axis of `xs` where the body takes
+    each layer's STATIC window: `body(x, scanned_slice, window) -> (x, y)`.
 
-    Per-layer window patterns keep every kernel call's window STATIC (the
-    shrunk windowed grid is a compile-time shape) by decomposing the layer
-    scan: a uniform pattern is one lax.scan (Llama/Mistral); a short
-    periodic pattern scans [L/p]-chunks with a p-layer unrolled body
-    (Gemma-2's sliding/full alternation, p=2); anything else scans each
+    Per-layer window patterns keep every kernel call's window a
+    compile-time constant (the shrunk windowed grid is a static shape) by
+    decomposing the scan — uniform pattern: one scan (Llama/Mistral);
+    short periodic pattern: chunked scan with a p-layer unrolled body
+    (Gemma-2's sliding/full alternation, p=2); otherwise: one scan per
     contiguous equal-window run (Qwen2's full-below-max_window_layers
-    split, 2 runs)."""
+    split, 2 runs). Returns (x, ys) with ys stacked [num_layers, ...] in
+    layer order in every case (ys may be None if the body yields None).
+    `len(windows)` must equal the leading dim of `xs`' leaves — callers
+    pass cfg.layer_windows (whole model) or a stage-local slice (PP)."""
+    L = len(windows)
+    period = _pattern_period(windows)
+    if period == 1:
+        return jax.lax.scan(lambda x, s: body(x, s, windows[0]), x, xs)
+    if period <= 4:
+        chunked = jax.tree.map(
+            lambda a: a.reshape(L // period, period, *a.shape[1:]), xs)
+
+        def chunk_body(x, chunk):
+            ys = []
+            for i in range(period):
+                s = jax.tree.map(lambda a: a[i], chunk)
+                x, y = body(x, s, windows[i])
+                ys.append(y)
+            return x, jax.tree.map(lambda *zs: jnp.stack(zs), *ys)
+
+        x, ys = jax.lax.scan(chunk_body, x, chunked)
+        return x, jax.tree.map(lambda a: a.reshape(L, *a.shape[2:]), ys)
+    start = 0
+    outs = []
+    for win, n_run in _pattern_runs(windows):
+        sub = jax.tree.map(lambda a: a[start:start + n_run], xs)
+        x, y = jax.lax.scan(lambda x, s, w=win: body(x, s, w), x, sub)
+        outs.append(y)
+        start += n_run
+    return x, jax.tree.map(lambda *zs: jnp.concatenate(zs), *outs)
+
+
+def embed_tokens(cfg: LlamaConfig, params: Dict[str, Any],
+                 tokens: jnp.ndarray) -> jnp.ndarray:
     x = params["embed"][tokens].astype(cfg.dtype)
     if cfg.embed_scale:
         # Gemma scales embeddings by sqrt(hidden) ROUNDED TO THE MODEL
         # DTYPE (HF casts the normalizer before multiplying).
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, cfg.dtype)
+    return x
 
-    windows = cfg.layer_windows
-    period = _pattern_period(windows)
-    if period == 1:
-        def body(x, layer_params):
-            return decoder_layer(cfg, layer_params, x, positions,
-                                 window=windows[0]), None
 
-        x, _ = jax.lax.scan(body, x, params["layers"])
-    elif period <= 4:
-        chunked = jax.tree.map(
-            lambda a: a.reshape(cfg.num_layers // period, period,
-                                *a.shape[1:]),
-            params["layers"])
-
-        def body(x, chunk):
-            for i in range(period):
-                lp = jax.tree.map(lambda a: a[i], chunk)
-                x = decoder_layer(cfg, lp, x, positions, window=windows[i])
-            return x, None
-
-        x, _ = jax.lax.scan(body, x, chunked)
-    else:
-        start = 0
-        for win, n_run in _pattern_runs(windows):
-            sub = jax.tree.map(
-                lambda a: a[start:start + n_run], params["layers"])
-
-            def body(x, layer_params, win=win):
-                return decoder_layer(cfg, layer_params, x, positions,
-                                     window=win), None
-
-            x, _ = jax.lax.scan(body, x, sub)
-            start += n_run
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+def final_logits(cfg: LlamaConfig, x: jnp.ndarray,
+                 lm_head: jnp.ndarray) -> jnp.ndarray:
+    logits = (x @ lm_head).astype(jnp.float32)
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap
         logits = jnp.tanh(logits / cap) * cap
     return logits
+
+
+def forward(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
+            positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """tokens: [batch, seq] int32 -> logits [batch, seq, vocab].
+
+    Layer iteration goes through scan_layers, which decomposes the scan so
+    per-layer window patterns keep every kernel call's window STATIC."""
+    x = embed_tokens(cfg, params, tokens)
+
+    def body(x, layer_params, window):
+        return decoder_layer(cfg, layer_params, x, positions,
+                             window=window), None
+
+    x, _ = scan_layers(cfg.layer_windows, body, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    return final_logits(cfg, x, params["lm_head"])
 
 
 def loss_fn(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray) -> jnp.ndarray:

@@ -27,7 +27,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from quantizedmha_tpu.models.llama import LlamaConfig, decoder_layer, rms_norm
+from quantizedmha_tpu.models.llama import (
+    LlamaConfig,
+    decoder_layer,
+    embed_tokens,
+    final_logits,
+    rms_norm,
+    scan_layers,
+)
 
 
 def shard_layers(layers: Dict[str, Any], mesh: Mesh, axis: str = "pp"):
@@ -120,17 +127,33 @@ def pipeline_llama_forward(
     if cfg.num_layers % n_stages:
         raise ValueError(f"{cfg.num_layers} layers not divisible by {n_stages} stages")
 
-    x = params["embed"][tokens].astype(cfg.dtype)
+    # Per-layer window patterns: every stage runs the SAME traced program
+    # (SPMD), so each stage's local window sequence must be identical —
+    # true iff the pattern repeats with the stage size (covers uniform
+    # Llama/Mistral and Gemma-2's p=2 alternation when L/stages is even;
+    # Qwen2's contiguous split would give stages DIFFERENT programs, so
+    # refuse loudly rather than silently running the wrong masks).
+    windows = cfg.layer_windows
+    L_local = cfg.num_layers // n_stages
+    local_windows = windows[:L_local]
+    if windows != local_windows * n_stages:
+        raise ValueError(
+            f"window_pattern {windows} is not identical across {n_stages} "
+            f"pipeline stages of {L_local} layers — PP needs a stage-"
+            "uniform pattern (use TP/ring for this family, or pick a "
+            "stage count whose per-stage slice repeats)")
+
+    x = embed_tokens(cfg, params, tokens)
     x_micro = x.reshape(n_microbatches, b // n_microbatches, s, -1)
 
     def stage_fn(layers_local, xb):
-        def body(xb, p):
-            return decoder_layer(cfg, p, xb), None
+        def body(xb, p, window):
+            return decoder_layer(cfg, p, xb, window=window), None
 
-        out, _ = jax.lax.scan(body, xb, layers_local)
+        out, _ = scan_layers(local_windows, body, xb, layers_local)
         return out
 
     out = pipeline_apply(stage_fn, params["layers"], x_micro, mesh, axis=axis)
     x = out.reshape(b, s, -1)
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    return (x @ params["lm_head"]).astype(jnp.float32)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    return final_logits(cfg, x, params["lm_head"])

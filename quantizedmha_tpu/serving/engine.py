@@ -482,11 +482,11 @@ class Engine:
         pages wholly behind every active sequence's window (minus attention
         sinks) go back to the free list — live KV memory per sequence is
         capped at O(window + sinks) regardless of generation length."""
-        w = self.cfg.sliding_window
-        if not w or self.cfg.window_pattern is not None:
-            # Per-layer patterns include full-attention layers that need
-            # every page alive — no recycling (pattern configs normally
-            # carry sliding_window=None; this guards hand-built ones).
+        w = self.cfg.recyclable_window
+        if not w:
+            # None when full-attention anywhere: either no sliding window,
+            # or a mixed per-layer pattern whose full layers need every
+            # page alive (recyclable_window centralizes that judgment).
             return
         freed = 0
         for seq in self.active:

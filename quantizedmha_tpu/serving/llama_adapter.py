@@ -33,8 +33,11 @@ from quantizedmha_tpu.models.llama import (
     _attention,
     _pattern_period,
     _pattern_runs,
+    embed_tokens,
+    final_logits,
     qkv_proj,
     rms_norm,
+    scan_layers,
 )
 from quantizedmha_tpu.quant.weights import qdense
 from quantizedmha_tpu.ops.decode import paged_decode_attention
@@ -55,21 +58,6 @@ def ensure_serving_supported(cfg: LlamaConfig) -> None:
     cfg.layer_windows  # raises on a mis-sized window_pattern
 
 
-def _embed(cfg: LlamaConfig, params, tokens) -> jnp.ndarray:
-    x = params["embed"][tokens].astype(cfg.dtype)
-    if cfg.embed_scale:
-        x = x * jnp.asarray(cfg.hidden_size ** 0.5, cfg.dtype)
-    return x
-
-
-def _final_logits(cfg: LlamaConfig, x, lm_head) -> jnp.ndarray:
-    logits = (x @ lm_head).astype(jnp.float32)
-    if cfg.final_logit_softcap is not None:
-        cap = cfg.final_logit_softcap
-        logits = jnp.tanh(logits / cap) * cap
-    return logits
-
-
 def _attn_residual(cfg: LlamaConfig, dense, p, x, o_flat, reduce_tp):
     """x + [post-norm](psum(wo @ o)) — the TP psum must precede the Gemma-2
     post-attention norm (the norm needs the full row sum)."""
@@ -88,44 +76,6 @@ def _mlp_residual(cfg: LlamaConfig, dense, p, x, reduce_tp):
     return x + m
 
 
-def _scan_layers(cfg: LlamaConfig, body, x, xs):
-    """lax.scan over the leading layer axis of `xs` where the body takes
-    each layer's STATIC window: `body(x, scanned_slice, window) -> (x, y)`.
-
-    Same decomposition as models.llama.forward — uniform pattern: one
-    scan; short periodic pattern (Gemma-2 alternation): chunked scan with
-    a p-layer unrolled body; otherwise (Qwen2's max_window_layers split):
-    one scan per contiguous equal-window run. Returns (x, ys) with ys
-    stacked [num_layers, ...] in layer order in every case."""
-    windows = cfg.layer_windows
-    period = _pattern_period(windows)
-    L = cfg.num_layers
-    if period == 1:
-        return jax.lax.scan(lambda x, s: body(x, s, windows[0]), x, xs)
-    if period <= 4:
-        chunked = jax.tree.map(
-            lambda a: a.reshape(L // period, period, *a.shape[1:]), xs)
-
-        def chunk_body(x, chunk):
-            ys = []
-            for i in range(period):
-                s = jax.tree.map(lambda a: a[i], chunk)
-                x, y = body(x, s, windows[i])
-                ys.append(y)
-            return x, jax.tree.map(lambda *zs: jnp.stack(zs), *ys)
-
-        x, ys = jax.lax.scan(chunk_body, x, chunked)
-        return x, jax.tree.map(lambda a: a.reshape(L, *a.shape[2:]), ys)
-    start = 0
-    outs = []
-    for win, n_run in _pattern_runs(windows):
-        sub = jax.tree.map(lambda a: a[start:start + n_run], xs)
-        x, y = jax.lax.scan(lambda x, s, w=win: body(x, s, w), x, sub)
-        outs.append(y)
-        start += n_run
-    return x, jax.tree.map(lambda *zs: jnp.concatenate(zs), *outs)
-
-
 def make_cache(cfg: LlamaConfig, num_pages: int, page_size: int) -> PagedKVCacheState:
     """Layer-stacked cache: every array has a leading num_layers dim."""
     ensure_serving_supported(cfg)
@@ -133,6 +83,122 @@ def make_cache(cfg: LlamaConfig, num_pages: int, page_size: int) -> PagedKVCache
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x, (cfg.num_layers, *x.shape)).copy(), one
     )
+
+
+# --- Hybrid (grouped) KV cache -------------------------------------------
+#
+# A per-layer window pattern splits the layers into GROUPS by window value.
+# With the single layer-stacked cache, every group shares one physical page
+# pool, so a sequence's KV memory is O(context) in EVERY layer even though
+# its sliding layers only ever read the last `window` positions. Grouped
+# caches give each window group its OWN page pool + block tables: the
+# engine recycles the sliding groups' pages behind the window while the
+# full-attention groups keep theirs — per-sequence KV memory becomes
+# L_full*O(context) + L_slide*O(window + sinks) (Gemma-2-9B at 32K: ~44 %
+# of the un-grouped footprint). Group keys are STRINGS ("full", "w4096"):
+# jax sorts dict pytree keys and None/int don't compare.
+
+def group_key(window: Optional[int]) -> str:
+    return "full" if window is None else f"w{window}"
+
+
+def window_groups(cfg: LlamaConfig) -> Dict[str, list]:
+    """Group layout: key -> ascending global layer indices with that window."""
+    groups: Dict[str, list] = {}
+    for i, w in enumerate(cfg.layer_windows):
+        groups.setdefault(group_key(w), []).append(i)
+    return groups
+
+
+def make_cache_hybrid(cfg: LlamaConfig, pages_by_group: Dict[str, int],
+                      page_size: int) -> Dict[str, PagedKVCacheState]:
+    """One layer-stacked cache PER window group (leading dim = the group's
+    layer count, stacked in ascending global layer order)."""
+    ensure_serving_supported(cfg)
+    groups = window_groups(cfg)
+    missing = set(groups) - set(pages_by_group)
+    if missing:
+        raise ValueError(f"pages_by_group missing groups {sorted(missing)}")
+    out = {}
+    for key, idxs in groups.items():
+        one = PagedKVCacheState.create(
+            cfg.num_kv_heads, pages_by_group[key], page_size, cfg.hd)
+        out[key] = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (len(idxs), *x.shape)).copy(), one)
+    return out
+
+
+def _g(d, window):
+    """Resolve a maybe-grouped argument: dict -> the window group's entry,
+    anything else -> shared across groups."""
+    return d[group_key(window)] if isinstance(d, dict) else d
+
+
+def scan_layers_caches(windows: Tuple, body, x, layers, caches: Dict[str, Any]):
+    """scan_layers for grouped caches: `body(x, layer_slice, cache_slice,
+    window) -> (x, new_cache_slice)` where cache_slice comes from the
+    layer's OWN group stack. Same three-way decomposition as
+    models.llama.scan_layers (each kernel call keeps a STATIC window);
+    returns (x, new caches dict) with every group re-stacked in ascending
+    global layer order."""
+    L = len(windows)
+    distinct = {group_key(w): w for w in windows}
+    if len(distinct) == 1:
+        (key, w0), = distinct.items()
+        x, new = jax.lax.scan(
+            lambda x, s: body(x, s[0], s[1], w0), x, (layers, caches[key]))
+        return x, {key: new}
+    period = _pattern_period(windows)
+    if period <= 4:
+        per = windows[:period]
+        cnt = {group_key(w): sum(1 for u in per if u == w) for w in set(per)}
+        rank, seen = [], {}
+        for w in per:
+            k = group_key(w)
+            rank.append(seen.get(k, 0))
+            seen[k] = seen.get(k, 0) + 1
+        n_chunks = L // period
+        layers_c = jax.tree.map(
+            lambda a: a.reshape(n_chunks, period, *a.shape[1:]), layers)
+        caches_c = {
+            k: jax.tree.map(
+                lambda a: a.reshape(n_chunks, cnt[k], *a.shape[1:]), caches[k])
+            for k in caches}
+
+        def chunk_body(x, scanned):
+            lc, cc = scanned
+            outs = {k: [None] * cnt[k] for k in cc}
+            for i in range(period):
+                w = per[i]
+                k = group_key(w)
+                p = jax.tree.map(lambda a: a[i], lc)
+                c = jax.tree.map(lambda a: a[rank[i]], cc[k])
+                x, cnew = body(x, p, c, w)
+                outs[k][rank[i]] = cnew
+            ys = {k: jax.tree.map(lambda *zs: jnp.stack(zs), *outs[k])
+                  for k in outs}
+            return x, ys
+
+        x, ys = jax.lax.scan(chunk_body, x, (layers_c, caches_c))
+        return x, {
+            k: jax.tree.map(
+                lambda a: a.reshape(n_chunks * cnt[k], *a.shape[2:]), ys[k])
+            for k in ys}
+    cursor = {k: 0 for k in caches}
+    parts: Dict[str, list] = {k: [] for k in caches}
+    start = 0
+    for win, n_run in _pattern_runs(windows):
+        k = group_key(win)
+        lsub = jax.tree.map(lambda a: a[start:start + n_run], layers)
+        csub = jax.tree.map(
+            lambda a: a[cursor[k]:cursor[k] + n_run], caches[k])
+        x, y = jax.lax.scan(
+            lambda x, s, w=win: body(x, s[0], s[1], w), x, (lsub, csub))
+        parts[k].append(y)
+        cursor[k] += n_run
+        start += n_run
+    return x, {k: jax.tree.map(lambda *zs: jnp.concatenate(zs), *parts[k])
+               for k in parts}
 
 
 def _psum_or_id(axis_name: Optional[str]):
@@ -164,7 +230,7 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
     hd = cfg.hd
     reduce_tp = _psum_or_id(axis_name)
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
-    x = _embed(cfg, params, tokens)
+    x = embed_tokens(cfg, params, tokens)
 
     def body(x, p, window):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
@@ -180,12 +246,12 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
         x = _mlp_residual(cfg, dense, p, x, reduce_tp)
         return x, (kv_k[0], kv_v[0])
 
-    x, (k_all, v_all) = _scan_layers(cfg, body, x, params["layers"])
+    x, (k_all, v_all) = scan_layers(cfg.layer_windows, body, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
     # Project ONLY the requested position: the full [bucket, vocab] logits
     # would be an extra ~2 TFLOP matmul + ~1 GiB buffer per prefill at
     # Llama-3-8B scale, all discarded but one row.
-    logits = _final_logits(cfg, x[:, last_index], params["lm_head"])
+    logits = final_logits(cfg, x[:, last_index], params["lm_head"])
     return logits, k_all, v_all
 
 
@@ -206,6 +272,27 @@ def write_prefill(
 
     _, cache = jax.lax.scan(body, None, (cache, k_all, v_all))
     return cache
+
+
+def write_prefill_hybrid(
+    cfg: LlamaConfig,
+    caches: Dict[str, PagedKVCacheState],
+    k_all: jnp.ndarray,  # [num_layers, Hkv, n_tokens, hd] — ALL layers
+    v_all: jnp.ndarray,
+    page_ids,            # Dict[str, [n_pages] i32] — per-group physical ids
+    *,
+    page_size: int,
+) -> Dict[str, PagedKVCacheState]:
+    """write_prefill into grouped caches: each group receives ITS layers'
+    slice of the prompt K/V, scattered into its own page pool."""
+    out = {}
+    for key, idxs in window_groups(cfg).items():
+        sel = jnp.asarray(idxs, jnp.int32)
+        out[key] = write_prefill(
+            cfg, caches[key],
+            jnp.take(k_all, sel, axis=0), jnp.take(v_all, sel, axis=0),
+            page_ids[key], page_size=page_size)
+    return out
 
 
 def prefill_chunk(
@@ -238,10 +325,9 @@ def prefill_chunk(
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
 
     positions = chunk_start + jnp.arange(C, dtype=jnp.int32)
-    x = _embed(cfg, params, tokens)
+    x = embed_tokens(cfg, params, tokens)
 
-    def body(x, scanned, window):
-        p, cache_l = scanned
+    def body(x, p, cache_l, window):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
         q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, C, cfg.num_heads, hd).transpose(0, 2, 1, 3)
         k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
@@ -253,8 +339,9 @@ def prefill_chunk(
         # aligned). The final partial chunk's padding rows are zeroed so
         # they can't inflate the per-page scales fitted over them.
         keep = (jnp.arange(C) <= last_index)[None, :, None]
+        tbl = _g(table, window)
         chunk_pages = jax.lax.dynamic_slice(
-            table, (chunk_start // page_size,), (C // page_size,)
+            tbl, (chunk_start // page_size,), (C // page_size,)
         )
         cache_l = write_pages(cache_l, k[0] * keep, v[0] * keep,
                               chunk_pages, page_size)
@@ -268,7 +355,7 @@ def prefill_chunk(
             jnp.broadcast_to(
                 jnp.asarray(chunk_start + C, jnp.int32), (1,)),
             jnp.broadcast_to(jnp.asarray(chunk_start, jnp.int32), (1,)),
-            table[None],
+            tbl[None],
             sm_scale=cfg.sm_scale,
             window=window, logit_softcap=cfg.logit_softcap,
             attention_sinks=cfg.attention_sinks if window is not None else 0,
@@ -278,9 +365,15 @@ def prefill_chunk(
         x = _mlp_residual(cfg, dense, p, x, reduce_tp)
         return x, cache_l
 
-    x, cache = _scan_layers(cfg, body, x, (params["layers"], cache))
+    if isinstance(cache, dict):
+        x, cache = scan_layers_caches(
+            cfg.layer_windows, body, x, params["layers"], cache)
+    else:
+        x, cache = scan_layers(
+            cfg.layer_windows, lambda x, s, w: body(x, s[0], s[1], w),
+            x, (params["layers"], cache))
     x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
-    logits = _final_logits(cfg, x[0, last_index], params["lm_head"])
+    logits = final_logits(cfg, x[0, last_index], params["lm_head"])
     return logits[None], cache
 
 
@@ -337,10 +430,9 @@ def verify_step(
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
 
     positions = positions0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
-    x = _embed(cfg, params, tokens)  # [B, S, hid]
+    x = embed_tokens(cfg, params, tokens)  # [B, S, hid]
 
-    def body(x, scanned, window):
-        p, cache_l = scanned
+    def body(x, p, cache_l, window):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
         q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, S, cfg.num_heads, hd).transpose(0, 2, 1, 3)
         k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
@@ -350,10 +442,11 @@ def verify_step(
 
         # Append token-by-token (S is small and static) so the page-scale
         # fit-at-slot-0 policy matches plain decode exactly.
+        psched = _g(page_sched, window)
         for j in range(S):
             cache_l = _append_batch(
                 cache_l, k[:, :, j], v[:, :, j],
-                page_sched[:, j], slot_sched[:, j],
+                psched[:, j], slot_sched[:, j],
             )
 
         # Attend straight from the pages with PER-SEQUENCE offsets (the
@@ -364,7 +457,7 @@ def verify_step(
             cache_l.k_scales, cache_l.v_scales,
             (positions0 + S).astype(jnp.int32),
             positions0.astype(jnp.int32),
-            tables,
+            _g(tables, window),
             sm_scale=cfg.sm_scale,
             window=window, logit_softcap=cfg.logit_softcap,
             attention_sinks=cfg.attention_sinks if window is not None else 0,
@@ -374,9 +467,15 @@ def verify_step(
         x = _mlp_residual(cfg, dense, p, x, reduce_tp)
         return x, cache_l
 
-    x, cache = _scan_layers(cfg, body, x, (params["layers"], cache))
+    if isinstance(cache, dict):
+        x, cache = scan_layers_caches(
+            cfg.layer_windows, body, x, params["layers"], cache)
+    else:
+        x, cache = scan_layers(
+            cfg.layer_windows, lambda x, s, w: body(x, s[0], s[1], w),
+            x, (params["layers"], cache))
     x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
-    logits = _final_logits(cfg, x, params["lm_head"])  # [B, S, vocab]
+    logits = final_logits(cfg, x, params["lm_head"])  # [B, S, vocab]
     return logits, cache
 
 
@@ -386,21 +485,25 @@ def decode_step(
     cache: PagedKVCacheState,  # layer-stacked
     tokens: jnp.ndarray,     # [B] i32 — the tokens just sampled
     positions: jnp.ndarray,  # [B] i32 — their absolute positions
-    page_ids: jnp.ndarray,   # [B] i32 — page receiving each token's K/V
+    page_ids,                # [B] i32 — page receiving each token's K/V
     slots: jnp.ndarray,      # [B] i32 — slot within that page
     lengths: jnp.ndarray,    # [B] i32 — context length INCLUDING this token
-    tables: jnp.ndarray,     # [B, max_pages] i32
+    tables,                  # [B, max_pages] i32
     axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, PagedKVCacheState]:
-    """One decode step for a batch of sequences -> (logits [B, vocab], cache)."""
+    """One decode step for a batch of sequences -> (logits [B, vocab], cache).
+
+    Hybrid caches: `cache` may be a group dict (make_cache_hybrid), in
+    which case `page_ids` and `tables` are group dicts too (each group has
+    its own page pool); `slots`/`lengths` are position-derived and shared.
+    """
     b = tokens.shape[0]
     hd = cfg.hd
     reduce_tp = _psum_or_id(axis_name)
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
-    x = _embed(cfg, params, tokens)[:, None, :]  # [B, 1, hid]
+    x = embed_tokens(cfg, params, tokens)[:, None, :]  # [B, 1, hid]
 
-    def body(x, scanned, window):
-        p, cache_l = scanned
+    def body(x, p, cache_l, window):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
         q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, cfg.num_heads, hd)
         k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, cfg.num_kv_heads, hd)
@@ -408,10 +511,10 @@ def decode_step(
         # RoPE at each sequence's absolute position.
         q = _rope_single(q, positions, cfg.rope_theta)
         k = _rope_single(k, positions, cfg.rope_theta)
-        cache_l = _append_batch(cache_l, k, v, page_ids, slots)
+        cache_l = _append_batch(cache_l, k, v, _g(page_ids, window), slots)
         o = paged_decode_attention(
             q, cache_l.k_pages, cache_l.v_pages,
-            cache_l.k_scales, cache_l.v_scales, lengths, tables,
+            cache_l.k_scales, cache_l.v_scales, lengths, _g(tables, window),
             sm_scale=cfg.sm_scale,
             window=window, logit_softcap=cfg.logit_softcap,
             attention_sinks=cfg.attention_sinks if window is not None else 0,
@@ -421,9 +524,15 @@ def decode_step(
         x = _mlp_residual(cfg, dense, p, x, reduce_tp)
         return x, cache_l
 
-    x, cache = _scan_layers(cfg, body, x, (params["layers"], cache))
+    if isinstance(cache, dict):
+        x, cache = scan_layers_caches(
+            cfg.layer_windows, body, x, params["layers"], cache)
+    else:
+        x, cache = scan_layers(
+            cfg.layer_windows, lambda x, s, w: body(x, s[0], s[1], w),
+            x, (params["layers"], cache))
     x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
-    logits = _final_logits(cfg, x[:, 0], params["lm_head"])
+    logits = final_logits(cfg, x[:, 0], params["lm_head"])
     return logits, cache
 
 
@@ -459,10 +568,16 @@ def decode_loop(
     if key is None:
         key = jax.random.PRNGKey(sampling.seed)
 
+    def take_pids(t, pos):
+        return jnp.take_along_axis(t, (pos // page_size)[:, None], axis=1)[:, 0]
+
     def body(carry, _):
         cache, toks, lens, key = carry
         pos = lens  # absolute position of the pending token
-        pids = jnp.take_along_axis(tables, (pos // page_size)[:, None], axis=1)[:, 0]
+        if isinstance(tables, dict):
+            pids = {k: take_pids(t, pos) for k, t in tables.items()}
+        else:
+            pids = take_pids(tables, pos)
         slots = pos % page_size
         logits, cache = decode_step(
             cfg, params, cache, toks, pos, pids, slots, lens + 1, tables,

@@ -366,11 +366,11 @@ class SpecDecodeEngine(Engine):
         # Rolling-window page recycling for BOTH caches (after the
         # rollback commits — trim_window's documented ordering).
         self._trim_windows()
-        if self.draft_cfg.sliding_window:
+        draft_w = self.draft_cfg.recyclable_window
+        if draft_w:
             for seq in self.active:
                 self.draft_alloc.trim_window(
-                    seq.seq_id, self.draft_cfg.sliding_window,
-                    self.draft_cfg.attention_sinks)
+                    seq.seq_id, draft_w, self.draft_cfg.attention_sinks)
         self.metrics.set("free_pages", self.alloc.free_pages)
 
     @property

@@ -361,3 +361,63 @@ def test_gemma2_logits_match_real_transformers(tmp_path):
                                 block_q=8, block_kv=8)
     got_f = np.asarray(forward(cfg_f, params, jnp.asarray(tokens)))
     np.testing.assert_allclose(got_f, want, rtol=2e-3, atol=2e-3)
+
+
+def test_gemma2_config_defaults_match_transformers(tmp_path):
+    """Missing optional Gemma-2 keys must take transformers' defaults:
+    query_pre_attn_scalar=256 (NOT hidden/heads), activation
+    gelu_pytorch_tanh; the even-layers-slide alternation is derived."""
+    base = dict(
+        architectures=["Gemma2ForCausalLM"], vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, rope_theta=10000.0,
+        rms_norm_eps=1e-6, sliding_window=16)
+    (tmp_path / "config.json").write_text(json.dumps(base))
+    cfg = config_from_hf(tmp_path)
+    assert cfg.query_pre_attn_scalar == 256.0  # 32//4 = 8 would be wrong
+    assert cfg.hidden_act == "gelu_tanh"
+    assert cfg.window_pattern == (16, None, 16, None)
+
+    # Exact "gelu" is the erf curve — must map to "gelu", not silu.
+    (tmp_path / "config.json").write_text(
+        json.dumps({**base, "hidden_activation": "gelu"}))
+    assert config_from_hf(tmp_path).hidden_act == "gelu"
+
+    # Unknown activations refuse loudly instead of silently drifting.
+    (tmp_path / "config.json").write_text(
+        json.dumps({**base, "hidden_activation": "relu6"}))
+    with pytest.raises(ValueError, match="hidden_activation"):
+        config_from_hf(tmp_path)
+
+
+def test_qwen2_max_window_layers_defaults_to_28(tmp_path):
+    """transformers' Qwen2Config defaults max_window_layers to 28 when the
+    key is absent — a 4-layer config with use_sliding_window=true must
+    come out all-FULL (every layer below 28), not all-sliding."""
+    (tmp_path / "config.json").write_text(json.dumps(dict(
+        architectures=["Qwen2ForCausalLM"], vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, rope_theta=10000.0,
+        rms_norm_eps=1e-6, use_sliding_window=True, sliding_window=16)))
+    cfg = config_from_hf(tmp_path)
+    assert cfg.sliding_window is None
+    assert cfg.window_pattern is None
+
+
+def test_layer_types_sliding_without_window_refuses(tmp_path):
+    """layer_types marking sliding layers while the effective window is
+    None (null, or disabled by use_sliding_window=false) is contradictory
+    — refuse loudly rather than silently loading full attention."""
+    base = dict(
+        architectures=["Qwen2ForCausalLM"], vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, rope_theta=10000.0,
+        rms_norm_eps=1e-6,
+        layer_types=["sliding_attention", "full_attention"])
+    (tmp_path / "config.json").write_text(json.dumps(base))
+    with pytest.raises(ValueError, match="sliding_window"):
+        config_from_hf(tmp_path)
+    (tmp_path / "config.json").write_text(json.dumps(
+        {**base, "sliding_window": 16, "use_sliding_window": False}))
+    with pytest.raises(ValueError, match="sliding_window"):
+        config_from_hf(tmp_path)

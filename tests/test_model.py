@@ -147,3 +147,24 @@ def test_serving_adapter_validates_knob_values():
                                 hidden_act="gelu_tanh"),
                num_pages=4, page_size=8)
     make_cache(LlamaConfig.tiny(), num_pages=4, page_size=8)
+
+
+def test_recyclable_window():
+    """Page recycling is only sound when EVERY layer shares one window —
+    mixed patterns (Gemma-2/Qwen2) must report None so the engines keep
+    all pages alive for their full-attention layers."""
+    tiny = LlamaConfig.tiny
+    assert tiny(sliding_window=8).recyclable_window == 8
+    assert tiny().recyclable_window is None
+    assert tiny(num_layers=4,
+                window_pattern=(8, None, 8, None)).recyclable_window is None
+    assert tiny(num_layers=4,
+                window_pattern=(8, 8, 8, 8)).recyclable_window == 8
+
+
+def test_exact_gelu_activation():
+    from quantizedmha_tpu.models.llama import _act
+    x = jnp.linspace(-3, 3, 32)
+    got = _act(LlamaConfig.tiny(hidden_act="gelu"), x)
+    want = jax.nn.gelu(x, approximate=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

@@ -76,3 +76,42 @@ def test_pipeline_windowed_gqa_matches_plain_forward():
     )(sharded, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_pipeline_gemma2_style_pattern_matches_plain_forward():
+    """Per-layer alternating windows + the Gemma-2 family knobs must
+    survive pipeline sharding: with pp=2 over 4 layers the stage-local
+    window sequence (12, None) is identical on both stages, so the SPMD
+    program stays uniform."""
+    cfg = LlamaConfig.tiny(
+        num_layers=4, dtype=jnp.float32,
+        window_pattern=(12, None, 12, None), sandwich_norms=True,
+        rms_plus_one=True, embed_scale=True, hidden_act="gelu_tanh",
+        query_pre_attn_scalar=32.0, logit_softcap=30.0,
+        final_logit_softcap=15.0)
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 32)), jnp.int32)
+
+    want = forward(cfg, params, tokens)
+    mesh = _mesh(2)
+    sharded = dict(params)
+    sharded["layers"] = shard_layers(params["layers"], mesh)
+    got = jax.jit(
+        lambda p, t: pipeline_llama_forward(cfg, p, t, mesh, n_microbatches=2)
+    )(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_pipeline_refuses_stage_nonuniform_pattern():
+    """A Qwen2-style contiguous split gives pipeline stages DIFFERENT
+    window sequences — not representable as one SPMD program; must raise
+    instead of silently running the wrong masks."""
+    cfg = LlamaConfig.tiny(num_layers=4, dtype=jnp.float32,
+                           window_pattern=(None, None, 12, 12))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jnp.zeros((4, 8), jnp.int32)
+    with pytest.raises(ValueError, match="stage"):
+        pipeline_llama_forward(cfg, params, tokens, _mesh(2),
+                               n_microbatches=2)
