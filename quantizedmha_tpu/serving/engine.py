@@ -59,6 +59,18 @@ class EngineConfig:
     # times, admission reverts to strict FCFS until the head fits.
     admission_window: int = 8
     starvation_limit: int = 64
+    # Hybrid KV cache for per-layer window patterns (Gemma-2 alternation,
+    # Qwen2 split): each window group gets its OWN page pool + block
+    # tables, so sliding groups' pages recycle behind their window while
+    # full-attention groups keep theirs — per-sequence KV memory becomes
+    # L_full*O(context) + L_slide*O(window+sinks) instead of
+    # L*O(context). No-op for uniform configs.
+    hybrid_kv: bool = False
+    # Per-group pool sizes (keys from llama_adapter.group_key: "full",
+    # "w4096", ...). None -> every group gets num_pages. Sliding pools
+    # must still cover the PREFILL transient (a prompt's pages are only
+    # recycled after its prefill completes).
+    hybrid_pages: Optional[Dict[str, int]] = None
 
 
 @dataclasses.dataclass
@@ -87,10 +99,41 @@ class Engine:
             raise ValueError(
                 f"prefill_buckets {bad} are not multiples of "
                 f"page_size={ecfg.page_size}")
-        self.cache = llama_adapter.make_cache(cfg, ecfg.num_pages, ecfg.page_size)
-        # Page 0 is the allocator's first-class scrap page (the DMA
-        # target for padded batch lanes and trimmed table slots).
-        self.alloc = PageAllocator(ecfg.num_pages, ecfg.page_size, scrap_page=0)
+        # Window-group layout ("full"/"w<N>" -> layer idxs) and each
+        # group's window value — the hybrid pools/trims key on these.
+        self.groups = llama_adapter.window_groups(cfg)
+        self.group_windows = {
+            llama_adapter.group_key(w): w for w in set(cfg.layer_windows)}
+        self.hybrid = bool(ecfg.hybrid_kv) and len(self.groups) > 1
+        if self.hybrid and ecfg.prefix_cache:
+            raise ValueError(
+                "prefix_cache does not compose with hybrid_kv yet (shared "
+                "pages would need per-group refcounts)")
+        if self.hybrid:
+            pages_by_group = dict(ecfg.hybrid_pages or {})
+            for k in self.groups:
+                pages_by_group.setdefault(k, ecfg.num_pages)
+            self.cache = llama_adapter.make_cache_hybrid(
+                cfg, pages_by_group, ecfg.page_size)
+            # Page 0 of EACH pool is that pool's scrap page.
+            self.allocs = {
+                k: PageAllocator(pages_by_group[k], ecfg.page_size,
+                                 scrap_page=0)
+                for k in self.groups}
+            # Primary allocator: canonical lengths/bookkeeping reads (all
+            # allocators see identical admit/extend/release traffic; only
+            # trims diverge). Prefer a full-attention group — its tables
+            # are never trimmed.
+            primary = "full" if "full" in self.allocs else sorted(self.allocs)[0]
+            self.alloc = self.allocs[primary]
+        else:
+            self.cache = llama_adapter.make_cache(
+                cfg, ecfg.num_pages, ecfg.page_size)
+            # Page 0 is the allocator's first-class scrap page (the DMA
+            # target for padded batch lanes and trimmed table slots).
+            self.alloc = PageAllocator(
+                ecfg.num_pages, ecfg.page_size, scrap_page=0)
+            self.allocs = None
         self.queue: deque = deque()
         # Prefix cache: sha1 chain over page-sized token chunks -> page id.
         self._prefix_map: Dict[bytes, int] = {}
@@ -118,10 +161,48 @@ class Engine:
             functools.partial(llama_adapter.write_prefill, cfg),
             static_argnames=("page_size",),
         )
+        self._write_hybrid = jax.jit(
+            functools.partial(llama_adapter.write_prefill_hybrid, cfg),
+            static_argnames=("page_size",),
+        )
         self._prefill_chunk = jax.jit(
             functools.partial(llama_adapter.prefill_chunk, cfg),
             static_argnames=("page_size",),
         )
+
+    # -- hybrid pool helpers -------------------------------------------------
+
+    def _each_alloc(self) -> List[PageAllocator]:
+        return list(self.allocs.values()) if self.hybrid else [self.alloc]
+
+    def _admit_all(self, rid: int, n: int):
+        """Admit into every pool (hybrid) or the single pool. Checks ALL
+        pools first so a partial admit never leaks pages. Returns the
+        per-group fresh page lists (hybrid) or the single list."""
+        if not self.hybrid:
+            return self.alloc.admit(rid, n)
+        short = [k for k, a in self.allocs.items() if not a.can_admit(n)]
+        if short:
+            raise RuntimeError(
+                f"out of pages in group(s) {sorted(short)} admitting {n} "
+                "tokens")
+        return {k: a.admit(rid, n) for k, a in self.allocs.items()}
+
+    def _tables_for(self, seq_ids: List[int], pad_to: int):
+        """[B, max_pages] block table(s): per-group dict in hybrid mode."""
+        mp = self.ecfg.max_pages_per_seq
+
+        def one(alloc):
+            t = alloc.block_table_array(seq_ids, mp)
+            full = np.full((pad_to, mp),
+                           alloc.scrap_page if alloc.scrap_page is not None
+                           else 0, np.int32)
+            full[:len(seq_ids)] = t
+            return jnp.asarray(full)
+
+        if self.hybrid:
+            return {k: one(a) for k, a in self.allocs.items()}
+        return one(self.alloc)
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -156,7 +237,7 @@ class Engine:
         if cached:
             return (self.alloc.pages_needed(n) - len(cached)
                     <= self.alloc.free_pages)
-        return self.alloc.can_admit(n)
+        return all(a.can_admit(n) for a in self._each_alloc())
 
     def _try_admit(self) -> bool:
         if not self.queue or len(self.active) >= self.ecfg.max_batch:
@@ -197,7 +278,8 @@ class Engine:
             # Long prompt: chunked prefill through the paged INT8 cache.
             self._admit_chunked(rid, prompt, max_new)
             return
-        pages = self.alloc.admit(rid, n)
+        pages = self._admit_all(rid, n)
+        n_pages = self.alloc.pages_needed(n)
         bucket = self._bucket(n)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = prompt
@@ -211,21 +293,29 @@ class Engine:
         # the per-(head, page) scale is fitted over the whole page, and
         # garbage K/V from padded positions would inflate it (coarser
         # quantization for the page's REAL tokens). Zeros never raise amax.
-        n_write = len(pages) * self.ecfg.page_size
+        n_write = n_pages * self.ecfg.page_size
         k_w = k_all[:, :, :n_write]
         v_w = v_all[:, :, :n_write]
         if n < n_write:
             keep = (jnp.arange(n_write) < n)[None, None, :, None]
             k_w = k_w * keep
             v_w = v_w * keep
-        self.cache = self._write(
-            self.cache, k_w, v_w,
-            jnp.asarray(pages, jnp.int32),
-            page_size=self.ecfg.page_size,
-        )
+        if self.hybrid:
+            self.cache = self._write_hybrid(
+                self.cache, k_w, v_w,
+                {k: jnp.asarray(p, jnp.int32) for k, p in pages.items()},
+                page_size=self.ecfg.page_size,
+            )
+        else:
+            self.cache = self._write(
+                self.cache, k_w, v_w,
+                jnp.asarray(pages, jnp.int32),
+                page_size=self.ecfg.page_size,
+            )
         first = int(self._sample(logits))
         self._register_prefix(prompt, rid)
         self._activate(_Sequence(rid, prompt, [first], first, max_new))
+        self._trim_windows()  # hybrid: recycle behind-window prompt pages
 
     def _admit_chunked(self, rid: int, prompt: List[int], max_new: int) -> None:
         """Prefill a prompt longer than the largest bucket in fixed chunks:
@@ -250,9 +340,17 @@ class Engine:
                 f"{n_chunks_total * chunk // self.ecfg.page_size} table slots "
                 f"> max_pages_per_seq ({self.ecfg.max_pages_per_seq})"
             )
-        self.alloc.admit(rid, n)
-        table = self.alloc.block_table_array([rid], self.ecfg.max_pages_per_seq)[0]
-        table_j = jnp.asarray(table, jnp.int32)
+        self._admit_all(rid, n)
+        if self.hybrid:
+            table_j = {
+                k: jnp.asarray(
+                    a.block_table_array([rid], self.ecfg.max_pages_per_seq)[0],
+                    jnp.int32)
+                for k, a in self.allocs.items()}
+        else:
+            table_j = jnp.asarray(
+                self.alloc.block_table_array(
+                    [rid], self.ecfg.max_pages_per_seq)[0], jnp.int32)
         logits = None
         for ci in range(n_chunks_total):
             part = prompt[ci * chunk:(ci + 1) * chunk]
@@ -270,6 +368,10 @@ class Engine:
         first = int(self._sample(logits))
         self._register_prefix(prompt, rid)
         self._activate(_Sequence(rid, prompt, [first], first, max_new))
+        # Hybrid: NEVER trim mid-chunked-prefill (later chunks still write
+        # and read earlier positions' table slots) — only now, after the
+        # whole prompt is in the cache.
+        self._trim_windows()
 
     # -- automatic prefix caching ---------------------------------------------
 
@@ -377,7 +479,8 @@ class Engine:
         eos = self.ecfg.eos_id is not None and seq.pending == self.ecfg.eos_id
         if seq.done_by_len or eos:
             self.finished[seq.seq_id] = seq.out
-            self.alloc.release(seq.seq_id)
+            for a in self._each_alloc():
+                a.release(seq.seq_id)
             self.metrics.inc("requests_finished")
         else:
             self.active.append(seq)
@@ -388,25 +491,26 @@ class Engine:
         would desync host lengths from device cache contents). `alloc`
         defaults to the target allocator (speculation passes its draft
         allocator too)."""
-        alloc = alloc if alloc is not None else self.alloc
-        needed = 0
-        for seq in self.active:
-            length = alloc.lengths[seq.seq_id]
-            pages_after = -(-(length + n_tokens) // self.ecfg.page_size)
-            if pages_after > self.ecfg.max_pages_per_seq:
+        allocs = [alloc] if alloc is not None else self._each_alloc()
+        for alloc in allocs:
+            needed = 0
+            for seq in self.active:
+                length = alloc.lengths[seq.seq_id]
+                pages_after = -(-(length + n_tokens) // self.ecfg.page_size)
+                if pages_after > self.ecfg.max_pages_per_seq:
+                    raise RuntimeError(
+                        f"seq {seq.seq_id}: extending by {n_tokens} token(s) "
+                        f"needs {pages_after} pages > max_pages_per_seq "
+                        f"({self.ecfg.max_pages_per_seq})")
+                held = len(alloc.tables[seq.seq_id])
+                needed += max(0, pages_after - held)
+            if needed > alloc.free_pages:
                 raise RuntimeError(
-                    f"seq {seq.seq_id}: extending by {n_tokens} token(s) "
-                    f"needs {pages_after} pages > max_pages_per_seq "
-                    f"({self.ecfg.max_pages_per_seq})")
-            held = len(alloc.tables[seq.seq_id])
-            needed += max(0, pages_after - held)
-        if needed > alloc.free_pages:
-            raise RuntimeError(
-                f"page pool exhausted: decoding {n_tokens} token(s) for "
-                f"{len(self.active)} sequences needs {needed} new pages, "
-                f"{alloc.free_pages} free. Raise num_pages or lower "
-                f"max_batch/max_new_tokens."
-            )
+                    f"page pool exhausted: decoding {n_tokens} token(s) for "
+                    f"{len(self.active)} sequences needs {needed} new pages, "
+                    f"{alloc.free_pages} free. Raise num_pages or lower "
+                    f"max_batch/max_new_tokens."
+                )
 
     def _sample_batch(self, logits) -> jnp.ndarray:
         sub = None
@@ -433,28 +537,30 @@ class Engine:
         self._check_extend_headroom(1)  # pool AND per-seq table bounds
         tokens = np.zeros(B, np.int32)
         positions = np.zeros(B, np.int32)
-        page_ids = np.zeros(B, np.int32)
         slots = np.zeros(B, np.int32)
         lengths = np.ones(B, np.int32)
+        pids_np = {id(a): np.zeros(B, np.int32) for a in self._each_alloc()}
         for i, seq in enumerate(self.active):
             pos = self.alloc.lengths[seq.seq_id]  # 0-based position of pending
-            pid, slot, _ = self.alloc.extend(seq.seq_id)
+            for a in self._each_alloc():
+                pid, slot, _ = a.extend(seq.seq_id)
+                pids_np[id(a)][i] = pid
+                slots[i] = slot  # position-derived: identical across pools
             tokens[i] = seq.pending
             positions[i] = pos
-            page_ids[i] = pid
-            slots[i] = slot
             lengths[i] = self.alloc.lengths[seq.seq_id]
-        tables = self.alloc.block_table_array(
-            [s.seq_id for s in self.active], self.ecfg.max_pages_per_seq
-        )
-        tables_full = np.zeros((B, self.ecfg.max_pages_per_seq), np.int32)
-        tables_full[:nseq] = tables
+        if self.hybrid:
+            page_ids = {k: jnp.asarray(pids_np[id(a)])
+                        for k, a in self.allocs.items()}
+        else:
+            page_ids = jnp.asarray(pids_np[id(self.alloc)])
+        tables = self._tables_for([s.seq_id for s in self.active], B)
 
         with self.metrics.timed("decode_step"):
             logits, self.cache = self._decode(
                 self.params, self.cache,
-                jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(page_ids),
-                jnp.asarray(slots), jnp.asarray(lengths), jnp.asarray(tables_full),
+                jnp.asarray(tokens), jnp.asarray(positions), page_ids,
+                jnp.asarray(slots), jnp.asarray(lengths), tables,
             )
             next_tokens = np.asarray(self._sample_batch(logits))
         self.metrics.inc("decode_steps")
@@ -470,7 +576,8 @@ class Engine:
             eos = self.ecfg.eos_id is not None and tok == self.ecfg.eos_id
             if seq.done_by_len or eos:
                 self.finished[seq.seq_id] = seq.out
-                self.alloc.release(seq.seq_id)
+                for a in self._each_alloc():
+                    a.release(seq.seq_id)
                 self.metrics.inc("requests_finished")
             else:
                 still_active.append(seq)
@@ -482,16 +589,29 @@ class Engine:
         pages wholly behind every active sequence's window (minus attention
         sinks) go back to the free list — live KV memory per sequence is
         capped at O(window + sinks) regardless of generation length."""
-        w = self.cfg.recyclable_window
-        if not w:
-            # None when full-attention anywhere: either no sliding window,
-            # or a mixed per-layer pattern whose full layers need every
-            # page alive (recyclable_window centralizes that judgment).
-            return
         freed = 0
-        for seq in self.active:
-            freed += self.alloc.trim_window(
-                seq.seq_id, w, self.cfg.attention_sinks)
+        if self.hybrid:
+            # Per-group pools: each SLIDING group trims by its OWN window
+            # (its pool holds only that group's layers, so its full-
+            # attention siblings are unaffected — the whole point).
+            for k, a in self.allocs.items():
+                w = self.group_windows[k]
+                if not w:
+                    continue
+                for seq in self.active:
+                    freed += a.trim_window(
+                        seq.seq_id, w, self.cfg.attention_sinks)
+        else:
+            w = self.cfg.recyclable_window
+            if not w:
+                # None when full-attention anywhere: either no sliding
+                # window, or a mixed per-layer pattern whose full layers
+                # need every page alive in the SHARED pool
+                # (recyclable_window centralizes that judgment).
+                return
+            for seq in self.active:
+                freed += self.alloc.trim_window(
+                    seq.seq_id, w, self.cfg.attention_sinks)
         if freed:
             self.metrics.inc("pages_trimmed", freed)
             self.metrics.set("free_pages", self.alloc.free_pages)
@@ -510,20 +630,17 @@ class Engine:
         for i, seq in enumerate(self.active):
             tokens[i] = seq.pending
             lengths0[i] = self.alloc.lengths[seq.seq_id]
-            for _ in range(chunk):  # reserve the chunk's cache slots now
-                self.alloc.extend(seq.seq_id)
-        tables = self.alloc.block_table_array(
-            [s.seq_id for s in self.active], self.ecfg.max_pages_per_seq
-        )
-        tables_full = np.zeros((B, self.ecfg.max_pages_per_seq), np.int32)
-        tables_full[:nseq] = tables
+            for a in self._each_alloc():
+                for _ in range(chunk):  # reserve the chunk's cache slots now
+                    a.extend(seq.seq_id)
+        tables = self._tables_for([s.seq_id for s in self.active], B)
 
         with self.metrics.timed("decode_chunk"):
             self._key, loop_key = jax.random.split(self._key)
             out, self.cache = self._decode_loop(
                 self.params, self.cache,
                 jnp.asarray(tokens), jnp.asarray(lengths0),
-                jnp.asarray(tables_full), loop_key,
+                tables, loop_key,
                 n_steps=chunk, page_size=self.ecfg.page_size,
             )
             out = np.asarray(out)  # [chunk, B] — the single host sync
@@ -544,7 +661,8 @@ class Engine:
                     break
             if finished:
                 self.finished[seq.seq_id] = seq.out
-                self.alloc.release(seq.seq_id)
+                for a in self._each_alloc():
+                    a.release(seq.seq_id)
                 self.metrics.inc("requests_finished")
             else:
                 still_active.append(seq)

@@ -47,7 +47,8 @@ def local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
     )
 
 
-def tp_param_specs(axis: str = "tp", attention_bias: bool = False) -> Dict[str, Any]:
+def tp_param_specs(axis: str = "tp", attention_bias: bool = False,
+                   sandwich_norms: bool = False) -> Dict[str, Any]:
     """PartitionSpecs mirroring models.llama.init_params' structure.
 
     Column-sharding wq over the flattened [hid, H*hd] output dim splits on
@@ -70,6 +71,11 @@ def tp_param_specs(axis: str = "tp", attention_bias: bool = False) -> Dict[str, 
         layers["bq"] = P(None, axis)
         layers["bk"] = P(None, axis)
         layers["bv"] = P(None, axis)
+    if sandwich_norms:
+        # Gemma-2 post-norms act on the FULL hidden row (after the TP
+        # psum), so they replicate like the pre-norms.
+        layers["post_attn_norm"] = P(None, None)
+        layers["post_mlp_norm"] = P(None, None)
     return dict(
         embed=P(None, None),
         layers=layers,
@@ -133,13 +139,18 @@ class TPEngine(Engine):
     def __init__(self, cfg: LlamaConfig, params: Dict[str, Any],
                  ecfg: EngineConfig, mesh: Mesh, *, axis: str = "tp"):
         tp = mesh.shape[axis]
+        if ecfg.hybrid_kv:
+            raise ValueError(
+                "hybrid_kv is not supported under TP yet (grouped cache "
+                "specs + per-group shard_map plumbing)")
         super().__init__(cfg, params, ecfg)  # host structures + replicated jits
         lcfg = local_config(cfg, tp)
         self.mesh = mesh
         self.axis = axis
 
         pspecs = expand_param_specs(
-            params, tp_param_specs(axis, attention_bias=cfg.attention_bias))
+            params, tp_param_specs(axis, attention_bias=cfg.attention_bias,
+                                   sandwich_norms=cfg.sandwich_norms))
         cspecs = tp_cache_specs(axis)
         self.params = shard_tree(params, pspecs, mesh)
         self.cache = shard_tree(self.cache, cspecs, mesh)

@@ -88,6 +88,11 @@ class SpecDecodeEngine(Engine):
         scfg = (scfg if scfg is not None else SpecConfig()).validate()
         if ecfg.decode_chunk != 1:
             raise ValueError("decode_chunk and speculation are exclusive")
+        if ecfg.hybrid_kv:
+            raise ValueError(
+                "hybrid_kv and speculation are exclusive for now (the "
+                "draft cache would need its own group pools + rollback-"
+                "aware trims)")
         if draft_cfg.vocab_size != cfg.vocab_size:
             raise ValueError("draft and target must share a vocabulary")
         super().__init__(cfg, params, ecfg)

@@ -203,3 +203,92 @@ def test_group_layout_and_validation():
     assert group_key(None) == "full" and group_key(4096) == "w4096"
     with pytest.raises(ValueError, match="missing groups"):
         make_cache_hybrid(cfg, {"w8": 4}, PAGE)
+
+
+# --- Engine integration ---------------------------------------------------
+
+from quantizedmha_tpu.serving.engine import Engine, EngineConfig  # noqa: E402
+
+
+def _mk_engines(pattern, hybrid_pages, num_pages=64, max_new=16,
+                decode_chunk=1):
+    cfg = _cfg(pattern)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mk = lambda hybrid: Engine(cfg, params, EngineConfig(
+        num_pages=num_pages, page_size=PAGE, max_batch=2,
+        max_pages_per_seq=16, prefill_buckets=(8, 16),
+        max_new_tokens=max_new, decode_chunk=decode_chunk,
+        hybrid_kv=hybrid, hybrid_pages=hybrid_pages if hybrid else None))
+    return cfg, params, mk
+
+
+@pytest.mark.parametrize("decode_chunk", [1, 4])
+def test_engine_hybrid_matches_single_pool(decode_chunk):
+    """Same requests through a hybrid-pool engine and a shared-pool engine
+    produce identical tokens (page ids differ; page contents don't)."""
+    _, _, mk = _mk_engines((8, None, 8, None), {"w8": 24, "full": 64},
+                           decode_chunk=decode_chunk)
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, 200, n)) for n in (5, 9, 14)]
+
+    e1 = mk(False)
+    for p in prompts:
+        e1.add_request(list(p))
+    out1 = e1.run()
+
+    e2 = mk(True)
+    assert e2.hybrid
+    for p in prompts:
+        e2.add_request(list(p))
+    out2 = e2.run()
+    assert out1 == out2
+    assert e2.metrics.counter("pages_trimmed") > 0
+
+
+def test_engine_hybrid_sliding_pool_stays_small():
+    """A sliding pool FAR too small for un-recycled generations serves
+    fine: trims cap each sequence's sliding-pool pages at
+    O(window + sinks), while the full pool grows with context."""
+    # window 8 -> 2 live pages + current + sink slack; pool of 8 (incl
+    # scrap) serves 2 concurrent sequences generating 24 tokens each,
+    # which would need 2*(32/4)=16 pages un-recycled.
+    _, _, mk = _mk_engines((8, None, 8, None), {"w8": 8, "full": 64},
+                           max_new=24)
+    e = mk(True)
+    rng = np.random.default_rng(1)
+    for n in (8, 7):
+        e.add_request(list(rng.integers(1, 200, n)))
+    out = e.run()
+    assert all(len(v) == 24 for v in out.values())
+    assert e.metrics.counter("pages_trimmed") > 0
+    # Full pool really held everything: its allocator saw no trims.
+    full_alloc = e.allocs["full"]
+    assert all(p is not None
+               for t in full_alloc.tables.values() for p in t)
+
+
+def test_engine_hybrid_gates():
+    cfg = _cfg((8, None, 8, None))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="prefix_cache"):
+        Engine(cfg, params, EngineConfig(
+            num_pages=16, page_size=PAGE, prefill_buckets=(8,),
+            hybrid_kv=True, prefix_cache=True))
+    from quantizedmha_tpu.serving.speculative import SpecDecodeEngine
+    with pytest.raises(ValueError, match="hybrid_kv"):
+        SpecDecodeEngine(cfg, params, cfg, params, EngineConfig(
+            num_pages=16, page_size=PAGE, prefill_buckets=(8,),
+            hybrid_kv=True))
+
+
+def test_engine_hybrid_uniform_config_is_noop():
+    """hybrid_kv on a uniform config quietly stays single-pool."""
+    cfg = LlamaConfig.tiny(dtype=jnp.float32, attention_impl="reference")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    e = Engine(cfg, params, EngineConfig(
+        num_pages=16, page_size=PAGE, prefill_buckets=(8,),
+        max_new_tokens=4, hybrid_kv=True))
+    assert not e.hybrid
+    e.add_request([1, 2, 3])
+    out = e.run()
+    assert len(out[0]) == 4

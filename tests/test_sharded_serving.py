@@ -170,3 +170,47 @@ def test_llama70b_tp8_sharding_plan_fits_v5p():
     assert per_device_gib < 90, f"{per_device_gib:.1f} GiB > v5p HBM budget"
     # Sanity floor: a 70B in bf16 is ~140 GiB total, so /8 ~ 17+ GiB.
     assert per_device_gib > 15
+
+
+def test_tp_engine_gemma2_pattern_matches_single_device():
+    """Gemma-2-class config (alternating windows + sandwich norms + GeGLU
+    + softcaps) through TPEngine: the new param-spec rows (post-norms
+    replicate) and the per-layer window scan must be TP-invisible."""
+    import jax.numpy as jnp
+
+    cfg = LlamaConfig.tiny(
+        num_layers=2, dtype=jnp.float32,
+        window_pattern=(16, None), sandwich_norms=True, rms_plus_one=True,
+        embed_scale=True, hidden_act="gelu_tanh",
+        query_pre_attn_scalar=32.0, logit_softcap=30.0,
+        final_logit_softcap=15.0)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    ecfg = EngineConfig(
+        num_pages=32, page_size=16, max_batch=2,
+        prefill_buckets=(16, 32), max_new_tokens=5,
+    )
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+
+    ref = Engine(cfg, params, ecfg)
+    for p in prompts:
+        ref.add_request(list(p))
+    want = ref.run()
+
+    eng = TPEngine(cfg, params, ecfg, make_tp_mesh(2))
+    for p in prompts:
+        eng.add_request(list(p))
+    got = eng.run()
+    assert got == want
+
+
+def test_tp_engine_refuses_hybrid():
+    import jax.numpy as jnp
+
+    cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32,
+                           window_pattern=(16, None))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="hybrid_kv"):
+        TPEngine(cfg, params,
+                 EngineConfig(num_pages=16, page_size=16,
+                              prefill_buckets=(16,), hybrid_kv=True),
+                 make_tp_mesh(2))
