@@ -73,6 +73,35 @@ class EngineConfig:
     hybrid_pages: Optional[Dict[str, int]] = None
 
 
+def build_pools(cfg: LlamaConfig, ecfg: "EngineConfig"):
+    """(cache, allocs, primary_alloc, hybrid) for a model's KV state.
+
+    hybrid (pattern config + ecfg.hybrid_kv): one cache + PageAllocator
+    PER window group — page 0 of EACH pool is its scrap page; `allocs` is
+    the group dict and `primary_alloc` (a full-attention group when one
+    exists — its tables are never trimmed) serves canonical lengths/
+    bookkeeping reads (all allocators see identical admit/extend/release
+    traffic; only trims diverge). Otherwise the classic single shared
+    pool with allocs=None. Shared by Engine (target) and SpecDecodeEngine
+    (draft — its OWN pattern decides its own hybrid)."""
+    groups = llama_adapter.window_groups(cfg)
+    hybrid = bool(ecfg.hybrid_kv) and len(groups) > 1
+    if hybrid:
+        pages_by_group = dict(ecfg.hybrid_pages or {})
+        for k in groups:
+            pages_by_group.setdefault(k, ecfg.num_pages)
+        cache = llama_adapter.make_cache_hybrid(
+            cfg, {k: pages_by_group[k] for k in groups}, ecfg.page_size)
+        allocs = {
+            k: PageAllocator(pages_by_group[k], ecfg.page_size, scrap_page=0)
+            for k in groups}
+        primary = "full" if "full" in allocs else sorted(allocs)[0]
+        return cache, allocs, allocs[primary], True
+    cache = llama_adapter.make_cache(cfg, ecfg.num_pages, ecfg.page_size)
+    alloc = PageAllocator(ecfg.num_pages, ecfg.page_size, scrap_page=0)
+    return cache, None, alloc, False
+
+
 @dataclasses.dataclass
 class _Sequence:
     seq_id: int
@@ -104,36 +133,12 @@ class Engine:
         self.groups = llama_adapter.window_groups(cfg)
         self.group_windows = {
             llama_adapter.group_key(w): w for w in set(cfg.layer_windows)}
-        self.hybrid = bool(ecfg.hybrid_kv) and len(self.groups) > 1
+        self.cache, self.allocs, self.alloc, self.hybrid = build_pools(
+            cfg, ecfg)
         if self.hybrid and ecfg.prefix_cache:
             raise ValueError(
                 "prefix_cache does not compose with hybrid_kv yet (shared "
                 "pages would need per-group refcounts)")
-        if self.hybrid:
-            pages_by_group = dict(ecfg.hybrid_pages or {})
-            for k in self.groups:
-                pages_by_group.setdefault(k, ecfg.num_pages)
-            self.cache = llama_adapter.make_cache_hybrid(
-                cfg, pages_by_group, ecfg.page_size)
-            # Page 0 of EACH pool is that pool's scrap page.
-            self.allocs = {
-                k: PageAllocator(pages_by_group[k], ecfg.page_size,
-                                 scrap_page=0)
-                for k in self.groups}
-            # Primary allocator: canonical lengths/bookkeeping reads (all
-            # allocators see identical admit/extend/release traffic; only
-            # trims diverge). Prefer a full-attention group — its tables
-            # are never trimmed.
-            primary = "full" if "full" in self.allocs else sorted(self.allocs)[0]
-            self.alloc = self.allocs[primary]
-        else:
-            self.cache = llama_adapter.make_cache(
-                cfg, ecfg.num_pages, ecfg.page_size)
-            # Page 0 is the allocator's first-class scrap page (the DMA
-            # target for padded batch lanes and trimmed table slots).
-            self.alloc = PageAllocator(
-                ecfg.num_pages, ecfg.page_size, scrap_page=0)
-            self.allocs = None
         self.queue: deque = deque()
         # Prefix cache: sha1 chain over page-sized token chunks -> page id.
         self._prefix_map: Dict[bytes, int] = {}
@@ -188,8 +193,13 @@ class Engine:
                 "tokens")
         return {k: a.admit(rid, n) for k, a in self.allocs.items()}
 
-    def _tables_for(self, seq_ids: List[int], pad_to: int):
-        """[B, max_pages] block table(s): per-group dict in hybrid mode."""
+    def _tables_for(self, seq_ids: List[int], pad_to: int, allocs=None):
+        """[B, max_pages] block table(s): per-group dict in hybrid mode.
+        `allocs`: a PageAllocator or {group: PageAllocator} to read from
+        (default: this engine's target pools; SpecDecodeEngine passes its
+        draft pools)."""
+        if allocs is None:
+            allocs = self.allocs if self.hybrid else self.alloc
         mp = self.ecfg.max_pages_per_seq
 
         def one(alloc):
@@ -200,9 +210,9 @@ class Engine:
             full[:len(seq_ids)] = t
             return jnp.asarray(full)
 
-        if self.hybrid:
-            return {k: one(a) for k, a in self.allocs.items()}
-        return one(self.alloc)
+        if isinstance(allocs, dict):
+            return {k: one(a) for k, a in allocs.items()}
+        return one(allocs)
 
     # -- request lifecycle ---------------------------------------------------
 

@@ -88,11 +88,6 @@ class SpecDecodeEngine(Engine):
         scfg = (scfg if scfg is not None else SpecConfig()).validate()
         if ecfg.decode_chunk != 1:
             raise ValueError("decode_chunk and speculation are exclusive")
-        if ecfg.hybrid_kv:
-            raise ValueError(
-                "hybrid_kv and speculation are exclusive for now (the "
-                "draft cache would need its own group pools + rollback-"
-                "aware trims)")
         if draft_cfg.vocab_size != cfg.vocab_size:
             raise ValueError("draft and target must share a vocabulary")
         super().__init__(cfg, params, ecfg)
@@ -101,13 +96,17 @@ class SpecDecodeEngine(Engine):
         self._accept_ema: Optional[float] = None
         self.draft_cfg = draft_cfg
         self.draft_params = draft_params
-        # The draft gets its own cache + allocator over the same page layout.
-        self.draft_cache = llama_adapter.make_cache(
-            draft_cfg, ecfg.num_pages, ecfg.page_size)
-        from quantizedmha_tpu.serving.kv_cache import PageAllocator
+        # The draft gets its own cache + allocator(s) over the same page
+        # layout. Under hybrid_kv each model's OWN window pattern decides
+        # whether it gets grouped pools — a uniform draft stays single-pool
+        # even when the pattern target goes hybrid, and vice versa.
+        from quantizedmha_tpu.serving.engine import build_pools
 
-        self.draft_alloc = PageAllocator(ecfg.num_pages, ecfg.page_size,
-                                        scrap_page=0)
+        (self.draft_cache, self.draft_allocs, self.draft_alloc,
+         self.draft_hybrid) = build_pools(draft_cfg, ecfg)
+        self.draft_group_windows = {
+            llama_adapter.group_key(w): w
+            for w in set(draft_cfg.layer_windows)}
 
         self._draft_prefill = jax.jit(
             functools.partial(llama_adapter.prefill_at, draft_cfg))
@@ -116,6 +115,9 @@ class SpecDecodeEngine(Engine):
             static_argnames=("page_size",))
         self._draft_write = jax.jit(
             functools.partial(llama_adapter.write_prefill, draft_cfg),
+            static_argnames=("page_size",))
+        self._draft_write_hybrid = jax.jit(
+            functools.partial(llama_adapter.write_prefill_hybrid, draft_cfg),
             static_argnames=("page_size",))
         # The draft SAMPLES with the engine's params (greedy drafts under a
         # non-greedy config would make q a point mass and bias rejection
@@ -143,8 +145,25 @@ class SpecDecodeEngine(Engine):
     # came from. The draft never shares prefix pages (its cache is
     # independent), so under prefix_cache it simply prefills fully.
 
+    def _draft_each_alloc(self):
+        return (list(self.draft_allocs.values()) if self.draft_hybrid
+                else [self.draft_alloc])
+
+    def _draft_admit_all(self, rid, n):
+        """Mirror of Engine._admit_all for the draft pools (all-or-nothing)."""
+        if not self.draft_hybrid:
+            return self.draft_alloc.admit(rid, n)
+        short = [k for k, a in self.draft_allocs.items()
+                 if not a.can_admit(n)]
+        if short:
+            raise RuntimeError(
+                f"out of draft pages in group(s) {sorted(short)} "
+                f"admitting {n} tokens")
+        return {k: a.admit(rid, n) for k, a in self.draft_allocs.items()}
+
     def _fits(self, prompt) -> bool:
-        return super()._fits(prompt) and self.draft_alloc.can_admit(len(prompt))
+        return super()._fits(prompt) and all(
+            a.can_admit(len(prompt)) for a in self._draft_each_alloc())
 
     def _dispatch_admit(self, rid, prompt, max_new) -> None:
         super()._dispatch_admit(rid, prompt, max_new)
@@ -157,8 +176,10 @@ class SpecDecodeEngine(Engine):
         n = len(prompt)
         if n > max(self.ecfg.prefill_buckets):
             self._draft_admit_chunked(rid, prompt)
+            self._trim_draft()
             return
-        pages = self.draft_alloc.admit(rid, n)
+        pages = self._draft_admit_all(rid, n)
+        n_pages = self.draft_alloc.pages_needed(n)
         bucket = self._bucket(n)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = prompt
@@ -166,16 +187,23 @@ class SpecDecodeEngine(Engine):
             self.draft_params, jnp.asarray(toks), jnp.int32(n - 1))
         # Zero padded rows before the page write (scale-inflation guard,
         # same as Engine's bucketed admission).
-        n_write = len(pages) * self.ecfg.page_size
+        n_write = n_pages * self.ecfg.page_size
         k_w = k_all[:, :, :n_write]
         v_w = v_all[:, :, :n_write]
         if n < n_write:
             keep = (jnp.arange(n_write) < n)[None, None, :, None]
             k_w = k_w * keep
             v_w = v_w * keep
-        self.draft_cache = self._draft_write(
-            self.draft_cache, k_w, v_w,
-            jnp.asarray(pages, jnp.int32), page_size=self.ecfg.page_size)
+        if self.draft_hybrid:
+            self.draft_cache = self._draft_write_hybrid(
+                self.draft_cache, k_w, v_w,
+                {k: jnp.asarray(p, jnp.int32) for k, p in pages.items()},
+                page_size=self.ecfg.page_size)
+        else:
+            self.draft_cache = self._draft_write(
+                self.draft_cache, k_w, v_w,
+                jnp.asarray(pages, jnp.int32), page_size=self.ecfg.page_size)
+        self._trim_draft()
 
     def _draft_admit_chunked(self, rid, prompt) -> None:
         """Draft-side mirror of Engine._admit_chunked: prefill the long
@@ -189,10 +217,15 @@ class SpecDecodeEngine(Engine):
             raise ValueError(
                 f"request {rid}: draft chunked prefill exceeds "
                 f"max_pages_per_seq ({self.ecfg.max_pages_per_seq})")
-        self.draft_alloc.admit(rid, n)
-        table = self.draft_alloc.block_table_array(
-            [rid], self.ecfg.max_pages_per_seq)[0]
-        table_j = jnp.asarray(table, jnp.int32)
+        self._draft_admit_all(rid, n)
+        if self.draft_hybrid:
+            table_j = {
+                k: jnp.asarray(a.block_table_array(
+                    [rid], self.ecfg.max_pages_per_seq)[0], jnp.int32)
+                for k, a in self.draft_allocs.items()}
+        else:
+            table_j = jnp.asarray(self.draft_alloc.block_table_array(
+                [rid], self.ecfg.max_pages_per_seq)[0], jnp.int32)
         for ci in range(n_chunks_total):
             part = prompt[ci * chunk:(ci + 1) * chunk]
             toks = np.zeros((1, chunk), np.int32)
@@ -230,10 +263,30 @@ class SpecDecodeEngine(Engine):
             self.metrics.set("spec_k", self._k)
             self._accept_ema = None
 
-    def _reserve(self, alloc, seq_ids, count) -> None:
-        for sid in seq_ids:
-            for _ in range(count):
-                alloc.extend(sid)
+    def _reserve(self, allocs, seq_ids, count) -> None:
+        for alloc in allocs:
+            for sid in seq_ids:
+                for _ in range(count):
+                    alloc.extend(sid)
+
+    def _trim_draft(self) -> None:
+        """Draft-side window recycling (mirror of Engine._trim_windows):
+        per-group windows under draft hybrid, recyclable_window otherwise.
+        Caller ordering contract: only AFTER rollbacks/prefills commit."""
+        if self.draft_hybrid:
+            for k, a in self.draft_allocs.items():
+                w = self.draft_group_windows[k]
+                if not w:
+                    continue
+                for seq in self.active:
+                    a.trim_window(seq.seq_id, w,
+                                  self.draft_cfg.attention_sinks)
+            return
+        draft_w = self.draft_cfg.recyclable_window
+        if draft_w:
+            for seq in self.active:
+                self.draft_alloc.trim_window(
+                    seq.seq_id, draft_w, self.draft_cfg.attention_sinks)
 
     def _step_speculate(self, k: int) -> None:
         B = self.ecfg.max_batch
@@ -254,14 +307,17 @@ class SpecDecodeEngine(Engine):
         # Pool-headroom + per-seq table guards BEFORE any allocator/cache
         # mutation: a mid-_reserve failure would desync host lengths from
         # the device caches (Engine.step has the same guard).
-        self._check_extend_headroom(k, alloc=self.draft_alloc)
+        for a in self._draft_each_alloc():
+            self._check_extend_headroom(k, alloc=a)
         self._check_extend_headroom(S)
 
         # 1. draft proposes k tokens (fused loop on the draft cache).
         greedy = self.sampling.greedy
-        self._reserve(self.draft_alloc, seq_ids, k)
-        d_tables = np.zeros((B, max_pages), np.int32)
-        d_tables[:nseq] = self.draft_alloc.block_table_array(seq_ids, max_pages)
+        self._reserve(self._draft_each_alloc(), seq_ids, k)
+        d_tables = self._tables_for(
+            seq_ids, B,
+            allocs=self.draft_allocs if self.draft_hybrid
+            else self.draft_alloc)
         with self.metrics.timed("draft"):
             self._key, loop_key = jax.random.split(self._key)
             d_logits = None
@@ -269,7 +325,7 @@ class SpecDecodeEngine(Engine):
                 drafts_j, self.draft_cache = self._draft_loop(
                     self.draft_params, self.draft_cache,
                     jnp.asarray(tokens0), jnp.asarray(lengths0),
-                    jnp.asarray(d_tables), loop_key,
+                    d_tables, loop_key,
                     n_steps=k, page_size=page_size)
             else:
                 # Rejection sampling needs the draft's per-position
@@ -277,26 +333,32 @@ class SpecDecodeEngine(Engine):
                 drafts_j, self.draft_cache, d_logits = self._draft_loop(
                     self.draft_params, self.draft_cache,
                     jnp.asarray(tokens0), jnp.asarray(lengths0),
-                    jnp.asarray(d_tables), loop_key,
+                    d_tables, loop_key,
                     n_steps=k, page_size=page_size, return_logits=True)
             drafts = np.asarray(drafts_j)  # [k, B]
 
         # 2. target verifies pending + drafts in one forward.
-        self._reserve(self.alloc, seq_ids, S)
-        t_tables = np.zeros((B, max_pages), np.int32)
-        t_tables[:nseq] = self.alloc.block_table_array(seq_ids, max_pages)
+        self._reserve(self._each_alloc(), seq_ids, S)
+        t_tables = self._tables_for(seq_ids, B)
         fed = np.zeros((B, S), np.int32)
         fed[:, 0] = tokens0
         fed[:, 1:] = drafts.T
         pos = lengths0[:, None] + np.arange(S, dtype=np.int32)[None, :]
-        page_sched = np.take_along_axis(
-            t_tables, pos // page_size, axis=1).astype(np.int32)
+
+        def sched_from(tbl):
+            return jnp.asarray(np.take_along_axis(
+                np.asarray(tbl), pos // page_size, axis=1).astype(np.int32))
+
+        if self.hybrid:
+            page_sched = {k_: sched_from(t) for k_, t in t_tables.items()}
+        else:
+            page_sched = sched_from(t_tables)
         slot_sched = (pos % page_size).astype(np.int32)
         with self.metrics.timed("verify"):
             logits, self.cache = self._verify(
                 self.params, self.cache, jnp.asarray(fed),
-                jnp.asarray(lengths0), jnp.asarray(page_sched),
-                jnp.asarray(slot_sched), jnp.asarray(t_tables),
+                jnp.asarray(lengths0), page_sched,
+                jnp.asarray(slot_sched), t_tables,
                 page_size=page_size)
             if greedy:
                 target = np.asarray(jnp.argmax(logits, axis=-1))  # [B, S]
@@ -348,8 +410,10 @@ class SpecDecodeEngine(Engine):
                 else self.scfg.ema_decay * self._accept_ema
                 + (1 - self.scfg.ema_decay) * frac)
 
-            self.alloc.rollback(seq.seq_id, new_len)
-            self.draft_alloc.rollback(seq.seq_id, new_len)
+            for a in self._each_alloc():
+                a.rollback(seq.seq_id, new_len)
+            for a in self._draft_each_alloc():
+                a.rollback(seq.seq_id, new_len)
 
             finished = False
             for tok in emitted:
@@ -362,8 +426,10 @@ class SpecDecodeEngine(Engine):
                     break
             if finished:
                 self.finished[seq.seq_id] = seq.out
-                self.alloc.release(seq.seq_id)
-                self.draft_alloc.release(seq.seq_id)
+                for a in self._each_alloc():
+                    a.release(seq.seq_id)
+                for a in self._draft_each_alloc():
+                    a.release(seq.seq_id)
                 self.metrics.inc("requests_finished")
             else:
                 still_active.append(seq)
@@ -371,11 +437,7 @@ class SpecDecodeEngine(Engine):
         # Rolling-window page recycling for BOTH caches (after the
         # rollback commits — trim_window's documented ordering).
         self._trim_windows()
-        draft_w = self.draft_cfg.recyclable_window
-        if draft_w:
-            for seq in self.active:
-                self.draft_alloc.trim_window(
-                    seq.seq_id, draft_w, self.draft_cfg.attention_sinks)
+        self._trim_draft()
         self.metrics.set("free_pages", self.alloc.free_pages)
 
     @property

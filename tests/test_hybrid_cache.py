@@ -274,11 +274,6 @@ def test_engine_hybrid_gates():
         Engine(cfg, params, EngineConfig(
             num_pages=16, page_size=PAGE, prefill_buckets=(8,),
             hybrid_kv=True, prefix_cache=True))
-    from quantizedmha_tpu.serving.speculative import SpecDecodeEngine
-    with pytest.raises(ValueError, match="hybrid_kv"):
-        SpecDecodeEngine(cfg, params, cfg, params, EngineConfig(
-            num_pages=16, page_size=PAGE, prefill_buckets=(8,),
-            hybrid_kv=True))
 
 
 def test_engine_hybrid_uniform_config_is_noop():
@@ -292,3 +287,36 @@ def test_engine_hybrid_uniform_config_is_noop():
     e.add_request([1, 2, 3])
     out = e.run()
     assert len(out[0]) == 4
+
+
+def test_spec_engine_composes_with_hybrid():
+    """Greedy speculation over a hybrid-pool pattern TARGET (and a hybrid
+    pattern DRAFT) emits the same tokens as the plain shared-pool engine:
+    speculation is lossless and hybrid pooling is physically invisible."""
+    from quantizedmha_tpu.serving.speculative import SpecConfig, SpecDecodeEngine
+
+    cfg = _cfg((8, None, 8, None))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    draft_cfg = _cfg((8, None))  # pattern draft -> draft pools go hybrid too
+    draft_params = init_params(draft_cfg, jax.random.PRNGKey(7))
+    ecfg = lambda hybrid: EngineConfig(
+        num_pages=64, page_size=PAGE, max_batch=2, max_pages_per_seq=16,
+        prefill_buckets=(8, 16), max_new_tokens=10,
+        hybrid_kv=hybrid, hybrid_pages={"w8": 24} if hybrid else None)
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(1, 200, n)) for n in (6, 9)]
+
+    ref = Engine(cfg, params, ecfg(False))
+    for p in prompts:
+        ref.add_request(list(p))
+    want = ref.run()
+
+    spec = SpecDecodeEngine(cfg, params, draft_cfg, draft_params,
+                            ecfg(True), SpecConfig(num_draft_tokens=3))
+    assert spec.hybrid and spec.draft_hybrid
+    for p in prompts:
+        spec.add_request(list(p))
+    got = spec.run()
+    assert got == want
+    # Both sides really ran grouped pools and the sliding groups trimmed.
+    assert spec.allocs is not None and spec.draft_allocs is not None
