@@ -139,10 +139,6 @@ class TPEngine(Engine):
     def __init__(self, cfg: LlamaConfig, params: Dict[str, Any],
                  ecfg: EngineConfig, mesh: Mesh, *, axis: str = "tp"):
         tp = mesh.shape[axis]
-        if ecfg.hybrid_kv:
-            raise ValueError(
-                "hybrid_kv is not supported under TP yet (grouped cache "
-                "specs + per-group shard_map plumbing)")
         super().__init__(cfg, params, ecfg)  # host structures + replicated jits
         lcfg = local_config(cfg, tp)
         self.mesh = mesh
@@ -151,11 +147,23 @@ class TPEngine(Engine):
         pspecs = expand_param_specs(
             params, tp_param_specs(axis, attention_bias=cfg.attention_bias,
                                    sandwich_norms=cfg.sandwich_norms))
-        cspecs = tp_cache_specs(axis)
+        rep1 = P(None)
+        rep2 = P(None, None)
+        if self.hybrid:
+            # Grouped pools: every group's cache shards its kv heads the
+            # same way; tables/page-id dicts replicate per group. The
+            # shard_map in_specs mirror the dict pytree structure.
+            cspecs = {k: tp_cache_specs(axis) for k in self.groups}
+            tab1_spec = {k: rep1 for k in self.groups}  # [max_pages]
+            tab2_spec = {k: rep2 for k in self.groups}  # [B, max_pages]
+            pid_spec = {k: rep1 for k in self.groups}   # [B]
+            pages_spec = {k: P() for k in self.groups}  # prefill page ids
+        else:
+            cspecs = tp_cache_specs(axis)
+            tab1_spec, tab2_spec, pid_spec, pages_spec = rep1, rep2, rep1, P()
         self.params = shard_tree(params, pspecs, mesh)
         self.cache = shard_tree(self.cache, cspecs, mesh)
 
-        rep2 = P(None, None)
         kv_spec = P(None, axis, None, None)  # k_all/v_all [L, Hkv, n, hd]
 
         prefill_sm = jax.shard_map(
@@ -167,30 +175,37 @@ class TPEngine(Engine):
         )
         self._prefill = jax.jit(prefill_sm)
 
+        write_fn = (llama_adapter.write_prefill_hybrid if self.hybrid
+                    else llama_adapter.write_prefill)
+
         def _write(cache, k_all, v_all, page_ids, page_size):
-            return llama_adapter.write_prefill(
+            return write_fn(
                 lcfg, cache, k_all, v_all, page_ids, page_size=page_size
             )
 
         write_sm = lambda page_size: jax.shard_map(  # noqa: E731
             functools.partial(_write, page_size=page_size),
             mesh=mesh,
-            in_specs=(cspecs, kv_spec, kv_spec, P()),
+            in_specs=(cspecs, kv_spec, kv_spec, pages_spec),
             out_specs=cspecs,
             check_vma=False,
         )
-        self._write = jax.jit(
+        write_jit = jax.jit(
             lambda cache, k, v, pages, page_size: write_sm(page_size)(
                 cache, k, v, pages
             ),
             static_argnames=("page_size",),
         )
+        if self.hybrid:
+            self._write_hybrid = write_jit
+        else:
+            self._write = write_jit
 
-        rep1 = P(None)
         decode_sm = jax.shard_map(
             functools.partial(llama_adapter.decode_step, lcfg, axis_name=axis),
             mesh=mesh,
-            in_specs=(pspecs, cspecs, rep1, rep1, rep1, rep1, rep1, rep2),
+            in_specs=(pspecs, cspecs, rep1, rep1, pid_spec, rep1, rep1,
+                      tab2_spec),
             out_specs=(rep2, cspecs),
             check_vma=False,
         )
@@ -201,7 +216,7 @@ class TPEngine(Engine):
                 functools.partial(llama_adapter.prefill_chunk, lcfg,
                                   page_size=page_size, axis_name=axis),
                 mesh=mesh,
-                in_specs=(pspecs, cspecs, rep2, P(), rep1, P()),
+                in_specs=(pspecs, cspecs, rep2, P(), tab1_spec, P()),
                 out_specs=(rep2, cspecs),
                 check_vma=False,
             )
@@ -222,7 +237,7 @@ class TPEngine(Engine):
                 mesh=mesh,
                 # The PRNG key is replicated: every shard samples the same
                 # token (logits are replicated post-psum).
-                in_specs=(pspecs, cspecs, rep1, rep1, rep2, rep1),
+                in_specs=(pspecs, cspecs, rep1, rep1, tab2_spec, rep1),
                 out_specs=(rep2, cspecs),
                 check_vma=False,
             )

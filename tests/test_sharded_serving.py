@@ -203,14 +203,33 @@ def test_tp_engine_gemma2_pattern_matches_single_device():
     assert got == want
 
 
-def test_tp_engine_refuses_hybrid():
+def test_tp_engine_hybrid_matches_single_device():
+    """TP x hybrid: grouped pools under shard_map (dict cache specs,
+    per-group tables/page ids) emit the same tokens as the plain
+    single-device shared-pool engine."""
     import jax.numpy as jnp
 
+    # Geometry mirrors tests/test_hybrid_cache.py::_mk_engines: window 8
+    # over page_size 4 with 16 generated tokens pushes whole pages behind
+    # the window, so the trim path runs under shard_map too.
     cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32,
-                           window_pattern=(16, None))
-    params = init_params(cfg, jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="hybrid_kv"):
-        TPEngine(cfg, params,
-                 EngineConfig(num_pages=16, page_size=16,
-                              prefill_buckets=(16,), hybrid_kv=True),
-                 make_tp_mesh(2))
+                           window_pattern=(8, None))
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    mk = lambda hybrid: EngineConfig(
+        num_pages=32, page_size=4, max_batch=2, max_pages_per_seq=16,
+        prefill_buckets=(8,), max_new_tokens=16,
+        hybrid_kv=hybrid, hybrid_pages={"w8": 16} if hybrid else None)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+
+    ref = Engine(cfg, params, mk(False))
+    for p in prompts:
+        ref.add_request(list(p))
+    want = ref.run()
+
+    eng = TPEngine(cfg, params, mk(True), make_tp_mesh(2))
+    assert eng.hybrid
+    for p in prompts:
+        eng.add_request(list(p))
+    got = eng.run()
+    assert got == want
+    assert eng.metrics.counter("pages_trimmed") > 0
