@@ -49,7 +49,9 @@ class EngineConfig:
     # Automatic prefix caching: page-aligned prompt prefixes already in the
     # cache (same token chain) are SHARED via refcounted pages, and only
     # the suffix is prefilled (through the chunked-prefill program). Wins
-    # whenever requests repeat a system prompt.
+    # whenever requests repeat a system prompt. Composes with hybrid_kv
+    # and uniformly-windowed models: sliding pools share only the prefix's
+    # window-tail pages (older slots ride the scrap page).
     prefix_cache: bool = False
     # Skip-ahead admission: when the queue head doesn't fit (pages/batch),
     # scan up to this many queued requests for the first that does —
@@ -71,6 +73,13 @@ class EngineConfig:
     # must still cover the PREFILL transient (a prompt's pages are only
     # recycled after its prefill completes).
     hybrid_pages: Optional[Dict[str, int]] = None
+    # Interleaved chunked prefill (Sarathi-style): a long prompt's chunks
+    # run ONE PER ENGINE STEP instead of blocking admission, so active
+    # sequences keep decoding between chunks — bounds decode-latency
+    # jitter at O(one chunk) instead of O(whole prompt). Token streams are
+    # IDENTICAL to blocking admission (paged K/V is per-sequence; chunk
+    # and decode programs touch disjoint pages). Off by default.
+    interleaved_prefill: bool = False
 
 
 def build_pools(cfg: LlamaConfig, ecfg: "EngineConfig"):
@@ -115,6 +124,18 @@ class _Sequence:
         return len(self.out) >= self.max_new
 
 
+@dataclasses.dataclass
+class _PrefillTask:
+    """An in-flight interleaved chunked prefill: pages are already
+    admitted (tables fixed), chunks run one per engine step."""
+    rid: int
+    prompt: List[int]
+    max_new: int
+    table_j: Any  # jnp [max_pages] or {group: jnp [max_pages]}
+    next_start: int
+    chunk: int
+
+
 class Engine:
     def __init__(self, cfg: LlamaConfig, params: Dict[str, Any], ecfg: EngineConfig):
         self.cfg = cfg
@@ -135,17 +156,22 @@ class Engine:
             llama_adapter.group_key(w): w for w in set(cfg.layer_windows)}
         self.cache, self.allocs, self.alloc, self.hybrid = build_pools(
             cfg, ecfg)
-        if self.hybrid and ecfg.prefix_cache:
-            raise ValueError(
-                "prefix_cache does not compose with hybrid_kv yet (shared "
-                "pages would need per-group refcounts)")
         self.queue: deque = deque()
-        # Prefix cache: sha1 chain over page-sized token chunks -> page id.
-        self._prefix_map: Dict[bytes, int] = {}
-        self._page_hash: Dict[int, bytes] = {}
+        # Prefix cache: sha1 chain over page-sized token chunks -> page id,
+        # kept PER POOL GROUP ("shared" for the single pool). The allocator
+        # already refcounts pages shared across sequences; each pool's
+        # on_free hook invalidates that pool's map entry when the last
+        # reference drops — including hybrid window trims, which release
+        # behind-window pages group by group.
+        self._prefix_map: Dict[str, Dict[bytes, int]] = {
+            k: {} for k in self._prefix_groups()}
+        self._page_hash: Dict[str, Dict[int, bytes]] = {
+            k: {} for k in self._prefix_groups()}
         if ecfg.prefix_cache:
-            self.alloc.on_free = self._on_page_free
+            for k, a in self._prefix_groups().items():
+                a.on_free = functools.partial(self._on_page_free, k)
         self.active: List[_Sequence] = []
+        self.prefilling: List[_PrefillTask] = []  # interleaved_prefill FIFO
         self.finished: Dict[int, List[int]] = {}
         self._head_bypass = 0  # times the queue head was skipped over
         self._next_id = 0
@@ -179,6 +205,11 @@ class Engine:
 
     def _each_alloc(self) -> List[PageAllocator]:
         return list(self.allocs.values()) if self.hybrid else [self.alloc]
+
+    def _prefix_groups(self) -> Dict[str, PageAllocator]:
+        """Pool groups the prefix cache tracks: the per-window-group pools
+        in hybrid mode, else the single shared pool under one key."""
+        return self.allocs if self.hybrid else {"shared": self.alloc}
 
     def _admit_all(self, rid: int, n: int):
         """Admit into every pool (hybrid) or the single pool. Checks ALL
@@ -233,24 +264,41 @@ class Engine:
                 return b
         raise ValueError(f"prompt length {n} exceeds largest bucket")
 
-    def _resolve_prefix(self, prompt: List[int]) -> List[int]:
-        """Usable cached-prefix pages for this prompt ([] when disabled or
-        when suffix chunking can't fit the table)."""
-        cached = self._cached_prefix(prompt) if self.ecfg.prefix_cache else []
-        if cached and self._suffix_chunk(len(prompt), len(cached)) is None:
-            cached = []
+    def _resolve_prefix(self, prompt: List[int]):
+        """Usable cached-prefix slots for this prompt: a page list
+        (non-hybrid) or a {group: slot list} dict (hybrid); empty when
+        disabled, missed, or when suffix chunking can't fit the table."""
+        miss = {} if self.hybrid else []
+        if not self.ecfg.prefix_cache:
+            return miss
+        cached = self._cached_prefix(prompt)
+        if cached and self._suffix_chunk(
+                len(prompt), self._cached_len(cached)) is None:
+            cached = miss
         return cached
+
+    @staticmethod
+    def _cached_len(cached) -> int:
+        """Number of reused prefix PAGES (= table slots; hybrid rows all
+        share one length, scrap slots included)."""
+        if isinstance(cached, dict):
+            return len(next(iter(cached.values()))) if cached else 0
+        return len(cached)
 
     def _fits(self, prompt: List[int]) -> bool:
         n = len(prompt)
         cached = self._resolve_prefix(prompt)
         if cached:
-            return (self.alloc.pages_needed(n) - len(cached)
-                    <= self.alloc.free_pages)
+            # Fresh pages are only needed past the reused slots — scrap
+            # (None) slots in a sliding group's row consume no page.
+            m = self._cached_len(cached)
+            return all(a.pages_needed(n) - m <= a.free_pages
+                       for a in self._each_alloc())
         return all(a.can_admit(n) for a in self._each_alloc())
 
     def _try_admit(self) -> bool:
-        if not self.queue or len(self.active) >= self.ecfg.max_batch:
+        if (not self.queue or len(self.active) + len(self.prefilling)
+                >= self.ecfg.max_batch):
             return False
         # Scan the queue for the first fitting request (skip-ahead), with a
         # starvation bound: once the head has been bypassed
@@ -361,6 +409,12 @@ class Engine:
             table_j = jnp.asarray(
                 self.alloc.block_table_array(
                     [rid], self.ecfg.max_pages_per_seq)[0], jnp.int32)
+        if self.ecfg.interleaved_prefill:
+            # Pages are reserved; chunks run one per step() via
+            # _prefill_tick so active sequences keep decoding in between.
+            self.prefilling.append(
+                _PrefillTask(rid, prompt, max_new, table_j, 0, chunk))
+            return
         logits = None
         for ci in range(n_chunks_total):
             part = prompt[ci * chunk:(ci + 1) * chunk]
@@ -399,35 +453,72 @@ class Engine:
             ).digest()
             yield i, h
 
-    def _cached_prefix(self, prompt: List[int]) -> List[int]:
-        """Longest run of already-cached pages for this prompt. Capped so
-        at least one suffix token remains to prefill (its logits feed the
-        first sampled token)."""
-        limit = (len(prompt) - 1) // self.ecfg.page_size
-        pages = []
-        for i, h in self._page_chain(prompt):
-            if i >= limit:
-                break
-            page = self._prefix_map.get(h)
-            if page is None:
-                break
-            pages.append(page)
-        return pages
+    def _cached_prefix(self, prompt: List[int]):
+        """Longest usable run of cached prefix pages, capped so at least
+        one suffix token remains to prefill (its logits feed the first
+        sampled token).
+
+        FULL-attention pools need every page of the run, but a SLIDING
+        pool only needs the pages a sequence of that prefix length would
+        still hold after `trim_window` (sink pages + pages not wholly
+        behind the window) — older slots ride the scrap page exactly like
+        a trimmed live sequence, and the window mask keeps them unread.
+        This applies per window group under hybrid_kv AND to the single
+        shared pool of a uniformly-windowed model (`recyclable_window`,
+        e.g. Mistral), whose trims would otherwise defeat prefix reuse. A
+        digest hit in ANY group certifies the whole token prefix (hash
+        chain), so presence is checked per group while token equality is
+        global. Shrinking the run re-widens a sliding group's needed range
+        (the window slides back with the prefix end), so candidates are
+        scanned longest-first and the first satisfiable run wins."""
+        ps = self.ecfg.page_size
+        limit = (len(prompt) - 1) // ps
+        digs = [h for i, h in self._page_chain(prompt) if i < limit]
+        groups = self._prefix_groups()
+        hits = {k: [self._prefix_map[k].get(h) for h in digs]
+                for k in groups}
+        sinks = self.cfg.attention_sinks or 0
+        sink_blocks = -(-sinks // ps) if sinks else 0
+        for m in range(limit, 0, -1):
+            shared = {}
+            for k in groups:
+                w = (self.group_windows.get(k) if self.hybrid
+                     else self.cfg.recyclable_window)
+                first_block = max(m * ps - w, 0) // ps if w else 0
+                row = []
+                for i in range(m):
+                    needed = i < sink_blocks or i >= first_block
+                    page = hits[k][i]
+                    if needed and page is None:
+                        row = None
+                        break
+                    row.append(page if needed else None)
+                if row is None:
+                    shared = None
+                    break
+                shared[k] = row
+            if shared is not None:
+                return shared if self.hybrid else shared["shared"]
+        return {} if self.hybrid else []
 
     def _register_prefix(self, prompt: List[int], rid: int) -> None:
         if not self.ecfg.prefix_cache:
             return
-        table = self.alloc.tables[rid]
-        for i, h in self._page_chain(prompt):
-            page = table[i]
-            if h not in self._prefix_map and page not in self._page_hash:
-                self._prefix_map[h] = page
-                self._page_hash[page] = h
+        for k, a in self._prefix_groups().items():
+            table = a.tables[rid]
+            pmap, hmap = self._prefix_map[k], self._page_hash[k]
+            for i, h in self._page_chain(prompt):
+                page = table[i]
+                if page is None:  # window-trimmed / scrap slot
+                    continue
+                if h not in pmap and page not in hmap:
+                    pmap[h] = page
+                    hmap[page] = h
 
-    def _on_page_free(self, page: int) -> None:
-        h = self._page_hash.pop(page, None)
+    def _on_page_free(self, group: str, page: int) -> None:
+        h = self._page_hash[group].pop(page, None)
         if h is not None:
-            self._prefix_map.pop(h, None)
+            self._prefix_map[group].pop(h, None)
 
     def _suffix_chunk(self, n: int, n_cached_pages: int) -> Optional[int]:
         """Chunk size for prefilling the uncached suffix, or None if no
@@ -449,19 +540,38 @@ class Engine:
         return None
 
     def _admit_cached(self, rid: int, prompt: List[int], max_new: int,
-                      cached_pages: List[int]) -> None:
+                      cached_pages) -> None:
         """Admission with a shared page-aligned prefix: the cached pages
         are refcount-shared (their K/V is already quantized in the cache —
         identical tokens quantize identically) and only the SUFFIX runs
-        through the chunked-prefill program with global causal offsets."""
+        through the chunked-prefill program with global causal offsets.
+        Hybrid: every pool group shares its own row of slots (sliding
+        groups carry scrap slots for behind-window positions)."""
         n = len(prompt)
         ps = self.ecfg.page_size
-        c = len(cached_pages) * ps
-        chunk = self._suffix_chunk(n, len(cached_pages))
+        m = self._cached_len(cached_pages)
+        c = m * ps
+        chunk = self._suffix_chunk(n, m)
         assert chunk is not None  # _try_admit pre-validated
-        self.alloc.admit_with_prefix(rid, n, cached_pages)
-        table = self.alloc.block_table_array([rid], self.ecfg.max_pages_per_seq)[0]
-        table_j = jnp.asarray(table, jnp.int32)
+        mp = self.ecfg.max_pages_per_seq
+        if self.hybrid:
+            # Check every pool before touching any (same no-partial-admit
+            # discipline as _admit_all).
+            short = [k for k, a in self.allocs.items()
+                     if a.pages_needed(n) - m > a.free_pages]
+            if short:
+                raise RuntimeError(
+                    f"out of pages in group(s) {sorted(short)} admitting "
+                    f"{n} tokens with a {m}-page prefix")
+            for k, a in self.allocs.items():
+                a.admit_with_prefix(rid, n, cached_pages[k])
+            table_j = {
+                k: jnp.asarray(a.block_table_array([rid], mp)[0], jnp.int32)
+                for k, a in self.allocs.items()}
+        else:
+            self.alloc.admit_with_prefix(rid, n, cached_pages)
+            table_j = jnp.asarray(
+                self.alloc.block_table_array([rid], mp)[0], jnp.int32)
         logits = None
         for start in range(c, n, chunk):
             part = prompt[start:start + chunk]
@@ -480,6 +590,7 @@ class Engine:
         first = int(self._sample(logits))
         self._register_prefix(prompt, rid)
         self._activate(_Sequence(rid, prompt, [first], first, max_new))
+        self._trim_windows()  # hybrid: recycle behind-window suffix pages
 
     def _activate(self, seq: "_Sequence") -> None:
         """Admit a freshly prefilled sequence — unless its FIRST sampled
@@ -533,9 +644,45 @@ class Engine:
 
     # -- one engine step -----------------------------------------------------
 
+    def _prefill_tick(self) -> None:
+        """Run ONE chunk of the oldest in-flight interleaved prefill; on
+        the final chunk, sample the first token and activate the sequence.
+        Same jitted program and same chunk schedule as blocking chunked
+        admission — only the host-side interleaving with decode differs,
+        so token streams are identical."""
+        if not self.prefilling:
+            return
+        t = self.prefilling[0]
+        part = t.prompt[t.next_start:t.next_start + t.chunk]
+        toks = np.zeros((1, t.chunk), np.int32)
+        toks[0, :len(part)] = part
+        with self.metrics.timed("prefill"):
+            logits, self.cache = self._prefill_chunk(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.int32(t.next_start), t.table_j,
+                jnp.int32(len(part) - 1), page_size=self.ecfg.page_size)
+        self.metrics.inc("prefill_chunks_interleaved")
+        t.next_start += t.chunk
+        if t.next_start < len(t.prompt):
+            return
+        self.prefilling.pop(0)
+        self.metrics.inc("requests_admitted")
+        self.metrics.inc("prefill_tokens", len(t.prompt))
+        first = int(self._sample(logits))
+        self._register_prefix(t.prompt, t.rid)
+        self._activate(_Sequence(t.rid, t.prompt, [first], first, t.max_new))
+        self._on_prefill_complete(t.rid, t.prompt)
+        self._trim_windows()  # hybrid: only now, after the WHOLE prompt
+
+    def _on_prefill_complete(self, rid: int, prompt: List[int]) -> None:
+        """Hook: an interleaved chunked prefill's final chunk landed (the
+        sequence may have finished AT activation — check self.active).
+        SpecDecodeEngine runs its deferred draft mirror here."""
+
     def step(self) -> None:
         while self._try_admit():
             pass
+        self._prefill_tick()
         if not self.active:
             return
         if self.ecfg.decode_chunk > 1:
@@ -682,10 +829,11 @@ class Engine:
 
     def run(self) -> Dict[int, List[int]]:
         """Drive until queue and active set drain; returns {req_id: tokens}."""
-        while self.queue or self.active:
+        while self.queue or self.active or self.prefilling:
             before = len(self.finished)
             self.step()
-            if not self.active and self.queue and len(self.finished) == before:
+            if (not self.active and not self.prefilling and self.queue
+                    and len(self.finished) == before):
                 # Nothing could be admitted and nothing is running: the head
                 # request needs more pages than the cache has.
                 rid, prompt, _ = self.queue[0]

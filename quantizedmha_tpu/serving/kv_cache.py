@@ -182,16 +182,23 @@ class PageAllocator:
         else:
             self._ref[page] = r
 
-    def share(self, pages: List[int]) -> None:
-        """Add a reference to already-allocated pages (prefix reuse)."""
+    def share(self, pages: List[Optional[int]]) -> None:
+        """Add a reference to already-allocated pages (prefix reuse).
+        `None` entries (scrap slots for positions wholly behind a sliding
+        window) carry no storage and are skipped."""
         for p in pages:
-            self._ref[p] = self._ref.get(p, 1) + 1
+            if p is not None:
+                self._ref[p] = self._ref.get(p, 1) + 1
 
     def admit_with_prefix(self, seq_id: int, n_tokens: int,
-                          shared_pages: List[int]) -> List[int]:
-        """Admit with the first len(shared_pages) pages REUSED from another
-        sequence (caller bumps refcounts via share() — this method does);
-        only the remainder is freshly allocated. Returns the fresh pages."""
+                          shared_pages: List[Optional[int]]) -> List[int]:
+        """Admit with the first len(shared_pages) table SLOTS reused from
+        another sequence (caller bumps refcounts via share() — this method
+        does); only the remainder is freshly allocated. `None` entries are
+        window-trimmed placeholder slots (hybrid prefix reuse): they keep
+        the table position-indexed but reference no page — block tables map
+        them to the scrap page, and the window mask keeps them unread.
+        Returns the fresh pages."""
         need = self.pages_needed(n_tokens) - len(shared_pages)
         if need < 0:
             raise ValueError("shared prefix longer than the prompt")

@@ -167,6 +167,13 @@ class SpecDecodeEngine(Engine):
 
     def _dispatch_admit(self, rid, prompt, max_new) -> None:
         super()._dispatch_admit(rid, prompt, max_new)
+        if any(t.rid == rid for t in self.prefilling):
+            # Interleaved chunked prefill: reserve draft pages NOW (so a
+            # later admission can't race them away) but defer the draft's
+            # chunk prefills to _on_prefill_complete — the draft cache is
+            # only read once decoding starts.
+            self._draft_reserve_chunked(rid, prompt)
+            return
         if all(seq.seq_id != rid for seq in self.active):
             # Finished at activation (EOS on the prefill token / max_new=1):
             # the target already released; skip the draft prefill entirely —
@@ -205,19 +212,45 @@ class SpecDecodeEngine(Engine):
                 jnp.asarray(pages, jnp.int32), page_size=self.ecfg.page_size)
         self._trim_draft()
 
-    def _draft_admit_chunked(self, rid, prompt) -> None:
-        """Draft-side mirror of Engine._admit_chunked: prefill the long
-        prompt into the DRAFT paged cache chunk by chunk (logits discarded;
-        only the cached K/V matters for future draft proposals)."""
+    def _on_prefill_complete(self, rid, prompt) -> None:
+        """Deferred draft mirror for interleaved chunked prefill: the
+        target's final chunk just landed. Draft PAGES were already
+        reserved at dispatch (no reservation race against other
+        admissions); here we either run the draft's chunk prefills over
+        them — the draft is the SMALL model, so decode jitter stays
+        O(chunk + draft prefill), not O(target prefill) — or, if the
+        sequence finished at activation (EOS on the prefill token /
+        max_new=1), release the reservation."""
+        if all(s.seq_id != rid for s in self.active):
+            for a in self._draft_each_alloc():
+                a.release(rid)
+            return
+        self._draft_prefill_chunks(rid, prompt)
+        self._trim_draft()
+
+    def _draft_reserve_chunked(self, rid, prompt) -> None:
+        """Admit draft pages for an interleaved chunked prefill at
+        DISPATCH time (table fixed, K/V written later by
+        _on_prefill_complete)."""
         chunk = max(self.ecfg.prefill_buckets)
-        n = len(prompt)
-        n_chunks_total = -(-n // chunk)
+        n_chunks_total = -(-len(prompt) // chunk)
         if (n_chunks_total * chunk // self.ecfg.page_size
                 > self.ecfg.max_pages_per_seq):
             raise ValueError(
                 f"request {rid}: draft chunked prefill exceeds "
                 f"max_pages_per_seq ({self.ecfg.max_pages_per_seq})")
-        self._draft_admit_all(rid, n)
+        self._draft_admit_all(rid, len(prompt))
+
+    def _draft_admit_chunked(self, rid, prompt) -> None:
+        """Draft-side mirror of Engine._admit_chunked: prefill the long
+        prompt into the DRAFT paged cache chunk by chunk (logits discarded;
+        only the cached K/V matters for future draft proposals)."""
+        self._draft_reserve_chunked(rid, prompt)
+        self._draft_prefill_chunks(rid, prompt)
+
+    def _draft_prefill_chunks(self, rid, prompt) -> None:
+        chunk = max(self.ecfg.prefill_buckets)
+        n_chunks_total = -(-len(prompt) // chunk)
         if self.draft_hybrid:
             table_j = {
                 k: jnp.asarray(a.block_table_array(
@@ -241,6 +274,7 @@ class SpecDecodeEngine(Engine):
     def step(self) -> None:
         while self._try_admit():
             pass
+        self._prefill_tick()
         if not self.active:
             return
         self._step_speculate(self._k)

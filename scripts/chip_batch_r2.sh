@@ -33,8 +33,12 @@ echo "[chip_batch] 3/4 bench.py"
 timeout 1200 python bench.py >/tmp/chipbatch/bench.out 2>&1
 echo "[chip_batch] bench rc=$? tail:"; tail -2 /tmp/chipbatch/bench.out
 
-echo "[chip_batch] 4/4 entry()"
+echo "[chip_batch] 4/5 entry()"
 timeout 600 python __graft_entry__.py >/tmp/chipbatch/entry.out 2>&1
 echo "[chip_batch] entry rc=$? tail:"; tail -2 /tmp/chipbatch/entry.out
+
+echo "[chip_batch] 5/5 run16 interleaved-prefill jitter"
+timeout 1200 python scripts/run16_interleave.py >/tmp/chipbatch/run16.out 2>&1
+echo "[chip_batch] run16 rc=$? tail:"; tail -2 /tmp/chipbatch/run16.out
 
 echo "[chip_batch] done"

@@ -284,6 +284,60 @@ def test_prefix_cache_matches_uncached_and_skips_prefill(rng):
     assert again == got  # cached path is deterministic
 
 
+def test_interleaved_prefill_matches_blocking(rng):
+    """interleaved_prefill: a long prompt's chunks run one per engine
+    step and active sequences keep decoding in between (decode-latency
+    jitter bounded at one chunk). Token streams are identical to blocking
+    admission — same jitted chunk program, same schedule, per-sequence
+    paged state."""
+    cfg, params, ecfg = _mk(max_new_tokens=6)  # buckets (32,64), page 16
+    short = rng.integers(1, cfg.vocab_size, 8).tolist()
+    long = rng.integers(1, cfg.vocab_size, 100).tolist()  # 2 chunks of 64
+
+    ref = Engine(cfg, params, ecfg)
+    ref.add_request(list(short))
+    ref.step()
+    ref.add_request(list(long))
+    want = ref.run()
+
+    eng = Engine(cfg, params,
+                 dataclasses.replace(ecfg, interleaved_prefill=True))
+    eng.add_request(list(short))
+    eng.step()  # short: prefill token + 1 decode token
+    eng.add_request(list(long))
+    eng.step()  # admits long -> chunk 1 only, then decodes short
+    assert eng.prefilling and eng.prefilling[0].next_start == 64
+    assert len(eng.active[0].out) == 3  # decode ran DURING the prefill
+    got = eng.run()
+    assert got == want
+    assert eng.metrics.counter("prefill_chunks_interleaved") == 2
+
+
+def test_prefix_cache_uniform_window_shares_tail(rng):
+    """A uniformly-windowed model (recyclable_window set, Mistral-style)
+    still gets prefix hits after its own trims: only the window-TAIL
+    pages of the prefix are required and shared; older slots become
+    scrap placeholders in the recipient's table (the window mask keeps
+    them unread), mirroring the hybrid sliding-group rule."""
+    cfg, params, ecfg = _mk(
+        cfg_kw=dict(window_pattern=(8, 8)),
+        num_pages=32, page_size=4, prefill_buckets=(8, 16),
+        max_pages_per_seq=16, prefix_cache=True)
+    prefix = rng.integers(1, cfg.vocab_size, 16).tolist()  # 4 full pages
+    eng = Engine(cfg, params, ecfg)
+    eng.add_request(prefix + [5, 6])
+    eng.step()  # admit A + 1 decode: trims blocks 0-1, window covers 2-3
+    cached = eng._resolve_prefix(prefix + [9, 10, 11])
+    assert [p is None for p in cached] == [True, True, False, False]
+    assert cached[2:] == eng.alloc.tables[0][2:4]
+    eng.add_request(prefix + [9, 10, 11])
+    out = eng.run()
+    assert eng.metrics.counter("prefix_cache_hits") == 1
+    assert eng.metrics.counter("prefix_tokens_reused") == 16
+    assert len(out) == 2
+    assert not eng.alloc.tables  # drained: shared refs all dropped
+
+
 def test_prefix_cache_refcount_survives_release(rng):
     """The prefix owner finishing must not free pages another live
     sequence shares; once ALL sharers release, the pages free and the map
@@ -300,7 +354,8 @@ def test_prefix_cache_refcount_survives_release(rng):
     out = eng.run()  # both finish; all refs drop
     assert len(out) == 2
     free_after = eng.alloc.free_pages
-    assert not eng._prefix_map and not eng._page_hash
+    assert not any(eng._prefix_map.values())  # per-group maps all empty
+    assert not any(eng._page_hash.values())
     # Same prefix again: no stale hit, full prefill, allocator balanced.
     eng.add_request(sys_prompt + [3])
     eng.run()
@@ -333,7 +388,8 @@ def test_prefix_cache_with_rolling_window_trim(rng):
     assert eng.metrics.counter("pages_trimmed") > 0
     # All references dropped: pool fully recovered, maps empty.
     assert eng.alloc.free_pages == ecfg.num_pages - 1  # page 0 reserved
-    assert not eng._prefix_map and not eng._page_hash
+    assert not any(eng._prefix_map.values())  # per-group maps all empty
+    assert not any(eng._page_hash.values())
 
 
 def test_skip_ahead_admission(tiny_model):

@@ -267,13 +267,56 @@ def test_engine_hybrid_sliding_pool_stays_small():
                for t in full_alloc.tables.values() for p in t)
 
 
-def test_engine_hybrid_gates():
-    cfg = _cfg((8, None, 8, None))
-    params = init_params(cfg, jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="prefix_cache"):
-        Engine(cfg, params, EngineConfig(
-            num_pages=16, page_size=PAGE, prefill_buckets=(8,),
-            hybrid_kv=True, prefix_cache=True))
+def test_engine_hybrid_prefix_cache_shares_window_tail():
+    """prefix_cache composes with hybrid_kv: a second request sharing a
+    page-aligned prefix reuses the FULL group's pages outright, and the
+    sliding group's pages only across the window tail — older sliding
+    slots ride the scrap page, exactly like a window-trimmed live
+    sequence. Token streams match the same schedule on a hybrid engine
+    without the prefix cache (stream A bit-exact; B same length — its
+    suffix attends the INT8-quantized prefix, decode's error budget)."""
+    cfg = _cfg((8, None, 8, None))  # window 8, PAGE 4 -> tail = 2 pages
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    mk = lambda prefix: Engine(cfg, params, EngineConfig(
+        num_pages=64, page_size=PAGE, max_batch=2, max_pages_per_seq=16,
+        prefill_buckets=(8, 16), max_new_tokens=4,
+        hybrid_kv=True, hybrid_pages={"w8": 24, "full": 32},
+        prefix_cache=prefix))
+    rng = np.random.default_rng(3)
+    prefix = rng.integers(1, 200, 16).tolist()  # 4 full pages
+    pa, pb = prefix + [5, 6], prefix + [9, 10, 11]
+
+    def drive(eng, probe=None):
+        eng.add_request(list(pa))
+        eng.step()  # admit A + 1 decode step: window still covers the tail
+        if probe is not None:
+            probe(eng)
+        eng.add_request(list(pb))
+        return eng.run()
+
+    def probe(eng):
+        # White-box: the resolved prefix shares A's full-group pages 0-3
+        # outright; in the sliding group only the window-tail blocks 2-3
+        # are real pages (0-1 become scrap placeholders for B).
+        cached = eng._resolve_prefix(list(pb))
+        assert set(cached) == {"w8", "full"}
+        assert cached["full"] == eng.allocs["full"].tables[0][:4]
+        assert [p is None for p in cached["w8"]] == [True, True, False, False]
+        assert cached["w8"][2:] == eng.allocs["w8"].tables[0][2:4]
+
+    want = drive(mk(False))
+    eng = mk(True)
+    got = drive(eng, probe)
+    assert eng.metrics.counter("prefix_cache_hits") == 1
+    assert eng.metrics.counter("prefix_tokens_reused") == 16
+    assert got[0] == want[0]
+    assert len(got[1]) == len(want[1])
+    # Drain: all refs dropped, every group's prefix map invalidated, all
+    # pages back in their pools.
+    assert not any(eng._prefix_map.values())
+    assert not any(eng._page_hash.values())
+    for a in eng.allocs.values():
+        assert not a.tables
 
 
 def test_engine_hybrid_uniform_config_is_noop():

@@ -233,3 +233,32 @@ def test_tp_engine_hybrid_matches_single_device():
     got = eng.run()
     assert got == want
     assert eng.metrics.counter("pages_trimmed") > 0
+
+
+def test_tp_engine_prefix_cache_matches_single_device(setup):
+    """prefix_cache under TP: shared-prefix admission runs the sharded
+    chunked-prefill program over refcount-shared pages; tokens match the
+    single-device prefix-cache engine and the hit actually fires."""
+    import dataclasses
+
+    cfg, params, ecfg = setup
+    ecfg = dataclasses.replace(ecfg, prefix_cache=True)
+    rng = np.random.default_rng(7)
+    shared = rng.integers(1, cfg.vocab_size, 16).tolist()  # one full page
+    prompts = [shared + [5, 6, 7], shared + [9, 10]]
+
+    def drive(eng):
+        eng.add_request(list(prompts[0]))
+        eng.step()  # owner live: its pages stay referenced for sharing
+        eng.add_request(list(prompts[1]))
+        return eng.run()
+
+    ref = Engine(cfg, params, ecfg)
+    want = drive(ref)
+    assert ref.metrics.counter("prefix_cache_hits") == 1
+
+    eng = TPEngine(cfg, params, ecfg, make_tp_mesh(2))
+    got = drive(eng)
+    assert got == want
+    assert eng.metrics.counter("prefix_cache_hits") == 1
+    assert eng.metrics.counter("prefix_tokens_reused") == 16

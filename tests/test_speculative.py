@@ -269,6 +269,24 @@ def test_chunked_prefill_with_speculation(models):
     assert eng.draft_alloc.free_pages == eng.ecfg.num_pages - 1
 
 
+def test_interleaved_prefill_with_speculation(models):
+    """interleaved_prefill composes with speculation: the target's chunks
+    run one per step while active sequences keep speculating in between;
+    draft pages reserve at dispatch, the draft mirror prefills when the
+    final target chunk lands. Streams match blocking spec admission."""
+    rng = np.random.default_rng(41)
+    short = rng.integers(1, 200, 6).tolist()
+    long = rng.integers(1, 200, 40).tolist()  # > max bucket 32 -> 2 chunks
+    _, base = _run_spec(models, 3, [short, long], max_new_tokens=6)
+    eng, got = _run_spec(models, 3, [short, long], max_new_tokens=6,
+                         interleaved_prefill=True)
+    assert got == base
+    assert eng.metrics.counter("prefill_chunks_interleaved") == 2
+    # Both pools fully recycle (the deferred mirror leaks nothing).
+    assert eng.alloc.free_pages == eng.ecfg.num_pages - 1
+    assert eng.draft_alloc.free_pages == eng.ecfg.num_pages - 1
+
+
 def test_prefix_cache_with_speculation(models):
     """prefix_cache + speculation compose: the target shares page-aligned
     prefixes; the draft (independent cache) prefills fully. Output equals
