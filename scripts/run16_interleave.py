@@ -42,28 +42,36 @@ def build():
     return cfg, params, ecfg
 
 
-def drive(cfg, params, ecfg, interleaved: bool):
+def drive(cfg, params, ecfg, interleaved: bool,
+          n_short: int = 17, n_long: int = 2048, short_new: int = 64):
     rng = np.random.default_rng(0)
     eng = Engine(cfg, params,
                  dataclasses.replace(ecfg, interleaved_prefill=interleaved))
-    short = rng.integers(1, cfg.vocab_size, 17).tolist()
-    long = rng.integers(1, cfg.vocab_size, 2048).tolist()  # 4 chunks of 512
+    short = rng.integers(1, cfg.vocab_size, n_short).tolist()
+    long = rng.integers(1, cfg.vocab_size, n_long).tolist()
 
-    eng.add_request(short, max_new=64)
-    eng.step()  # warm the prefill+decode programs, short starts decoding
-    for _ in range(3):
-        eng.step()  # steady-state decode baseline
+    eng.add_request(short, max_new=short_new)
+    eng.step()  # warm the bucketed prefill + decode programs
+
+    # Warm the CHUNKED prefill program too (rid 1, untimed, runs to
+    # completion) so the measured window below is steady-state — without
+    # this the first chunk carries the XLA compile in both modes.
+    eng.add_request(list(long), max_new=2)
+    while any(s.seq_id == 1 for s in eng.active) or eng.prefilling \
+            or any(r == 1 for r, _, _ in eng.queue):
+        eng.step()
+
     t_base = []
     for _ in range(5):
         t0 = time.perf_counter()
         eng.step()
         t_base.append(time.perf_counter() - t0)
 
-    eng.add_request(long, max_new=8)
+    eng.add_request(list(long), max_new=8)  # rid 2: the measured admission
     steps = []
     # Admission window: from the long request entering until it is active
     # (or finished at activation) — the decode gap the short request sees.
-    while not (any(s.seq_id == 1 for s in eng.active) or 1 in eng.finished):
+    while not (any(s.seq_id == 2 for s in eng.active) or 2 in eng.finished):
         t0 = time.perf_counter()
         eng.step()
         steps.append(time.perf_counter() - t0)
