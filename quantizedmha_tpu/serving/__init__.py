@@ -12,13 +12,18 @@ from quantizedmha_tpu.serving.mixed_kv import (
     mixed_paged_prefill_attention,
 )
 from quantizedmha_tpu.serving.sampling import SamplingParams
-from quantizedmha_tpu.serving.sharded import TPEngine, make_tp_mesh
+from quantizedmha_tpu.serving.sharded import (
+    TPEngine,
+    TPSpecDecodeEngine,
+    make_tp_mesh,
+)
 from quantizedmha_tpu.serving.speculative import SpecConfig, SpecDecodeEngine
 
 __all__ = [
     "Engine",
     "EngineConfig",
     "TPEngine",
+    "TPSpecDecodeEngine",
     "make_tp_mesh",
     "SamplingParams",
     "SpecConfig",

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from quantizedmha_tpu.models.llama import LlamaConfig
 from quantizedmha_tpu.serving import llama_adapter
 from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+from quantizedmha_tpu.serving.speculative import SpecDecodeEngine
 from quantizedmha_tpu.serving.kv_cache import PagedKVCacheState
 
 
@@ -129,6 +130,153 @@ def make_tp_mesh(tp: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:tp]), ("tp",))
 
 
+def build_tp_programs(cfg: LlamaConfig, params: Dict[str, Any],
+                      ecfg: EngineConfig, mesh: Mesh, axis: str,
+                      hybrid_groups=None, verify: bool = False):
+    """Sharded program set for ONE model on `mesh`.
+
+    Returns (pspecs, cspecs, progs) where progs holds jitted shard_maps
+    keyed 'prefill' / 'write' / 'decode' / 'prefill_chunk' /
+    'decode_loop' (+ 'verify' when requested), all with the same
+    signatures the replicated Engine/SpecDecodeEngine programs have.
+    `hybrid_groups`: the window-group keys when this model's pools are
+    hybrid (dict-structured cache specs / tables / page ids), else None.
+    Shared by TPEngine (target only) and TPSpecDecodeEngine (target with
+    verify + draft)."""
+    tp = mesh.shape[axis]
+    lcfg = local_config(cfg, tp)
+    pspecs = expand_param_specs(
+        params, tp_param_specs(axis, attention_bias=cfg.attention_bias,
+                               sandwich_norms=cfg.sandwich_norms))
+    rep1 = P(None)
+    rep2 = P(None, None)
+    rep3 = P(None, None, None)
+    hybrid = hybrid_groups is not None
+    if hybrid:
+        # Grouped pools: every group's cache shards its kv heads the
+        # same way; tables/page-id dicts replicate per group. The
+        # shard_map in_specs mirror the dict pytree structure.
+        groups = list(hybrid_groups)
+        cspecs = {k: tp_cache_specs(axis) for k in groups}
+        tab1_spec = {k: rep1 for k in groups}  # [max_pages]
+        tab2_spec = {k: rep2 for k in groups}  # [B, max_pages]
+        pid_spec = {k: rep1 for k in groups}   # [B]
+        pages_spec = {k: P() for k in groups}  # prefill page ids
+    else:
+        cspecs = tp_cache_specs(axis)
+        tab1_spec, tab2_spec, pid_spec, pages_spec = rep1, rep2, rep1, P()
+
+    kv_spec = P(None, axis, None, None)  # k_all/v_all [L, Hkv, n, hd]
+    progs: Dict[str, Any] = {}
+
+    prefill_sm = jax.shard_map(
+        functools.partial(llama_adapter.prefill_at, lcfg, axis_name=axis),
+        mesh=mesh,
+        in_specs=(pspecs, rep2, P()),
+        out_specs=(rep2, kv_spec, kv_spec),
+        check_vma=False,
+    )
+    progs["prefill"] = jax.jit(prefill_sm)
+
+    write_fn = (llama_adapter.write_prefill_hybrid if hybrid
+                else llama_adapter.write_prefill)
+
+    def _write(cache, k_all, v_all, page_ids, page_size):
+        return write_fn(
+            lcfg, cache, k_all, v_all, page_ids, page_size=page_size
+        )
+
+    write_sm = lambda page_size: jax.shard_map(  # noqa: E731
+        functools.partial(_write, page_size=page_size),
+        mesh=mesh,
+        in_specs=(cspecs, kv_spec, kv_spec, pages_spec),
+        out_specs=cspecs,
+        check_vma=False,
+    )
+    progs["write"] = jax.jit(
+        lambda cache, k, v, pages, page_size: write_sm(page_size)(
+            cache, k, v, pages
+        ),
+        static_argnames=("page_size",),
+    )
+
+    decode_sm = jax.shard_map(
+        functools.partial(llama_adapter.decode_step, lcfg, axis_name=axis),
+        mesh=mesh,
+        in_specs=(pspecs, cspecs, rep1, rep1, pid_spec, rep1, rep1,
+                  tab2_spec),
+        out_specs=(rep2, cspecs),
+        check_vma=False,
+    )
+    progs["decode"] = jax.jit(decode_sm)
+
+    def chunk_sm(page_size):
+        return jax.shard_map(
+            functools.partial(llama_adapter.prefill_chunk, lcfg,
+                              page_size=page_size, axis_name=axis),
+            mesh=mesh,
+            in_specs=(pspecs, cspecs, rep2, P(), tab1_spec, P()),
+            out_specs=(rep2, cspecs),
+            check_vma=False,
+        )
+
+    progs["prefill_chunk"] = jax.jit(
+        lambda params, cache, toks, start, table, last, page_size:
+            chunk_sm(page_size)(params, cache, toks, start, table, last),
+        static_argnames=("page_size",),
+    )
+
+    def loop_sm(n_steps, page_size, return_logits):
+        return jax.shard_map(
+            functools.partial(
+                llama_adapter.decode_loop, lcfg, axis_name=axis,
+                n_steps=n_steps, page_size=page_size,
+                sampling=ecfg.sampling, return_logits=return_logits,
+            ),
+            mesh=mesh,
+            # The PRNG key is replicated: every shard samples the same
+            # token (logits are replicated post-psum).
+            in_specs=(pspecs, cspecs, rep1, rep1, tab2_spec, rep1),
+            # With return_logits (the draft's q for rejection sampling):
+            # [n_steps, B, vocab], replicated post-psum like the tokens.
+            out_specs=((rep2, cspecs, rep3) if return_logits
+                       else (rep2, cspecs)),
+            check_vma=False,
+        )
+
+    progs["decode_loop"] = jax.jit(
+        lambda params, cache, toks, lens, tables, key, n_steps, page_size,
+               return_logits=False:
+            loop_sm(n_steps, page_size, return_logits)(
+                params, cache, toks, lens, tables, key),
+        static_argnames=("n_steps", "page_size", "return_logits"),
+    )
+
+    if verify:
+        def verify_sm(page_size):
+            return jax.shard_map(
+                functools.partial(llama_adapter.verify_step, lcfg,
+                                  page_size=page_size, axis_name=axis),
+                mesh=mesh,
+                # (params, cache, tokens [B,S], positions0 [B],
+                #  page_sched [B,S], slot_sched [B,S], tables [B,max_pages])
+                in_specs=(pspecs, cspecs, rep2, rep1, tab2_spec, rep2,
+                          tab2_spec),
+                out_specs=(rep3, cspecs),  # logits [B, S, vocab] replicated
+                check_vma=False,
+            )
+
+        progs["verify"] = jax.jit(
+            lambda params, cache, fed, pos0, psched, ssched, tables,
+                   page_size:
+                verify_sm(page_size)(
+                    params, cache, fed, pos0, psched, ssched, tables),
+            static_argnames=("page_size",),
+        )
+
+    return pspecs, cspecs, progs
+
+
 class TPEngine(Engine):
     """Continuous-batching engine with TP-sharded params and KV cache.
 
@@ -138,112 +286,69 @@ class TPEngine(Engine):
 
     def __init__(self, cfg: LlamaConfig, params: Dict[str, Any],
                  ecfg: EngineConfig, mesh: Mesh, *, axis: str = "tp"):
-        tp = mesh.shape[axis]
         super().__init__(cfg, params, ecfg)  # host structures + replicated jits
-        lcfg = local_config(cfg, tp)
         self.mesh = mesh
         self.axis = axis
 
-        pspecs = expand_param_specs(
-            params, tp_param_specs(axis, attention_bias=cfg.attention_bias,
-                                   sandwich_norms=cfg.sandwich_norms))
-        rep1 = P(None)
-        rep2 = P(None, None)
-        if self.hybrid:
-            # Grouped pools: every group's cache shards its kv heads the
-            # same way; tables/page-id dicts replicate per group. The
-            # shard_map in_specs mirror the dict pytree structure.
-            cspecs = {k: tp_cache_specs(axis) for k in self.groups}
-            tab1_spec = {k: rep1 for k in self.groups}  # [max_pages]
-            tab2_spec = {k: rep2 for k in self.groups}  # [B, max_pages]
-            pid_spec = {k: rep1 for k in self.groups}   # [B]
-            pages_spec = {k: P() for k in self.groups}  # prefill page ids
-        else:
-            cspecs = tp_cache_specs(axis)
-            tab1_spec, tab2_spec, pid_spec, pages_spec = rep1, rep2, rep1, P()
+        pspecs, cspecs, progs = build_tp_programs(
+            cfg, params, ecfg, mesh, axis,
+            hybrid_groups=self.groups if self.hybrid else None)
         self.params = shard_tree(params, pspecs, mesh)
         self.cache = shard_tree(self.cache, cspecs, mesh)
-
-        kv_spec = P(None, axis, None, None)  # k_all/v_all [L, Hkv, n, hd]
-
-        prefill_sm = jax.shard_map(
-            functools.partial(llama_adapter.prefill_at, lcfg, axis_name=axis),
-            mesh=mesh,
-            in_specs=(pspecs, rep2, P()),
-            out_specs=(rep2, kv_spec, kv_spec),
-            check_vma=False,
-        )
-        self._prefill = jax.jit(prefill_sm)
-
-        write_fn = (llama_adapter.write_prefill_hybrid if self.hybrid
-                    else llama_adapter.write_prefill)
-
-        def _write(cache, k_all, v_all, page_ids, page_size):
-            return write_fn(
-                lcfg, cache, k_all, v_all, page_ids, page_size=page_size
-            )
-
-        write_sm = lambda page_size: jax.shard_map(  # noqa: E731
-            functools.partial(_write, page_size=page_size),
-            mesh=mesh,
-            in_specs=(cspecs, kv_spec, kv_spec, pages_spec),
-            out_specs=cspecs,
-            check_vma=False,
-        )
-        write_jit = jax.jit(
-            lambda cache, k, v, pages, page_size: write_sm(page_size)(
-                cache, k, v, pages
-            ),
-            static_argnames=("page_size",),
-        )
+        self._prefill = progs["prefill"]
         if self.hybrid:
-            self._write_hybrid = write_jit
+            self._write_hybrid = progs["write"]
         else:
-            self._write = write_jit
+            self._write = progs["write"]
+        self._decode = progs["decode"]
+        self._prefill_chunk = progs["prefill_chunk"]
+        self._decode_loop = progs["decode_loop"]
 
-        decode_sm = jax.shard_map(
-            functools.partial(llama_adapter.decode_step, lcfg, axis_name=axis),
-            mesh=mesh,
-            in_specs=(pspecs, cspecs, rep1, rep1, pid_spec, rep1, rep1,
-                      tab2_spec),
-            out_specs=(rep2, cspecs),
-            check_vma=False,
-        )
-        self._decode = jax.jit(decode_sm)
 
-        def chunk_sm(page_size):
-            return jax.shard_map(
-                functools.partial(llama_adapter.prefill_chunk, lcfg,
-                                  page_size=page_size, axis_name=axis),
-                mesh=mesh,
-                in_specs=(pspecs, cspecs, rep2, P(), tab1_spec, P()),
-                out_specs=(rep2, cspecs),
-                check_vma=False,
-            )
+class TPSpecDecodeEngine(SpecDecodeEngine):
+    """Speculative decoding with BOTH models TP-sharded on one mesh.
 
-        self._prefill_chunk = jax.jit(
-            lambda params, cache, toks, start, table, last, page_size:
-                chunk_sm(page_size)(params, cache, toks, start, table, last),
-            static_argnames=("page_size",),
-        )
+    The draft loop, target verification, prefills and cache writes all
+    run under shard_map: Megatron-sharded weights, kv-head-sharded paged
+    caches for target AND draft (tp must divide both models' head
+    counts), logits replicated post-psum so the host acceptance logic and
+    device rejection sampling are unchanged. Token streams match the
+    single-device SpecDecodeEngine exactly."""
 
-        def loop_sm(n_steps, page_size):
-            return jax.shard_map(
-                functools.partial(
-                    llama_adapter.decode_loop, lcfg, axis_name=axis,
-                    n_steps=n_steps, page_size=page_size,
-                    sampling=ecfg.sampling,
-                ),
-                mesh=mesh,
-                # The PRNG key is replicated: every shard samples the same
-                # token (logits are replicated post-psum).
-                in_specs=(pspecs, cspecs, rep1, rep1, tab2_spec, rep1),
-                out_specs=(rep2, cspecs),
-                check_vma=False,
-            )
+    def __init__(self, cfg: LlamaConfig, params: Dict[str, Any],
+                 draft_cfg: LlamaConfig, draft_params: Dict[str, Any],
+                 ecfg: EngineConfig, mesh: Mesh, scfg=None, *,
+                 axis: str = "tp"):
+        super().__init__(cfg, params, draft_cfg, draft_params, ecfg, scfg)
+        self.mesh = mesh
+        self.axis = axis
 
-        self._decode_loop = jax.jit(
-            lambda params, cache, toks, lens, tables, key, n_steps, page_size:
-                loop_sm(n_steps, page_size)(params, cache, toks, lens, tables, key),
-            static_argnames=("n_steps", "page_size"),
-        )
+        pspecs, cspecs, progs = build_tp_programs(
+            cfg, params, ecfg, mesh, axis,
+            hybrid_groups=self.groups if self.hybrid else None,
+            verify=True)
+        self.params = shard_tree(params, pspecs, mesh)
+        self.cache = shard_tree(self.cache, cspecs, mesh)
+        self._prefill = progs["prefill"]
+        if self.hybrid:
+            self._write_hybrid = progs["write"]
+        else:
+            self._write = progs["write"]
+        self._decode = progs["decode"]
+        self._prefill_chunk = progs["prefill_chunk"]
+        self._decode_loop = progs["decode_loop"]
+        self._verify = progs["verify"]
+
+        dgroups = sorted(self.draft_allocs) if self.draft_hybrid else None
+        dpspecs, dcspecs, dprogs = build_tp_programs(
+            draft_cfg, draft_params, ecfg, mesh, axis,
+            hybrid_groups=dgroups)
+        self.draft_params = shard_tree(draft_params, dpspecs, mesh)
+        self.draft_cache = shard_tree(self.draft_cache, dcspecs, mesh)
+        self._draft_prefill = dprogs["prefill"]
+        self._draft_prefill_chunk = dprogs["prefill_chunk"]
+        if self.draft_hybrid:
+            self._draft_write_hybrid = dprogs["write"]
+        else:
+            self._draft_write = dprogs["write"]
+        self._draft_loop = dprogs["decode_loop"]

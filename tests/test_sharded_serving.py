@@ -235,6 +235,47 @@ def test_tp_engine_hybrid_matches_single_device():
     assert eng.metrics.counter("pages_trimmed") > 0
 
 
+def test_tp_spec_engine_matches_single_device():
+    """TP x speculation: draft loop, target verification, prefills and
+    cache writes all under shard_map (both models sharded); token streams
+    match the single-device SpecDecodeEngine for greedy AND rejection-
+    sampling decoding, and speculation still pays off (rounds < tokens)."""
+    import jax.numpy as jnp
+
+    from quantizedmha_tpu.serving.sampling import SamplingParams
+    from quantizedmha_tpu.serving.sharded import TPSpecDecodeEngine
+    from quantizedmha_tpu.serving.speculative import SpecConfig, SpecDecodeEngine
+
+    cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)  # H=4, Hkv=2
+    draft_cfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    draft_params = init_params(draft_cfg, jax.random.PRNGKey(1))
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+
+    for sampling in (None,
+                     SamplingParams(temperature=0.8, top_k=8, seed=5)):
+        ecfg = EngineConfig(num_pages=32, page_size=16, max_batch=2,
+                            prefill_buckets=(16,), max_new_tokens=8,
+                            sampling=sampling or SamplingParams())
+        scfg = SpecConfig(num_draft_tokens=3)
+
+        ref = SpecDecodeEngine(cfg, params, draft_cfg, draft_params,
+                               ecfg, scfg)
+        for p in prompts:
+            ref.add_request(list(p))
+        want = ref.run()
+
+        eng = TPSpecDecodeEngine(cfg, params, draft_cfg, draft_params,
+                                 ecfg, make_tp_mesh(2), scfg)
+        for p in prompts:
+            eng.add_request(list(p))
+        got = eng.run()
+        assert got == want, f"sampling={sampling}"
+        assert eng.metrics.counter("spec_rounds") == \
+            ref.metrics.counter("spec_rounds")
+        assert eng.metrics.counter("spec_rounds") < 8  # drafts accepted
+
+
 def test_tp_engine_prefix_cache_matches_single_device(setup):
     """prefix_cache under TP: shared-prefix admission runs the sharded
     chunked-prefill program over refcount-shared pages; tokens match the
