@@ -37,8 +37,13 @@ echo "[chip_batch] 4/5 entry()"
 timeout 600 python __graft_entry__.py >/tmp/chipbatch/entry.out 2>&1
 echo "[chip_batch] entry rc=$? tail:"; tail -2 /tmp/chipbatch/entry.out
 
-echo "[chip_batch] 5/5 run16 interleaved-prefill jitter"
+echo "[chip_batch] 5/6 run16 interleaved-prefill jitter"
 timeout 1200 python scripts/run16_interleave.py >/tmp/chipbatch/run16.out 2>&1
 echo "[chip_batch] run16 rc=$? tail:"; tail -2 /tmp/chipbatch/run16.out
+
+echo "[chip_batch] 6/6 decode xprof trace summary"
+timeout 1200 python scripts/trace_reports.py --case decode \
+  >/tmp/chipbatch/decode_trace.out 2>&1
+echo "[chip_batch] decode_trace rc=$? tail:"; tail -2 /tmp/chipbatch/decode_trace.out
 
 echo "[chip_batch] done"
