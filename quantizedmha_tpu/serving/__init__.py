@@ -1,5 +1,6 @@
 from quantizedmha_tpu.serving.engine import Engine, EngineConfig
 from quantizedmha_tpu.serving.kv_cache import (
+    MixedPageAllocator,
     PageAllocator,
     PagedKVCacheState,
     append_token,
@@ -32,6 +33,7 @@ __all__ = [
     "append_token_mixed",
     "mixed_paged_decode_attention",
     "mixed_paged_prefill_attention",
+    "MixedPageAllocator",
     "PageAllocator",
     "PagedKVCacheState",
     "append_token",

@@ -26,7 +26,11 @@ import numpy as np
 
 from quantizedmha_tpu.models.llama import LlamaConfig
 from quantizedmha_tpu.serving import llama_adapter
-from quantizedmha_tpu.serving.kv_cache import PageAllocator, PagedKVCacheState
+from quantizedmha_tpu.serving.kv_cache import (
+    MixedPageAllocator,
+    PageAllocator,
+    PagedKVCacheState,
+)
 from quantizedmha_tpu.serving.sampling import SamplingParams, sample
 from quantizedmha_tpu.utils.metrics import Metrics
 
@@ -80,6 +84,17 @@ class EngineConfig:
     # IDENTICAL to blocking admission (paged K/V is per-sequence; chunk
     # and decode programs touch disjoint pages). Off by default.
     interleaved_prefill: bool = False
+    # Mixed-precision KV serving (serving.mixed_kv, run12/run13): INT8
+    # pages for positions < boundary_tokens (the attention-sink / early-
+    # context region where outliers concentrate), nibble-packed INT4 for
+    # the bulk — ~2x cache capacity within epsilon of int8 accuracy where
+    # it matters; the kernels merge the two partial softmaxes exactly by
+    # lse. Keys: boundary_tokens (page-aligned), int8_pages, int4_pages,
+    # optional subs (int4 scale sub-tiles per page, default 4). Uniform
+    # window patterns only; windowed configs need attention_sinks ==
+    # boundary_tokens. Per-sequence capacity becomes boundary_tokens +
+    # max_pages_per_seq * page_size (the int4 table is the growth frame).
+    mixed_kv: Optional[Dict[str, int]] = None
 
 
 def build_pools(cfg: LlamaConfig, ecfg: "EngineConfig"):
@@ -95,6 +110,29 @@ def build_pools(cfg: LlamaConfig, ecfg: "EngineConfig"):
     (draft — its OWN pattern decides its own hybrid)."""
     groups = llama_adapter.window_groups(cfg)
     hybrid = bool(ecfg.hybrid_kv) and len(groups) > 1
+    if ecfg.mixed_kv is not None:
+        if hybrid:
+            raise ValueError(
+                "mixed_kv does not compose with hybrid_kv (grouped mixed "
+                "pools) — pick one")
+        mk = dict(ecfg.mixed_kv)
+        boundary = mk["boundary_tokens"]
+        w = cfg.recyclable_window
+        if len(set(cfg.layer_windows)) != 1:
+            raise ValueError(
+                "mixed_kv needs a uniform window pattern (use hybrid_kv "
+                "for per-layer patterns)")
+        if w is not None and w and cfg.attention_sinks != boundary:
+            raise ValueError(
+                f"windowed mixed_kv needs attention_sinks "
+                f"({cfg.attention_sinks}) == boundary_tokens ({boundary}): "
+                "the int8 region must be exactly the always-visible sinks")
+        cache = llama_adapter.make_cache_mixed(
+            cfg, mk["int8_pages"], mk["int4_pages"], ecfg.page_size,
+            subs=mk.get("subs", 4))
+        alloc = MixedPageAllocator(
+            mk["int8_pages"], mk["int4_pages"], ecfg.page_size, boundary)
+        return cache, None, alloc, False
     if hybrid:
         pages_by_group = dict(ecfg.hybrid_pages or {})
         for k in groups:
@@ -156,6 +194,18 @@ class Engine:
             llama_adapter.group_key(w): w for w in set(cfg.layer_windows)}
         self.cache, self.allocs, self.alloc, self.hybrid = build_pools(
             cfg, ecfg)
+        self.mixed = isinstance(self.alloc, MixedPageAllocator)
+        if self.mixed:
+            if ecfg.prefix_cache:
+                raise ValueError(
+                    "prefix_cache does not compose with mixed_kv yet "
+                    "(shared pages would need per-pool digest maps AND a "
+                    "boundary-stable split)")
+            if ecfg.decode_chunk != 1:
+                raise ValueError(
+                    "decode_chunk > 1 does not compose with mixed_kv yet "
+                    "(the fused loop's in-scan appends would need the "
+                    "scrap-routed mixed form)")
         self.queue: deque = deque()
         # Prefix cache: sha1 chain over page-sized token chunks -> page id,
         # kept PER POOL GROUP ("shared" for the single pool). The allocator
@@ -200,6 +250,26 @@ class Engine:
             functools.partial(llama_adapter.prefill_chunk, cfg),
             static_argnames=("page_size",),
         )
+        if self.mixed:
+            bt = self.alloc.boundary
+            self._write_mixed = jax.jit(
+                functools.partial(llama_adapter.write_prefill_mixed, cfg),
+                static_argnames=("page_size",),
+            )
+            self._decode_mixed = jax.jit(functools.partial(
+                llama_adapter.decode_step_mixed, cfg, boundary_tokens=bt))
+            pcm = jax.jit(
+                functools.partial(llama_adapter.prefill_chunk_mixed, cfg,
+                                  boundary_tokens=bt),
+                static_argnames=("page_size",),
+            )
+            # Same call shape as the plain chunk program: `table` is the
+            # (table8, table4) tuple — _admit_chunked and _prefill_tick
+            # stay mode-agnostic.
+            self._prefill_chunk = (
+                lambda params, cache, toks, start, table, last, page_size:
+                    pcm(params, cache, toks, start, table[0], table[1],
+                        last, page_size=page_size))
 
     # -- hybrid pool helpers -------------------------------------------------
 
@@ -309,7 +379,11 @@ class Engine:
         for idx in range(scan):
             rid, prompt, max_new = self.queue[idx]
             n = len(prompt)
-            if -(-n // self.ecfg.page_size) > self.ecfg.max_pages_per_seq:
+            # Mixed: the int8 region adds boundary_pages of per-sequence
+            # capacity on top of the int4 growth table.
+            limit = self.ecfg.max_pages_per_seq + (
+                self.alloc.bp if self.mixed else 0)
+            if -(-n // self.ecfg.page_size) > limit:
                 del self.queue[idx]
                 raise ValueError(
                     f"request {rid} (len {n}) exceeds max_pages_per_seq"
@@ -364,6 +438,14 @@ class Engine:
                 {k: jnp.asarray(p, jnp.int32) for k, p in pages.items()},
                 page_size=self.ecfg.page_size,
             )
+        elif self.mixed:
+            p8, p4 = pages  # MixedPageAllocator.admit's per-pool lists
+            self.cache = self._write_mixed(
+                self.cache, k_w, v_w,
+                jnp.asarray(np.asarray(p8, np.int32)),
+                jnp.asarray(np.asarray(p4, np.int32)),
+                page_size=self.ecfg.page_size,
+            )
         else:
             self.cache = self._write(
                 self.cache, k_w, v_w,
@@ -392,10 +474,12 @@ class Engine:
         # of the block table would CLAMP and silently overwrite earlier
         # prefix pages with padding K/V.
         n_chunks_total = -(-n // chunk)
-        if n_chunks_total * chunk // self.ecfg.page_size > self.ecfg.max_pages_per_seq:
+        claim = n_chunks_total * chunk // self.ecfg.page_size
+        if self.mixed:
+            claim = max(claim - self.alloc.bp, 0)  # int4-frame slots
+        if claim > self.ecfg.max_pages_per_seq:
             raise ValueError(
-                f"request {rid}: chunked prefill needs "
-                f"{n_chunks_total * chunk // self.ecfg.page_size} table slots "
+                f"request {rid}: chunked prefill needs {claim} table slots "
                 f"> max_pages_per_seq ({self.ecfg.max_pages_per_seq})"
             )
         self._admit_all(rid, n)
@@ -405,6 +489,10 @@ class Engine:
                     a.block_table_array([rid], self.ecfg.max_pages_per_seq)[0],
                     jnp.int32)
                 for k, a in self.allocs.items()}
+        elif self.mixed:
+            t8, t4 = self.alloc.block_tables([rid], self.ecfg.max_pages_per_seq)
+            table_j = (jnp.asarray(t8[0], jnp.int32),
+                       jnp.asarray(t4[0], jnp.int32))
         else:
             table_j = jnp.asarray(
                 self.alloc.block_table_array(
@@ -688,6 +776,9 @@ class Engine:
         if self.ecfg.decode_chunk > 1:
             self._step_fused(self.ecfg.decode_chunk)
             return
+        if self.mixed:
+            self._step_mixed()
+            return
 
         B = self.ecfg.max_batch
         nseq = len(self.active)
@@ -720,6 +811,10 @@ class Engine:
                 jnp.asarray(slots), jnp.asarray(lengths), tables,
             )
             next_tokens = np.asarray(self._sample_batch(logits))
+        self._commit_decode(next_tokens, nseq)
+
+    def _commit_decode(self, next_tokens, nseq: int) -> None:
+        """Post-decode bookkeeping shared by the plain and mixed steps."""
         self.metrics.inc("decode_steps")
         self.metrics.inc("tokens_generated", nseq)
         self.metrics.set("active_sequences", nseq)
@@ -740,6 +835,43 @@ class Engine:
                 still_active.append(seq)
         self.active = still_active
         self._trim_windows()
+
+    def _step_mixed(self) -> None:
+        """One decode step over the mixed (int8-sink/int4-bulk) cache:
+        per-lane pool routing comes from MixedPageAllocator.extend (the
+        non-owning pool gets its scrap page), both tables ship to
+        decode_step_mixed, and the kernels merge the partials by lse."""
+        B = self.ecfg.max_batch
+        nseq = len(self.active)
+        ids = [s.seq_id for s in self.active]
+        self.alloc.check_extend_headroom(ids, 1, self.ecfg.max_pages_per_seq)
+        tokens = np.zeros(B, np.int32)
+        positions = np.zeros(B, np.int32)
+        slots = np.zeros(B, np.int32)
+        lengths = np.ones(B, np.int32)
+        pid8 = np.zeros(B, np.int32)
+        pid4 = np.zeros(B, np.int32)
+        for i, seq in enumerate(self.active):
+            pos = self.alloc.lengths[seq.seq_id]
+            p8, p4, slot, _ = self.alloc.extend(seq.seq_id)
+            pid8[i], pid4[i], slots[i] = p8, p4, slot
+            tokens[i] = seq.pending
+            positions[i] = pos
+            lengths[i] = self.alloc.lengths[seq.seq_id]
+        t8, t4 = self.alloc.block_tables(ids, self.ecfg.max_pages_per_seq)
+        t8f = np.zeros((B, self.alloc.bp), np.int32)
+        t4f = np.zeros((B, self.ecfg.max_pages_per_seq), np.int32)
+        t8f[:nseq], t4f[:nseq] = t8, t4
+
+        with self.metrics.timed("decode_step"):
+            logits, self.cache = self._decode_mixed(
+                self.params, self.cache,
+                jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray(pid8), jnp.asarray(pid4), jnp.asarray(slots),
+                jnp.asarray(lengths), jnp.asarray(t8f), jnp.asarray(t4f),
+            )
+            next_tokens = np.asarray(self._sample_batch(logits))
+        self._commit_decode(next_tokens, nseq)
 
     def _trim_windows(self) -> None:
         """Rolling-window page recycling: with cfg.sliding_window set,

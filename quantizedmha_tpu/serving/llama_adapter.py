@@ -295,6 +295,186 @@ def write_prefill_hybrid(
     return out
 
 
+# --- Mixed-precision KV (int8 sinks + int4 bulk, serving.mixed_kv) -------
+#
+# The engine's third cache mode: positions < boundary_tokens live in an
+# INT8 page pool, the rest nibble-packed INT4 — near-int8 accuracy where
+# outliers concentrate at near-int4 capacity (run12/run13). The kernels
+# merge the two partial softmaxes exactly by lse; these adapters wire the
+# mode through bucketed prefill, chunked prefill and batched decode.
+# Mixed mode requires a UNIFORM window pattern (the boundary split is
+# orthogonal to windows; per-layer patterns would need grouped mixed
+# pools — hybrid_kv x mixed is gated at the engine).
+
+def ensure_mixed_supported(cfg: LlamaConfig) -> None:
+    if len(set(cfg.layer_windows)) != 1:
+        raise ValueError(
+            "mixed KV needs a uniform window pattern (hybrid_kv covers "
+            "per-layer patterns; their composition is not supported yet)")
+
+
+def make_cache_mixed(cfg: LlamaConfig, n8_pages: int, n4_pages: int,
+                     page_size: int, subs: int = 4):
+    """Layer-stacked MixedPagedKVState (leading num_layers dim)."""
+    from quantizedmha_tpu.serving.mixed_kv import MixedPagedKVState
+
+    ensure_serving_supported(cfg)
+    ensure_mixed_supported(cfg)
+    one = MixedPagedKVState.create(
+        cfg.num_kv_heads, n8_pages, n4_pages, page_size, cfg.hd, subs)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (cfg.num_layers, *x.shape)).copy(), one)
+
+
+def write_prefill_mixed(
+    cfg: LlamaConfig,
+    cache,               # layer-stacked MixedPagedKVState
+    k_all: jnp.ndarray,  # [L, Hkv, n_tokens, hd]
+    v_all: jnp.ndarray,
+    page_ids8: jnp.ndarray,  # [p8] i32 — the prompt's below-boundary pages
+    page_ids4: jnp.ndarray,  # [p4] i32 — the rest (p8 + p4 pages total)
+    *,
+    page_size: int,
+) -> Any:
+    """write_prefill for the mixed cache: the static p8/p4 split is known
+    at admission (bucket size and boundary are both static)."""
+    from quantizedmha_tpu.serving.mixed_kv import write_pages_mixed
+
+    def body(_, scanned):
+        cache_l, k_l, v_l = scanned
+        return None, write_pages_mixed(cache_l, k_l, v_l,
+                                       page_ids8, page_ids4)
+
+    _, cache = jax.lax.scan(body, None, (cache, k_all, v_all))
+    return cache
+
+
+def decode_step_mixed(
+    cfg: LlamaConfig,
+    params: Dict[str, Any],
+    cache,                   # layer-stacked MixedPagedKVState
+    tokens: jnp.ndarray,     # [B] i32
+    positions: jnp.ndarray,  # [B] i32 — absolute position per lane
+    page_ids8: jnp.ndarray,  # [B] i32 — int8 page owning the slot (or scrap)
+    page_ids4: jnp.ndarray,  # [B] i32 — int4 page owning the slot (or scrap)
+    slots: jnp.ndarray,      # [B] i32
+    lengths: jnp.ndarray,    # [B] i32 — INCLUDING this token
+    tables8: jnp.ndarray,    # [B, max_pages8] i32
+    tables4: jnp.ndarray,    # [B, max_pages4] i32
+    *,
+    boundary_tokens: int,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Any]:
+    """decode_step over the mixed cache: batched scrap-routed appends +
+    the exact two-partial lse merge (mixed_paged_decode_attention)."""
+    from quantizedmha_tpu.serving.mixed_kv import (
+        append_tokens_batched_mixed, mixed_paged_decode_attention)
+
+    ensure_mixed_supported(cfg)
+    b = tokens.shape[0]
+    hd = cfg.hd
+    w = cfg.layer_windows[0]
+    reduce_tp = _psum_or_id(axis_name)
+    dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
+    x = embed_tokens(cfg, params, tokens)[:, None, :]  # [B, 1, hid]
+
+    def body(x, p, cache_l):
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
+        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, cfg.num_heads, hd)
+        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, cfg.num_kv_heads, hd)
+        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, cfg.num_kv_heads, hd)
+        q = _rope_single(q, positions, cfg.rope_theta)
+        k = _rope_single(k, positions, cfg.rope_theta)
+        cache_l = append_tokens_batched_mixed(
+            cache_l, k, v, positions, boundary_tokens,
+            page_ids8, page_ids4, slots)
+        o = mixed_paged_decode_attention(
+            q, cache_l, lengths, tables8, tables4, boundary_tokens,
+            sm_scale=cfg.sm_scale, window=w,
+            logit_softcap=cfg.logit_softcap,
+            attention_sinks=cfg.attention_sinks if w is not None else 0,
+        )
+        o = o.reshape(b, 1, cfg.num_heads * hd)
+        x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
+        x = _mlp_residual(cfg, dense, p, x, reduce_tp)
+        return x, cache_l
+
+    x, cache = jax.lax.scan(
+        lambda x, s: body(x, s[0], s[1]), x, (params["layers"], cache))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    logits = final_logits(cfg, x[:, 0], params["lm_head"])
+    return logits, cache
+
+
+def prefill_chunk_mixed(
+    cfg: LlamaConfig,
+    params: Dict[str, Any],
+    cache,                     # layer-stacked MixedPagedKVState
+    tokens: jnp.ndarray,       # [1, C] i32 — one chunk, right-padded
+    chunk_start: jnp.ndarray,  # scalar i32, multiple of page_size
+    table8: jnp.ndarray,       # [max_pages8] i32
+    table4: jnp.ndarray,       # [max_pages4] i32
+    last_index: jnp.ndarray,   # scalar i32
+    *,
+    page_size: int,
+    boundary_tokens: int,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Any]:
+    """prefill_chunk over the mixed cache. The chunk's boundary crossing
+    depends on the TRACED chunk_start, so page writes route per page
+    (write_pages_mixed_routed) instead of a static split."""
+    from quantizedmha_tpu.serving.mixed_kv import (
+        mixed_paged_prefill_attention, write_pages_mixed_routed)
+
+    ensure_mixed_supported(cfg)
+    b, C = tokens.shape
+    assert b == 1, "chunked prefill is per-sequence"
+    hd = cfg.hd
+    w = cfg.layer_windows[0]
+    bp = boundary_tokens // page_size
+    reduce_tp = _psum_or_id(axis_name)
+    dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
+
+    positions = chunk_start + jnp.arange(C, dtype=jnp.int32)
+    x = embed_tokens(cfg, params, tokens)
+
+    n_pg = C // page_size
+    ls = chunk_start // page_size + jnp.arange(n_pg, dtype=jnp.int32)
+    below = ls < bp
+    pid8 = table8[jnp.clip(ls, 0, table8.shape[0] - 1)]
+    pid4 = table4[jnp.clip(ls - bp, 0, table4.shape[0] - 1)]
+
+    def body(x, p, cache_l):
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
+        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, C, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cfg.rope_theta, positions)
+        k = apply_rope(k, cfg.rope_theta, positions)
+        keep = (jnp.arange(C) <= last_index)[None, :, None]
+        cache_l = write_pages_mixed_routed(
+            cache_l, k[0] * keep, v[0] * keep, below, pid8, pid4)
+        o = mixed_paged_prefill_attention(
+            q, cache_l,
+            jnp.broadcast_to(jnp.asarray(chunk_start + C, jnp.int32), (1,)),
+            jnp.broadcast_to(jnp.asarray(chunk_start, jnp.int32), (1,)),
+            table8[None], table4[None], boundary_tokens,
+            sm_scale=cfg.sm_scale,
+            window=w, logit_softcap=cfg.logit_softcap,
+            attention_sinks=cfg.attention_sinks if w is not None else 0,
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, C, cfg.num_heads * hd)
+        x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
+        x = _mlp_residual(cfg, dense, p, x, reduce_tp)
+        return x, cache_l
+
+    x, cache = jax.lax.scan(
+        lambda x, s: body(x, s[0], s[1]), x, (params["layers"], cache))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    logits = final_logits(cfg, x[0, last_index], params["lm_head"])
+    return logits[None], cache
+
+
 def prefill_chunk(
     cfg: LlamaConfig,
     params: Dict[str, Any],

@@ -229,6 +229,123 @@ def append_token_int4(
         state, k4=k4, v4=v4, k4_scales=k4s, v4_scales=v4s)
 
 
+def write_pages_mixed_routed(
+    state: MixedPagedKVState,
+    k_new: jnp.ndarray,   # [Hkv, n_tokens, hd] — n_tokens = n_pages * page
+    v_new: jnp.ndarray,
+    below: jnp.ndarray,   # [n_pages] bool TRACED — page belongs to int8?
+    page_ids8: jnp.ndarray,  # [n_pages] i32 — int8 page (or anything when
+    page_ids4: jnp.ndarray,  # [n_pages] i32 —  not below; routed to scrap)
+    scrap8: int = 0,
+    scrap4: int = 0,
+) -> MixedPagedKVState:
+    """write_pages_mixed with TRACED routing: every page is quantized and
+    written into BOTH pools, the non-owning pool at its scrap page — so a
+    chunked prefill whose boundary crossing depends on a traced
+    chunk_start stays shape-stable (write_pages_mixed needs static p8/p4
+    splits; this pays double quantize work per chunk instead, trivial
+    next to the chunk's matmuls)."""
+    from quantizedmha_tpu.serving.kv_cache import quantize_page
+
+    page = state.page_size
+    h, n_tokens, d = k_new.shape
+    n_pg = n_tokens // page
+    kr = k_new.reshape(h, n_pg, page, d).transpose(1, 0, 2, 3)
+    vr = v_new.reshape(h, n_pg, page, d).transpose(1, 0, 2, 3)
+    pid8 = jnp.where(below, page_ids8, scrap8).astype(jnp.int32)
+    pid4 = jnp.where(below, scrap4, page_ids4).astype(jnp.int32)
+
+    def w(state, inputs):
+        p8, p4, kp, vp = inputs
+        kq8, ks8 = quantize_page(kp)
+        vq8, vs8 = quantize_page(vp)
+        kq4, ks4 = quantize_page_int4(kp, state.subs)
+        vq4, vs4 = quantize_page_int4(vp, state.subs)
+        return dataclasses.replace(
+            state,
+            k8=state.k8.at[:, p8].set(kq8),
+            v8=state.v8.at[:, p8].set(vq8),
+            k8_scales=state.k8_scales.at[:, p8].set(ks8),
+            v8_scales=state.v8_scales.at[:, p8].set(vs8),
+            k4=state.k4.at[:, p4].set(kq4),
+            v4=state.v4.at[:, p4].set(vq4),
+            k4_scales=state.k4_scales.at[:, p4].set(ks4),
+            v4_scales=state.v4_scales.at[:, p4].set(vs4),
+        ), None
+
+    state, _ = jax.lax.scan(w, state, (pid8, pid4, kr, vr))
+    return state
+
+
+def append_tokens_batched_int4(
+    state: MixedPagedKVState,
+    k_tok: jnp.ndarray,  # [B, Hkv, hd]
+    v_tok: jnp.ndarray,
+    page_ids: jnp.ndarray,  # [B] i32 int4-pool physical pages
+    slots: jnp.ndarray,     # [B] i32
+) -> MixedPagedKVState:
+    """Batched form of append_token_int4 (the engine's decode path): one
+    token per sequence into the INT4 bulk, same sub-tile scale policy
+    (fit at the sub-tile's first slot, clamp after)."""
+    page = state.page_size
+    subs = state.subs
+    sub_w = page // subs
+    sub = slots // sub_w                                   # [B]
+    d = k_tok.shape[-1]
+    half = d // 2
+
+    def upd(pages, scales, tok):
+        tf = tok.astype(jnp.float32).transpose(1, 0, 2)    # [Hkv, B, hd]
+        fit = jnp.maximum(jnp.max(jnp.abs(tf), axis=-1), 1e-8) / 7.0
+        s = jnp.where(slots[None, :] % sub_w == 0, fit,
+                      scales[:, page_ids, sub])            # [Hkv, B]
+        q = jnp.clip(jnp.round(tf / s[..., None]), -7, 7).astype(jnp.int32)
+        packed = (jnp.bitwise_and(q[..., :half], 0xF)
+                  | jnp.left_shift(q[..., half:], 4)).astype(jnp.int8)
+        return (pages.at[:, page_ids, slots].set(packed),
+                scales.at[:, page_ids, sub].set(s))
+
+    k4, k4s = upd(state.k4, state.k4_scales, k_tok)
+    v4, v4s = upd(state.v4, state.v4_scales, v_tok)
+    return dataclasses.replace(
+        state, k4=k4, v4=v4, k4_scales=k4s, v4_scales=v4s)
+
+
+def append_tokens_batched_mixed(
+    state: MixedPagedKVState,
+    k_tok: jnp.ndarray,      # [B, Hkv, hd]
+    v_tok: jnp.ndarray,
+    positions: jnp.ndarray,  # [B] i32 TRACED — absolute position per lane
+    boundary_tokens: int,
+    page_ids8: jnp.ndarray,  # [B] i32 — int8-pool page owning the slot
+    page_ids4: jnp.ndarray,  # [B] i32 — int4-pool page owning the slot
+    slots: jnp.ndarray,      # [B] i32 (position % page: boundary is
+                             # page-aligned so both frames share it)
+    scrap8: int = 0,
+    scrap4: int = 0,
+) -> MixedPagedKVState:
+    """Shape-stable batched mixed append: every lane writes BOTH pools,
+    with the pool that does not own the lane's position routed to that
+    pool's scrap page (same trick the block tables use for trimmed
+    slots) — per-lane routing stays traced, unlike append_token_mixed's
+    host-static `position`. Scrap contents/scales are never read
+    meaningfully (masked out by lengths in the kernels)."""
+    from quantizedmha_tpu.serving.kv_cache import (
+        PagedKVCacheState, append_tokens_batched)
+
+    below = positions < boundary_tokens
+    pid8 = jnp.where(below, page_ids8, scrap8).astype(jnp.int32)
+    pid4 = jnp.where(below, scrap4, page_ids4).astype(jnp.int32)
+    view = PagedKVCacheState(
+        k_pages=state.k8, v_pages=state.v8,
+        k_scales=state.k8_scales, v_scales=state.v8_scales)
+    view = append_tokens_batched(view, k_tok, v_tok, pid8, slots)
+    state = dataclasses.replace(
+        state, k8=view.k_pages, v8=view.v_pages,
+        k8_scales=view.k_scales, v8_scales=view.v_scales)
+    return append_tokens_batched_int4(state, k_tok, v_tok, pid4, slots)
+
+
 def mixed_paged_decode_attention(
     q: jnp.ndarray,            # [batch, num_q_heads, head_dim]
     state: MixedPagedKVState,

@@ -286,6 +286,10 @@ class TPEngine(Engine):
 
     def __init__(self, cfg: LlamaConfig, params: Dict[str, Any],
                  ecfg: EngineConfig, mesh: Mesh, *, axis: str = "tp"):
+        if ecfg.mixed_kv is not None:
+            raise ValueError(
+                "mixed_kv is not supported under TP yet (the mixed "
+                "program set needs its own shard_map specs)")
         super().__init__(cfg, params, ecfg)  # host structures + replicated jits
         self.mesh = mesh
         self.axis = axis

@@ -88,6 +88,11 @@ class SpecDecodeEngine(Engine):
         scfg = (scfg if scfg is not None else SpecConfig()).validate()
         if ecfg.decode_chunk != 1:
             raise ValueError("decode_chunk and speculation are exclusive")
+        if ecfg.mixed_kv is not None:
+            raise ValueError(
+                "mixed_kv does not compose with speculation yet (the "
+                "verify step would need the mixed q_len>1 kernel plumbed "
+                "through verify_step, and rollback a boundary-aware form)")
         if draft_cfg.vocab_size != cfg.vocab_size:
             raise ValueError("draft and target must share a vocabulary")
         super().__init__(cfg, params, ecfg)

@@ -41,9 +41,13 @@ echo "[chip_batch] 5/6 run16 interleaved-prefill jitter"
 timeout 1200 python scripts/run16_interleave.py >/tmp/chipbatch/run16.out 2>&1
 echo "[chip_batch] run16 rc=$? tail:"; tail -2 /tmp/chipbatch/run16.out
 
-echo "[chip_batch] 6/6 decode xprof trace summary"
+echo "[chip_batch] 6/7 decode xprof trace summary"
 timeout 1200 python scripts/trace_reports.py --case decode \
   >/tmp/chipbatch/decode_trace.out 2>&1
 echo "[chip_batch] decode_trace rc=$? tail:"; tail -2 /tmp/chipbatch/decode_trace.out
+
+echo "[chip_batch] 7/7 run17 mixed-KV serving A/B"
+timeout 1800 python scripts/run17_mixed_serving.py >/tmp/chipbatch/run17.out 2>&1
+echo "[chip_batch] run17 rc=$? tail:"; tail -2 /tmp/chipbatch/run17.out
 
 echo "[chip_batch] done"

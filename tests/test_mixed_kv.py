@@ -434,3 +434,155 @@ def test_mixed_prefill_windowed(rng):
         want = _golden_masked(q[0, :, r, :], kk, vv, visible)
         np.testing.assert_allclose(
             np.asarray(out[0, :, r, :]), want, rtol=3e-4, atol=3e-4)
+
+
+# --- Adapter wiring (llama_adapter mixed serving paths) -------------------
+
+
+def test_adapter_mixed_matches_int8_when_boundary_covers_context(rng):
+    """With boundary_tokens >= every context length, the mixed adapters
+    must reproduce the pure-int8 adapters: identical int8-pool contents,
+    an all-masked int4 partial that drops out of the lse merge, logits
+    within merge-arithmetic tolerance at every step."""
+    import jax
+
+    from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+    from quantizedmha_tpu.serving import llama_adapter as la
+
+    cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    page, boundary = 8, 64
+    n = 12  # two pages (+ padding), decode grows into page 3
+
+    toks = np.zeros((1, 16), np.int32)
+    toks[0, :n] = rng.integers(1, cfg.vocab_size, n)
+    logits0, k_all, v_all = la.prefill_at(
+        cfg, params, jnp.asarray(toks), jnp.int32(n - 1))
+    keep = (jnp.arange(16) < n)[None, None, :, None]
+    k_w, v_w = k_all * keep, v_all * keep
+
+    cache8 = la.make_cache(cfg, 8, page)
+    cache8 = la.write_prefill(cfg, cache8, k_w, v_w,
+                              jnp.asarray([1, 2], jnp.int32), page_size=page)
+    cm = la.make_cache_mixed(cfg, 8, 4, page)
+    cm = la.write_prefill_mixed(
+        cfg, cm, k_w, v_w, jnp.asarray([1, 2], jnp.int32),
+        jnp.zeros((0,), jnp.int32), page_size=page)
+    np.testing.assert_array_equal(np.asarray(cm.k8), np.asarray(cache8.k_pages))
+    np.testing.assert_array_equal(np.asarray(cm.k8_scales),
+                                  np.asarray(cache8.k_scales))
+
+    table = np.zeros((1, 8), np.int32)
+    table[0, :3] = [1, 2, 3]
+    t8 = jnp.asarray(table)
+    t4 = jnp.zeros((1, 4), jnp.int32)
+    tok = jnp.asarray([int(jnp.argmax(logits0[0]))], jnp.int32)
+    for step in range(5):
+        pos = jnp.asarray([n + step], jnp.int32)
+        pid = t8[0, (n + step) // page][None]
+        slot = pos % page
+        lens = pos + 1
+        l8, cache8 = la.decode_step(
+            cfg, params, cache8, tok, pos, pid, slot, lens, t8)
+        lm, cm = la.decode_step_mixed(
+            cfg, params, cm, tok, pos, pid, jnp.zeros(1, jnp.int32),
+            slot, lens, t8, t4, boundary_tokens=boundary)
+        np.testing.assert_allclose(np.asarray(lm), np.asarray(l8),
+                                   rtol=1e-5, atol=1e-5)
+        a, b = int(jnp.argmax(l8[0])), int(jnp.argmax(lm[0]))
+        assert a == b
+        tok = jnp.asarray([a], jnp.int32)
+
+
+def test_adapter_prefill_chunk_mixed_matches_int8(rng):
+    """Chunked prefill through the mixed cache (boundary covers the whole
+    prompt): same logits per chunk as the int8 path, and the traced
+    page routing writes the identical int8 pool."""
+    import jax
+
+    from quantizedmha_tpu.models.llama import LlamaConfig, init_params
+    from quantizedmha_tpu.serving import llama_adapter as la
+
+    cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    page, boundary, C, n = 8, 64, 8, 24
+
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, n)), jnp.int32)
+    cache8 = la.make_cache(cfg, 8, page)
+    cm = la.make_cache_mixed(cfg, 8, 4, page)
+    table = np.zeros((8,), np.int32)
+    table[:3] = [1, 2, 3]
+    t8 = jnp.asarray(table)
+    t4 = jnp.zeros((4,), jnp.int32)
+    for c0 in range(0, n, C):
+        chunk = tokens[:, c0:c0 + C]
+        l8, cache8 = la.prefill_chunk(
+            cfg, params, cache8, chunk, jnp.int32(c0), t8,
+            jnp.int32(C - 1), page_size=page)
+        lm, cm = la.prefill_chunk_mixed(
+            cfg, params, cm, chunk, jnp.int32(c0), t8, t4,
+            jnp.int32(C - 1), page_size=page, boundary_tokens=boundary)
+        np.testing.assert_allclose(np.asarray(lm), np.asarray(l8),
+                                   rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cm.k8), np.asarray(cache8.k_pages))
+
+
+def test_batched_int4_append_matches_single(rng):
+    """append_tokens_batched_int4 == a loop of append_token_int4 (same
+    sub-tile scale policy, nibble packing, distinct pages per lane)."""
+    state = MixedPagedKVState.create(HKV, 2, 4, PAGE, HD)
+    k = rng.normal(0, 0.5, (3, HKV, HD)).astype(np.float32)
+    v = rng.normal(0, 0.5, (3, HKV, HD)).astype(np.float32)
+    pages = np.asarray([1, 2, 3], np.int32)
+    slots = np.asarray([0, 5, 32], np.int32)
+
+    from quantizedmha_tpu.serving.mixed_kv import append_tokens_batched_int4
+
+    got = append_tokens_batched_int4(
+        state, jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(pages), jnp.asarray(slots))
+    want = state
+    for i in range(3):
+        want = append_token_int4(
+            want, jnp.asarray(k[i]), jnp.asarray(v[i]),
+            jnp.asarray(pages[i]), jnp.asarray(slots[i]))
+    np.testing.assert_array_equal(np.asarray(got.k4), np.asarray(want.k4))
+    np.testing.assert_array_equal(np.asarray(got.v4_scales),
+                                  np.asarray(want.v4_scales))
+
+
+def test_batched_mixed_append_routes_by_position(rng):
+    """append_tokens_batched_mixed: lanes below the boundary write the
+    int8 pool (int4 side goes to scrap), lanes past it the reverse —
+    matching append_token_mixed lane by lane on the real pages."""
+    from quantizedmha_tpu.serving.mixed_kv import (
+        append_token_mixed, append_tokens_batched_mixed)
+
+    boundary = PAGE  # one int8 page per sequence
+    state = MixedPagedKVState.create(HKV, 3, 4, PAGE, HD)
+    k = rng.normal(0, 0.5, (2, HKV, HD)).astype(np.float32)
+    v = rng.normal(0, 0.5, (2, HKV, HD)).astype(np.float32)
+    positions = np.asarray([5, PAGE + 9], np.int32)  # below, past
+    pid8 = np.asarray([1, 0], np.int32)
+    pid4 = np.asarray([0, 2], np.int32)
+    slots = positions % PAGE
+
+    got = append_tokens_batched_mixed(
+        state, jnp.asarray(k), jnp.asarray(v), jnp.asarray(positions),
+        boundary, jnp.asarray(pid8), jnp.asarray(pid4), jnp.asarray(slots))
+    want = append_token_mixed(
+        state, jnp.asarray(k[0]), jnp.asarray(v[0]), position=5,
+        boundary_tokens=boundary, page_id=jnp.asarray(1),
+        slot=jnp.asarray(5))
+    want = append_token_mixed(
+        want, jnp.asarray(k[1]), jnp.asarray(v[1]), position=PAGE + 9,
+        boundary_tokens=boundary, page_id=jnp.asarray(2),
+        slot=jnp.asarray(9))
+    np.testing.assert_array_equal(np.asarray(got.k8[:, 1]),
+                                  np.asarray(want.k8[:, 1]))
+    np.testing.assert_array_equal(np.asarray(got.k4[:, 2]),
+                                  np.asarray(want.k4[:, 2]))
+    np.testing.assert_array_equal(np.asarray(got.k8_scales[:, 1]),
+                                  np.asarray(want.k8_scales[:, 1]))
+    np.testing.assert_array_equal(np.asarray(got.k4_scales[:, 2]),
+                                  np.asarray(want.k4_scales[:, 2]))
