@@ -95,6 +95,22 @@ def tp_cache_specs(axis: str = "tp") -> PagedKVCacheState:
     )
 
 
+def tp_mixed_cache_specs(axis: str = "tp"):
+    """Specs for the layer-stacked MIXED cache: both pools shard their
+    kv-head axis, like the plain paged cache (nibble packing halves the
+    trailing dim, which stays unsharded)."""
+    from quantizedmha_tpu.serving.mixed_kv import MixedPagedKVState
+
+    pool = P(None, axis, None, None, None)   # [L, Hkv, n, page, hd(/2)]
+    return MixedPagedKVState(
+        k8=pool, v8=pool,
+        k8_scales=P(None, axis, None), v8_scales=P(None, axis, None),
+        k4=pool, v4=pool,
+        k4_scales=P(None, axis, None, None),   # [L, Hkv, n4, subs]
+        v4_scales=P(None, axis, None, None),
+    )
+
+
 def expand_param_specs(params: Any, specs: Any) -> Any:
     """Match a weight-spec tree to the actual params structure: where a
     param is an int8 QuantizedWeight, the single weight spec expands to
@@ -128,6 +144,89 @@ def make_tp_mesh(tp: int, devices=None) -> Mesh:
     if len(devices) < tp:
         raise ValueError(f"need {tp} devices, have {len(devices)}")
     return Mesh(np.asarray(devices[:tp]), ("tp",))
+
+
+def build_tp_mixed_programs(cfg: LlamaConfig, params: Dict[str, Any],
+                            ecfg: EngineConfig, mesh: Mesh, axis: str,
+                            boundary_tokens: int):
+    """Sharded program set for the MIXED (int8-sink/int4-bulk) cache
+    mode: prefill / write_mixed / decode_mixed / prefill_chunk (table
+    tuple). Host-side routing (MixedPageAllocator) is unchanged; the
+    per-lane page ids and both block tables replicate, the pools shard
+    on kv heads."""
+    tp = mesh.shape[axis]
+    lcfg = local_config(cfg, tp)
+    pspecs = expand_param_specs(
+        params, tp_param_specs(axis, attention_bias=cfg.attention_bias,
+                               sandwich_norms=cfg.sandwich_norms))
+    cspecs = tp_mixed_cache_specs(axis)
+    rep1 = P(None)
+    rep2 = P(None, None)
+    kv_spec = P(None, axis, None, None)
+    progs: Dict[str, Any] = {}
+
+    progs["prefill"] = jax.jit(jax.shard_map(
+        functools.partial(llama_adapter.prefill_at, lcfg, axis_name=axis),
+        mesh=mesh,
+        in_specs=(pspecs, rep2, P()),
+        out_specs=(rep2, kv_spec, kv_spec),
+        check_vma=False,
+    ))
+
+    def write_sm(p8_len, p4_len, page_size):
+        # page-id vectors are replicated; their LENGTHS are static per
+        # (bucket, boundary) combination, hence part of the key.
+        del p8_len, p4_len
+        return jax.shard_map(
+            functools.partial(llama_adapter.write_prefill_mixed, lcfg,
+                              page_size=page_size),
+            mesh=mesh,
+            in_specs=(cspecs, kv_spec, kv_spec, rep1, rep1),
+            out_specs=cspecs,
+            check_vma=False,
+        )
+
+    progs["write_mixed"] = jax.jit(
+        lambda cache, k, v, p8, p4, page_size: write_sm(
+            p8.shape[0], p4.shape[0], page_size)(cache, k, v, p8, p4),
+        static_argnames=("page_size",),
+    )
+
+    progs["decode_mixed"] = jax.jit(jax.shard_map(
+        functools.partial(llama_adapter.decode_step_mixed, lcfg,
+                          boundary_tokens=boundary_tokens, axis_name=axis),
+        mesh=mesh,
+        # (params, cache, tokens, positions, pid8, pid4, slots, lengths,
+        #  tables8, tables4)
+        in_specs=(pspecs, cspecs, rep1, rep1, rep1, rep1, rep1, rep1,
+                  rep2, rep2),
+        out_specs=(rep2, cspecs),
+        check_vma=False,
+    ))
+
+    def chunk_sm(page_size):
+        return jax.shard_map(
+            functools.partial(llama_adapter.prefill_chunk_mixed, lcfg,
+                              page_size=page_size,
+                              boundary_tokens=boundary_tokens,
+                              axis_name=axis),
+            mesh=mesh,
+            in_specs=(pspecs, cspecs, rep2, P(), rep1, rep1, P()),
+            out_specs=(rep2, cspecs),
+            check_vma=False,
+        )
+
+    chunk_jit = jax.jit(
+        lambda params, cache, toks, start, t8, t4, last, page_size:
+            chunk_sm(page_size)(params, cache, toks, start, t8, t4, last),
+        static_argnames=("page_size",),
+    )
+    # Same call shape as Engine's mixed wrapper: `table` = (t8, t4).
+    progs["prefill_chunk"] = (
+        lambda params, cache, toks, start, table, last, page_size:
+            chunk_jit(params, cache, toks, start, table[0], table[1],
+                      last, page_size=page_size))
+    return pspecs, cspecs, progs
 
 
 def build_tp_programs(cfg: LlamaConfig, params: Dict[str, Any],
@@ -286,13 +385,22 @@ class TPEngine(Engine):
 
     def __init__(self, cfg: LlamaConfig, params: Dict[str, Any],
                  ecfg: EngineConfig, mesh: Mesh, *, axis: str = "tp"):
-        if ecfg.mixed_kv is not None:
-            raise ValueError(
-                "mixed_kv is not supported under TP yet (the mixed "
-                "program set needs its own shard_map specs)")
         super().__init__(cfg, params, ecfg)  # host structures + replicated jits
         self.mesh = mesh
         self.axis = axis
+
+        if self.mixed:
+            # Mixed int8-sink/int4-bulk pools: both shard on kv heads,
+            # host-side routing (MixedPageAllocator) is unchanged.
+            pspecs, cspecs, progs = build_tp_mixed_programs(
+                cfg, params, ecfg, mesh, axis, self.alloc.boundary)
+            self.params = shard_tree(params, pspecs, mesh)
+            self.cache = shard_tree(self.cache, cspecs, mesh)
+            self._prefill = progs["prefill"]
+            self._write_mixed = progs["write_mixed"]
+            self._decode_mixed = progs["decode_mixed"]
+            self._prefill_chunk = progs["prefill_chunk"]
+            return
 
         pspecs, cspecs, progs = build_tp_programs(
             cfg, params, ecfg, mesh, axis,

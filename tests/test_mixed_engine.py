@@ -126,6 +126,31 @@ def test_engine_mixed_chunked_prefill_and_interleave_parity():
     assert eng_i.metrics.counter("prefill_chunks_interleaved") == 2
 
 
+def test_tp_engine_mixed_matches_single_device():
+    """TP x mixed: both pools shard on kv heads under shard_map, the
+    host-side pool routing is unchanged — token streams match the
+    single-device mixed engine across the boundary crossing."""
+    from quantizedmha_tpu.serving.sharded import TPEngine, make_tp_mesh
+
+    rng = np.random.default_rng(15)
+    prompts = [rng.integers(1, 200, n).tolist() for n in (5, 9)]
+    mixed = {"boundary_tokens": 8, "int8_pages": 8, "int4_pages": 16}
+    cfg, params, ecfg = _mk(mixed=mixed, max_new_tokens=8)
+
+    ref = Engine(cfg, params, ecfg)
+    for p in prompts:
+        ref.add_request(list(p))
+    want = ref.run()
+
+    eng = TPEngine(cfg, params, ecfg, make_tp_mesh(2))
+    assert eng.mixed
+    for p in prompts:
+        eng.add_request(list(p))
+    got = eng.run()
+    assert got == want
+    assert eng.alloc.a4.free_pages == 15  # int4 bulk was used and drained
+
+
 def test_engine_mixed_gates():
     mixed = {"boundary_tokens": 8, "int8_pages": 8, "int4_pages": 8}
     cfg, params, _ = _mk()
@@ -141,10 +166,6 @@ def test_engine_mixed_gates():
         cfg_kw=dict(sliding_window=8, attention_sinks=4), mixed=mixed)
     with pytest.raises(ValueError, match="attention_sinks"):
         Engine(wcfg, wparams, wecfg)
-
-    from quantizedmha_tpu.serving.sharded import TPEngine, make_tp_mesh
-    with pytest.raises(ValueError, match="mixed_kv"):
-        TPEngine(cfg, params, _mk(mixed=mixed)[2], make_tp_mesh(2))
 
     from quantizedmha_tpu.serving.speculative import SpecDecodeEngine
     dcfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
