@@ -201,11 +201,6 @@ class Engine:
                     "prefix_cache does not compose with mixed_kv yet "
                     "(shared pages would need per-pool digest maps AND a "
                     "boundary-stable split)")
-            if ecfg.decode_chunk != 1:
-                raise ValueError(
-                    "decode_chunk > 1 does not compose with mixed_kv yet "
-                    "(the fused loop's in-scan appends would need the "
-                    "scrap-routed mixed form)")
         self.queue: deque = deque()
         # Prefix cache: sha1 chain over page-sized token chunks -> page id,
         # kept PER POOL GROUP ("shared" for the single pool). The allocator
@@ -258,6 +253,12 @@ class Engine:
             )
             self._decode_mixed = jax.jit(functools.partial(
                 llama_adapter.decode_step_mixed, cfg, boundary_tokens=bt))
+            self._decode_loop_mixed = jax.jit(
+                functools.partial(llama_adapter.decode_loop_mixed, cfg,
+                                  boundary_tokens=bt,
+                                  sampling=ecfg.sampling),
+                static_argnames=("n_steps", "page_size"),
+            )
             pcm = jax.jit(
                 functools.partial(llama_adapter.prefill_chunk_mixed, cfg,
                                   boundary_tokens=bt),
@@ -913,25 +914,43 @@ class Engine:
         nseq = len(self.active)
         tokens = np.zeros(B, np.int32)
         lengths0 = np.ones(B, np.int32)
+        ids = [s.seq_id for s in self.active]
         # Validates pool headroom AND every sequence's table bound BEFORE
         # mutating the allocator (atomic error path).
-        self._check_extend_headroom(chunk)
+        if self.mixed:
+            self.alloc.check_extend_headroom(
+                ids, chunk, self.ecfg.max_pages_per_seq)
+        else:
+            self._check_extend_headroom(chunk)
         for i, seq in enumerate(self.active):
             tokens[i] = seq.pending
             lengths0[i] = self.alloc.lengths[seq.seq_id]
             for a in self._each_alloc():
                 for _ in range(chunk):  # reserve the chunk's cache slots now
                     a.extend(seq.seq_id)
-        tables = self._tables_for([s.seq_id for s in self.active], B)
 
         with self.metrics.timed("decode_chunk"):
             self._key, loop_key = jax.random.split(self._key)
-            out, self.cache = self._decode_loop(
-                self.params, self.cache,
-                jnp.asarray(tokens), jnp.asarray(lengths0),
-                tables, loop_key,
-                n_steps=chunk, page_size=self.ecfg.page_size,
-            )
+            if self.mixed:
+                t8, t4 = self.alloc.block_tables(
+                    ids, self.ecfg.max_pages_per_seq)
+                t8f = np.zeros((B, self.alloc.bp), np.int32)
+                t4f = np.zeros((B, self.ecfg.max_pages_per_seq), np.int32)
+                t8f[:nseq], t4f[:nseq] = t8, t4
+                out, self.cache = self._decode_loop_mixed(
+                    self.params, self.cache,
+                    jnp.asarray(tokens), jnp.asarray(lengths0),
+                    jnp.asarray(t8f), jnp.asarray(t4f), loop_key,
+                    n_steps=chunk, page_size=self.ecfg.page_size,
+                )
+            else:
+                tables = self._tables_for(ids, B)
+                out, self.cache = self._decode_loop(
+                    self.params, self.cache,
+                    jnp.asarray(tokens), jnp.asarray(lengths0),
+                    tables, loop_key,
+                    n_steps=chunk, page_size=self.ecfg.page_size,
+                )
             out = np.asarray(out)  # [chunk, B] — the single host sync
         self.metrics.inc("decode_steps", chunk)
         self.metrics.set("active_sequences", nseq)

@@ -475,6 +475,60 @@ def prefill_chunk_mixed(
     return logits[None], cache
 
 
+def decode_loop_mixed(
+    cfg: LlamaConfig,
+    params: Dict[str, Any],
+    cache,                   # layer-stacked MixedPagedKVState
+    tokens: jnp.ndarray,     # [B] i32 — pending tokens
+    lengths: jnp.ndarray,    # [B] i32 — context EXCLUDING the pending token
+    tables8: jnp.ndarray,    # [B, boundary_pages] i32
+    tables4: jnp.ndarray,    # [B, max_pages4] i32 — covers lengths + n_steps
+    key: Optional[jnp.ndarray] = None,
+    *,
+    n_steps: int,
+    page_size: int,
+    boundary_tokens: int,
+    sampling=None,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Any]:
+    """decode_loop over the mixed cache: per-step pool routing stays
+    in-scan (below = position < boundary picks which table feeds the
+    append; the other pool rides its scrap page), so the fused
+    multi-token loop crosses the int8/int4 boundary mid-chunk without a
+    host round-trip."""
+    from quantizedmha_tpu.serving.sampling import SamplingParams, sample
+
+    sampling = sampling or SamplingParams()
+    if key is None:
+        key = jax.random.PRNGKey(sampling.seed)
+
+    def take(t, idx):
+        idx = jnp.clip(idx, 0, t.shape[1] - 1)
+        return jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+
+    def body(carry, _):
+        cache, toks, lens, key = carry
+        pos = lens
+        below = pos < boundary_tokens
+        pid8 = jnp.where(below, take(tables8, pos // page_size), 0)
+        pid4 = jnp.where(
+            below, 0, take(tables4, (pos - boundary_tokens) // page_size))
+        slots = pos % page_size
+        logits, cache = decode_step_mixed(
+            cfg, params, cache, toks, pos, pid8, pid4, slots, lens + 1,
+            tables8, tables4, boundary_tokens=boundary_tokens,
+            axis_name=axis_name,
+        )
+        key, sub = jax.random.split(key)
+        nxt = sample(logits, sub, sampling)
+        return (cache, nxt, lens + 1, key), nxt
+
+    (cache, _, _, _), out = jax.lax.scan(
+        body, (cache, tokens, lengths, key), None, length=n_steps
+    )
+    return out, cache
+
+
 def prefill_chunk(
     cfg: LlamaConfig,
     params: Dict[str, Any],

@@ -126,6 +126,28 @@ def test_engine_mixed_chunked_prefill_and_interleave_parity():
     assert eng_i.metrics.counter("prefill_chunks_interleaved") == 2
 
 
+def test_engine_mixed_fused_decode_matches_stepwise():
+    """decode_chunk > 1 over the mixed cache: the fused loop's in-scan
+    pool routing (below = position < boundary per step) crosses the
+    int8/int4 boundary mid-chunk and emits the same greedy streams as
+    one-token-per-step mixed decode."""
+    rng = np.random.default_rng(16)
+    prompts = [rng.integers(1, 200, n).tolist() for n in (5, 7)]
+    mixed = {"boundary_tokens": 8, "int8_pages": 8, "int4_pages": 16}
+
+    def run(chunk):
+        cfg, params, ecfg = _mk(mixed=mixed, max_new_tokens=12,
+                                decode_chunk=chunk)
+        eng = Engine(cfg, params, ecfg)
+        for p in prompts:
+            eng.add_request(list(p))
+        return eng.run()
+
+    base = run(1)
+    assert run(4) == base  # boundary crossed at context 8, mid-chunk
+    assert run(3) == base
+
+
 def test_tp_engine_mixed_matches_single_device():
     """TP x mixed: both pools shard on kv heads under shard_map, the
     host-side pool routing is unchanged — token streams match the
@@ -156,8 +178,6 @@ def test_engine_mixed_gates():
     cfg, params, _ = _mk()
     with pytest.raises(ValueError, match="prefix_cache"):
         Engine(cfg, params, _mk(mixed=mixed, prefix_cache=True)[2])
-    with pytest.raises(ValueError, match="decode_chunk"):
-        Engine(cfg, params, _mk(mixed=mixed, decode_chunk=4)[2])
     pcfg, pparams, pecfg = _mk(cfg_kw=dict(window_pattern=(8, None)),
                                mixed=mixed)
     with pytest.raises(ValueError, match="uniform"):
