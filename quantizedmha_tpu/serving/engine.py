@@ -80,9 +80,13 @@ class EngineConfig:
     # Interleaved chunked prefill (Sarathi-style): a long prompt's chunks
     # run ONE PER ENGINE STEP instead of blocking admission, so active
     # sequences keep decoding between chunks — bounds decode-latency
-    # jitter at O(one chunk) instead of O(whole prompt). Token streams are
-    # IDENTICAL to blocking admission (paged K/V is per-sequence; chunk
-    # and decode programs touch disjoint pages). Off by default.
+    # jitter at O(one chunk) instead of O(whole prompt). Under GREEDY
+    # sampling token streams are IDENTICAL to blocking admission (paged
+    # K/V is per-sequence; chunk and decode programs touch disjoint
+    # pages). With temperature > 0 the streams are equally valid draws
+    # but not bit-identical: active sequences consume extra PRNG splits
+    # during the admission window that the blocking engine never takes.
+    # Off by default.
     interleaved_prefill: bool = False
     # Mixed-precision KV serving (serving.mixed_kv, run12/run13): INT8
     # pages for positions < boundary_tokens (the attention-sink / early-
@@ -135,6 +139,12 @@ def build_pools(cfg: LlamaConfig, ecfg: "EngineConfig"):
         return cache, None, alloc, False
     if hybrid:
         pages_by_group = dict(ecfg.hybrid_pages or {})
+        unknown = set(pages_by_group) - set(groups)
+        if unknown:
+            raise ValueError(
+                f"hybrid_pages keys {sorted(unknown)} match no window "
+                f"group of this model (groups: {sorted(groups)}) — a "
+                "typoed key would silently fall back to num_pages")
         for k in groups:
             pages_by_group.setdefault(k, ecfg.num_pages)
         cache = llama_adapter.make_cache_hybrid(
@@ -295,11 +305,14 @@ class Engine:
                 "tokens")
         return {k: a.admit(rid, n) for k, a in self.allocs.items()}
 
-    def _tables_for(self, seq_ids: List[int], pad_to: int, allocs=None):
+    def _tables_for(self, seq_ids: List[int], pad_to: int, allocs=None,
+                    host: bool = False):
         """[B, max_pages] block table(s): per-group dict in hybrid mode.
         `allocs`: a PageAllocator or {group: PageAllocator} to read from
         (default: this engine's target pools; SpecDecodeEngine passes its
-        draft pools)."""
+        draft pools). `host=True` returns numpy — for callers that index
+        the table host-side before dispatch (a jnp round-trip there would
+        cost a blocking device sync per step)."""
         if allocs is None:
             allocs = self.allocs if self.hybrid else self.alloc
         mp = self.ecfg.max_pages_per_seq
@@ -310,7 +323,7 @@ class Engine:
                            alloc.scrap_page if alloc.scrap_page is not None
                            else 0, np.int32)
             full[:len(seq_ids)] = t
-            return jnp.asarray(full)
+            return full if host else jnp.asarray(full)
 
         if isinstance(allocs, dict):
             return {k: one(a) for k, a in allocs.items()}
@@ -738,7 +751,9 @@ class Engine:
         the final chunk, sample the first token and activate the sequence.
         Same jitted program and same chunk schedule as blocking chunked
         admission — only the host-side interleaving with decode differs,
-        so token streams are identical."""
+        so greedy token streams are identical (with temperature > 0 the
+        interleaved decode steps consume extra PRNG splits; see the
+        EngineConfig.interleaved_prefill note)."""
         if not self.prefilling:
             return
         t = self.prefilling[0]

@@ -204,6 +204,28 @@ def build_tp_mixed_programs(cfg: LlamaConfig, params: Dict[str, Any],
         check_vma=False,
     ))
 
+    def mixed_loop_sm(n_steps, page_size):
+        return jax.shard_map(
+            functools.partial(
+                llama_adapter.decode_loop_mixed, lcfg, axis_name=axis,
+                n_steps=n_steps, page_size=page_size,
+                boundary_tokens=boundary_tokens, sampling=ecfg.sampling,
+            ),
+            mesh=mesh,
+            # Key replicated: logits are replicated post-psum, so every
+            # shard samples the same token (as in build_tp_programs).
+            in_specs=(pspecs, cspecs, rep1, rep1, rep2, rep2, rep1),
+            out_specs=(rep2, cspecs),
+            check_vma=False,
+        )
+
+    progs["decode_loop_mixed"] = jax.jit(
+        lambda params, cache, toks, lens, t8, t4, key, n_steps, page_size:
+            mixed_loop_sm(n_steps, page_size)(
+                params, cache, toks, lens, t8, t4, key),
+        static_argnames=("n_steps", "page_size"),
+    )
+
     def chunk_sm(page_size):
         return jax.shard_map(
             functools.partial(llama_adapter.prefill_chunk_mixed, lcfg,
@@ -400,6 +422,7 @@ class TPEngine(Engine):
             self._write_mixed = progs["write_mixed"]
             self._decode_mixed = progs["decode_mixed"]
             self._prefill_chunk = progs["prefill_chunk"]
+            self._decode_loop_mixed = progs["decode_loop_mixed"]
             return
 
         pspecs, cspecs, progs = build_tp_programs(

@@ -376,9 +376,12 @@ class SpecDecodeEngine(Engine):
                     n_steps=k, page_size=page_size, return_logits=True)
             drafts = np.asarray(drafts_j)  # [k, B]
 
-        # 2. target verifies pending + drafts in one forward.
+        # 2. target verifies pending + drafts in one forward. Tables stay
+        # host-side numpy until the single upload below — sched_from
+        # indexes them on the host, and a jnp round-trip here would add a
+        # blocking device sync to every speculation round.
         self._reserve(self._each_alloc(), seq_ids, S)
-        t_tables = self._tables_for(seq_ids, B)
+        t_tables_h = self._tables_for(seq_ids, B, host=True)
         fed = np.zeros((B, S), np.int32)
         fed[:, 0] = tokens0
         fed[:, 1:] = drafts.T
@@ -386,12 +389,13 @@ class SpecDecodeEngine(Engine):
 
         def sched_from(tbl):
             return jnp.asarray(np.take_along_axis(
-                np.asarray(tbl), pos // page_size, axis=1).astype(np.int32))
+                tbl, pos // page_size, axis=1).astype(np.int32))
 
         if self.hybrid:
-            page_sched = {k_: sched_from(t) for k_, t in t_tables.items()}
+            page_sched = {k_: sched_from(t) for k_, t in t_tables_h.items()}
         else:
-            page_sched = sched_from(t_tables)
+            page_sched = sched_from(t_tables_h)
+        t_tables = jax.tree.map(jnp.asarray, t_tables_h)
         slot_sched = (pos % page_size).astype(np.int32)
         with self.metrics.timed("verify"):
             logits, self.cache = self._verify(

@@ -21,23 +21,23 @@ for i in $(seq 1 90); do
   sleep 120
 done
 
-echo "[chip_batch] 1/4 run15 ABI zero-copy A/B"
+echo "[chip_batch] 1/7 run15 ABI zero-copy A/B"
 timeout 1200 python scripts/run15_abi_zero_copy.py >/tmp/chipbatch/run15.out 2>&1
 echo "[chip_batch] run15 rc=$? tail:"; tail -2 /tmp/chipbatch/run15.out
 
-echo "[chip_batch] 2/4 run14 windowed backward A/B"
+echo "[chip_batch] 2/7 run14 windowed backward A/B"
 timeout 1800 python scripts/run14_bwd_windowed.py >/tmp/chipbatch/run14.out 2>&1
 echo "[chip_batch] run14 rc=$? tail:"; tail -2 /tmp/chipbatch/run14.out
 
-echo "[chip_batch] 3/4 bench.py"
+echo "[chip_batch] 3/7 bench.py"
 timeout 1200 python bench.py >/tmp/chipbatch/bench.out 2>&1
 echo "[chip_batch] bench rc=$? tail:"; tail -2 /tmp/chipbatch/bench.out
 
-echo "[chip_batch] 4/5 entry()"
+echo "[chip_batch] 4/7 entry()"
 timeout 600 python __graft_entry__.py >/tmp/chipbatch/entry.out 2>&1
 echo "[chip_batch] entry rc=$? tail:"; tail -2 /tmp/chipbatch/entry.out
 
-echo "[chip_batch] 5/6 run16 interleaved-prefill jitter"
+echo "[chip_batch] 5/7 run16 interleaved-prefill jitter"
 timeout 1200 python scripts/run16_interleave.py >/tmp/chipbatch/run16.out 2>&1
 echo "[chip_batch] run16 rc=$? tail:"; tail -2 /tmp/chipbatch/run16.out
 

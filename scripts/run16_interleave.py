@@ -14,7 +14,13 @@ admission window for both modes; token parity is asserted on the fly.
 
 Chip-state variance on the tunneled v5e is one-sided +8-30% across
 processes (memory: tpu-bench-variance): both modes run in THIS process,
-interleaved measured both orders, medians reported per mode.
+interleaved measured twice (first+last, bracketing blocking against
+drift), and the headline reduction uses the WORSE interleaved run — the
+conservative side of any drift; both runs are printed.
+
+Token parity across modes is asserted on the fly — greedy sampling only
+(with temperature > 0 the interleaved engine takes extra PRNG splits and
+streams legitimately diverge; see EngineConfig.interleaved_prefill).
 """
 import json
 import time
@@ -86,16 +92,22 @@ def drive(cfg, params, ecfg, interleaved: bool,
 
 def main():
     cfg, params, ecfg = build()
+    assert ecfg.sampling.greedy, "run16 parity assert holds for greedy only"
     # Interleaved twice (first+last) brackets blocking against drift.
     r_i1 = drive(cfg, params, ecfg, True)
     r_b = drive(cfg, params, ecfg, False)
     r_i2 = drive(cfg, params, ecfg, True)
     assert r_b["tokens"] == r_i1["tokens"] == r_i2["tokens"], "parity!"
-    max_i = min(r_i1["max_step_ms"], r_i2["max_step_ms"])
+    # Conservative headline: the WORSE of the two interleaved runs (taking
+    # the better one would cherry-pick the quieter chip state against a
+    # single blocking run).
+    max_i = max(r_i1["max_step_ms"], r_i2["max_step_ms"])
     print(json.dumps({
         "baseline_decode_ms": round(r_b["baseline_decode_ms"], 2),
         "blocking_max_step_ms": round(r_b["max_step_ms"], 2),
         "interleaved_max_step_ms": round(max_i, 2),
+        "interleaved_max_step_ms_both_runs": [
+            round(r_i1["max_step_ms"], 2), round(r_i2["max_step_ms"], 2)],
         "jitter_reduction_x": round(r_b["max_step_ms"] / max_i, 2),
         "blocking_steps_ms": r_b["admission_steps_ms"],
         "interleaved_steps_ms": r_i1["admission_steps_ms"],

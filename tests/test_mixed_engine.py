@@ -173,6 +173,29 @@ def test_tp_engine_mixed_matches_single_device():
     assert eng.alloc.a4.free_pages == 15  # int4 bulk was used and drained
 
 
+def test_tp_engine_mixed_fused_decode_matches_single_device():
+    """TP x mixed x decode_chunk>1: _step_fused runs the SHARDED
+    decode_loop_mixed program (previously this combination silently fell
+    back to the replicated jit, all-gathering the Megatron-sharded
+    weights every chunk) and emits the single-device mixed streams."""
+    from quantizedmha_tpu.serving.sharded import TPEngine, make_tp_mesh
+
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(1, 200, n).tolist() for n in (5, 9)]
+    mixed = {"boundary_tokens": 8, "int8_pages": 8, "int4_pages": 16}
+    cfg, params, ecfg = _mk(mixed=mixed, max_new_tokens=8, decode_chunk=3)
+
+    ref = Engine(cfg, params, ecfg)
+    for p in prompts:
+        ref.add_request(list(p))
+    want = ref.run()
+
+    eng = TPEngine(cfg, params, ecfg, make_tp_mesh(2))
+    for p in prompts:
+        eng.add_request(list(p))
+    assert eng.run() == want
+
+
 def test_engine_mixed_gates():
     mixed = {"boundary_tokens": 8, "int8_pages": 8, "int4_pages": 8}
     cfg, params, _ = _mk()
