@@ -1,5 +1,7 @@
 """Verify gate + roofline unit tests (utils/verify.cu + NCU-workflow reborn)."""
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -98,3 +100,128 @@ def test_compare_fails_on_nan_reference():
     rep = compare(got, ref)
     assert not rep.ok and rep.n_nonfinite == 1
     assert np.isfinite(rep.max_abs)
+
+
+# -- timing.benchmark under a simulated clock ---------------------------------
+#
+# run9's measurement-hazard fixes (profiles/md/run9_mxu_gap/notes.md:54-68)
+# made `benchmark()` the foundation of every published number: it sizes
+# `runs` from a DIFFERENCED pre-batch (so the ~40 ms/sync tunnel overhead
+# cancels) and auto-scales until each two-point fit carries >= min_signal_s
+# of real kernel work. These tests pin that logic with a fake clock: a
+# regression here silently invalidates all future BENCH rounds.
+
+
+class _FakeBench:
+    """Deterministic fn/_sync/clock triple for timing.benchmark.
+
+    fn advances the clock by `per_call`; _sync advances it by the next
+    entry of `sync_costs` (cycled; lets tests inject one-sided spikes) and
+    records how many fn calls the batch contained.
+    """
+
+    def __init__(self, per_call, sync_costs=(0.040,)):
+        self.t = 0.0
+        self.per_call = per_call
+        self.sync_costs = list(sync_costs)
+        self.n_sync = 0
+        self.calls_since_sync = 0
+        self.batch_sizes = []
+
+    def perf_counter(self):
+        return self.t
+
+    def fn(self):
+        self.t += self.per_call
+        self.calls_since_sync += 1
+        return None
+
+    def sync(self, out):
+        cost = self.sync_costs[min(self.n_sync, len(self.sync_costs) - 1)]
+        self.n_sync += 1
+        self.t += cost
+        self.batch_sizes.append(self.calls_since_sync)
+        self.calls_since_sync = 0
+
+
+def _patched_benchmark(monkeypatch, fake, **kw):
+    import types
+
+    from quantizedmha_tpu.harness import timing
+
+    monkeypatch.setattr(
+        timing, "time", types.SimpleNamespace(perf_counter=fake.perf_counter)
+    )
+    monkeypatch.setattr(timing, "_sync", fake.sync)
+    return timing.benchmark(fake.fn, **kw)
+
+
+def test_benchmark_cancels_constant_sync_overhead(monkeypatch):
+    """A 40 ms/sync constant overhead must not leak into the estimate:
+    the two-point fit differences it away exactly."""
+    fake = _FakeBench(per_call=5e-3, sync_costs=(0.040,))
+    t = _patched_benchmark(monkeypatch, fake, warmup=1, runs=16, repeats=3)
+    assert t.median_ms == pytest.approx(5.0, rel=1e-6)
+    assert t.best_ms == pytest.approx(5.0, rel=1e-6)
+
+
+def test_benchmark_presizing_is_differenced(monkeypatch):
+    """min_signal_s sizing must difference the two pre-batches: with a
+    0.5 ms kernel under 45 ms/sync overhead, a single-batch mean would
+    estimate ~2.4 ms/call and undersize runs to ~70; the differenced
+    estimate (0.5 ms) scales runs to >= 300 so each fit carries
+    >= 150 ms of real kernel work (the run9 collapse fix)."""
+    fake = _FakeBench(per_call=5e-4, sync_costs=(0.045,))
+    t = _patched_benchmark(
+        monkeypatch, fake, warmup=1, runs=16, repeats=3, min_signal_s=0.15
+    )
+    # sizing batches are 8 then 24 calls; the measured batches follow.
+    assert fake.batch_sizes[1:3] == [8, 24]
+    assert max(fake.batch_sizes) >= 300
+    assert t.median_ms == pytest.approx(0.5, rel=1e-6)
+
+
+def test_benchmark_autoscale_caps_at_512(monkeypatch):
+    """A ~10 us fn would want ~15k runs; the cap keeps batches bounded
+    (wall-clock guard) at 512. Sync overhead is kept small here because
+    the sizing floor `t24/24/4` intentionally bounds scaling when the
+    pre-batches are overhead-dominated (can't trust the difference)."""
+    fake = _FakeBench(per_call=1e-5, sync_costs=(0.005,))
+    t = _patched_benchmark(
+        monkeypatch, fake, warmup=1, runs=16, repeats=3, min_signal_s=0.15
+    )
+    assert max(fake.batch_sizes) == 512
+    assert t.median_ms == pytest.approx(1e-2, rel=1e-6)
+
+
+def test_benchmark_resamples_through_small_batch_spikes(monkeypatch):
+    """One-sided spikes landing in the SMALL-K batches push median t(K1)
+    above median t(K2) and would collapse the fit to the ~0 clamp floor;
+    benchmark() must resample until the difference is positive.
+
+    Spike schedule (min_signal_s=0 keeps runs=16, k1=4): sync #0 is
+    warmup; syncs 1,3,5 are the first round's t1 batches — spiked +1 s.
+    All later syncs are clean, so round 3's 9 clean t1 samples pull the
+    median back under t2's."""
+    costs = [0.02] + [1.0, 0.02] * 3 + [0.02] * 100
+    fake = _FakeBench(per_call=5e-3, sync_costs=costs)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # resampling must avoid the warning
+        t = _patched_benchmark(
+            monkeypatch, fake, warmup=1, runs=16, repeats=3, min_signal_s=0.0
+        )
+    assert t.median_ms == pytest.approx(5.0, rel=1e-6)
+    # 3 rounds of (t1, t2) x repeats=3 ran: warmup + 18 batches.
+    assert fake.n_sync == 1 + 18
+
+
+def test_benchmark_warns_when_noise_swamps_signal(monkeypatch):
+    """If every resample round stays non-positive the fit reports the
+    clamp floor — but MUST warn so the caller knows the Timing is junk."""
+    costs = [0.02] + [1.0, 0.02] * 50  # every t1 spiked, forever
+    fake = _FakeBench(per_call=5e-3, sync_costs=costs)
+    with pytest.warns(RuntimeWarning, match="non-positive"):
+        t = _patched_benchmark(
+            monkeypatch, fake, warmup=1, runs=16, repeats=3, min_signal_s=0.0
+        )
+    assert t.estimate_s == pytest.approx(1e-9)
