@@ -228,6 +228,13 @@ class Engine:
         self.active: List[_Sequence] = []
         self.prefilling: List[_PrefillTask] = []  # interleaved_prefill FIFO
         self.finished: Dict[int, List[int]] = {}
+        # Requests that could never be served (oversized for the per-seq
+        # table, or larger than the whole cache): {rid: reason}. They also
+        # land in `finished` with an empty token list so callers polling
+        # finished see a terminal status either way. A poison request must
+        # fail ITSELF, never the engine — every other in-flight sequence
+        # keeps decoding (continuous batching's contract).
+        self.failed: Dict[int, str] = {}
         self._head_bypass = 0  # times the queue head was skipped over
         self._next_id = 0
         self.metrics = Metrics()
@@ -393,15 +400,14 @@ class Engine:
         for idx in range(scan):
             rid, prompt, max_new = self.queue[idx]
             n = len(prompt)
-            # Mixed: the int8 region adds boundary_pages of per-sequence
-            # capacity on top of the int4 growth table.
-            limit = self.ecfg.max_pages_per_seq + (
-                self.alloc.bp if self.mixed else 0)
-            if -(-n // self.ecfg.page_size) > limit:
+            reason = self._structural_reject(n)
+            if reason is not None:
+                # Structurally oversized: no amount of waiting helps. Fail
+                # the REQUEST, not the engine — active sequences and the
+                # rest of the queue keep being served.
                 del self.queue[idx]
-                raise ValueError(
-                    f"request {rid} (len {n}) exceeds max_pages_per_seq"
-                )
+                self._fail_request(rid, f"request {rid} (len {n}): {reason}")
+                return True  # progress was made; caller re-scans
             if not self._fits(prompt):
                 continue
             del self.queue[idx]
@@ -413,6 +419,40 @@ class Engine:
             self._dispatch_admit(rid, prompt, max_new)
             return True
         return False
+
+    def _fail_request(self, rid: int, reason: str) -> None:
+        """Terminal per-request failure: status in `failed`, an empty
+        token list in `finished` (one terminal surface for pollers), and
+        the engine keeps serving everyone else."""
+        self.failed[rid] = reason
+        self.finished[rid] = []
+        self.metrics.inc("requests_failed")
+
+    def _structural_reject(self, n: int) -> Optional[str]:
+        """Reason a prompt of length n can NEVER be admitted (its block
+        table cannot hold it), or None if it could fit once pages free up.
+        Mirrors the claim math of the bucketed and chunked admission paths
+        — a prompt passing here never trips their asserts later."""
+        ps = self.ecfg.page_size
+        if n > max(self.ecfg.prefill_buckets):
+            # Chunked prefill claims whole CHUNKS of table slots, padded
+            # last chunk included (_admit_chunked's dynamic-slice hazard).
+            chunk = max(self.ecfg.prefill_buckets)
+            claim = -(-n // chunk) * chunk // ps
+            if self.mixed:
+                claim = max(claim - self.alloc.bp, 0)
+            if claim > self.ecfg.max_pages_per_seq:
+                return (f"chunked prefill needs {claim} table slots > "
+                        f"max_pages_per_seq ({self.ecfg.max_pages_per_seq})")
+        else:
+            # Mixed: the int8 region adds boundary pages of per-sequence
+            # capacity on top of the int4 growth table.
+            limit = self.ecfg.max_pages_per_seq + (
+                self.alloc.bp if self.mixed else 0)
+            if -(-n // ps) > limit:
+                return (f"needs {-(-n // ps)} pages > max_pages_per_seq "
+                        f"({limit})")
+        return None
 
     def _dispatch_admit(self, rid: int, prompt: List[int], max_new: int) -> None:
         n = len(prompt)
@@ -1000,10 +1040,13 @@ class Engine:
             self.step()
             if (not self.active and not self.prefilling and self.queue
                     and len(self.finished) == before):
-                # Nothing could be admitted and nothing is running: the head
-                # request needs more pages than the cache has.
-                rid, prompt, _ = self.queue[0]
-                raise RuntimeError(
-                    f"request {rid} (len {len(prompt)}) cannot fit in the cache"
-                )
+                # Nothing could be admitted into an EMPTY cache and nothing
+                # is running: the head request needs more pages than the
+                # whole pool has. Fail IT and keep draining the rest —
+                # a continuous-batching engine fails requests, not itself.
+                rid, prompt, _ = self.queue.popleft()
+                self._fail_request(
+                    rid,
+                    f"request {rid} (len {len(prompt)}) cannot fit in the "
+                    "cache (total page-pool capacity)")
         return dict(self.finished)

@@ -92,9 +92,9 @@ class TestEngineChunked:
     def test_page_budget_guard(self, model, rng):
         cfg, params = model
         eng = Engine(cfg, params, _ecfg(max_pages_per_seq=4))
-        eng.add_request(rng.integers(1, cfg.vocab_size, 100).tolist())
-        with pytest.raises(ValueError, match="max_pages_per_seq"):
-            eng.run()
+        rid = eng.add_request(rng.integers(1, cfg.vocab_size, 100).tolist())
+        out = eng.run()  # fails the request, not the engine
+        assert out[rid] == [] and "max_pages_per_seq" in eng.failed[rid]
 
 
 def test_tp_engine_chunked(model, rng):

@@ -92,14 +92,48 @@ def test_engine_continuous_batching(tiny_model):
     assert not engine.active and not engine.queue
 
 
-def test_engine_rejects_oversized_prompt(tiny_model):
+def test_engine_fails_oversized_request_not_itself(tiny_model):
+    """A request larger than the whole page pool becomes a per-request
+    failure (status in `failed`, empty tokens in `finished`) — run()
+    returns instead of raising."""
     cfg, params = tiny_model
     ecfg = EngineConfig(num_pages=4, page_size=128, max_batch=2,
                         prefill_buckets=(128, 256, 512), max_new_tokens=2)
     engine = Engine(cfg, params, ecfg)
-    engine.add_request(list(range(500)))  # needs 4 pages; only 3 free
-    with pytest.raises(RuntimeError):
-        engine.run()
+    rid = engine.add_request(list(range(500)))  # needs 4 pages; only 3 free
+    out = engine.run()
+    assert out[rid] == [] and rid in engine.failed
+    assert "cannot fit" in engine.failed[rid]
+
+
+def test_poison_request_does_not_kill_the_batch(tiny_model):
+    """One oversized request among good ones: the poison fails, every
+    other request is served to completion (continuous-batching contract;
+    round-2 verdict weak #6)."""
+    cfg, params = tiny_model
+    ecfg = EngineConfig(num_pages=32, page_size=128, max_batch=4,
+                        prefill_buckets=(128, 256), max_pages_per_seq=2,
+                        max_new_tokens=4)
+    engine = Engine(cfg, params, ecfg)
+    rng = np.random.default_rng(11)
+    good_a = [engine.add_request(rng.integers(1, cfg.vocab_size, 40).tolist())
+              for _ in range(2)]
+    # Poison 1: bucketed prompt needing 3 pages > max_pages_per_seq=2.
+    poison_tbl = engine.add_request(rng.integers(1, cfg.vocab_size, 300).tolist())
+    # Poison 2: longer than the largest bucket AND over the table bound
+    # (chunked-claim reject).
+    poison_chunk = engine.add_request(
+        rng.integers(1, cfg.vocab_size, 600).tolist())
+    good_b = [engine.add_request(rng.integers(1, cfg.vocab_size, 70).tolist())
+              for _ in range(2)]
+    out = engine.run()
+    for rid in good_a + good_b:
+        assert len(out[rid]) == 4, (rid, out[rid])
+    for rid in (poison_tbl, poison_chunk):
+        assert out[rid] == [] and rid in engine.failed
+    assert engine.metrics.counter("requests_failed") == 2
+    # All pages recycled (page 0 stays scrap-reserved).
+    assert engine.alloc.free_pages == ecfg.num_pages - 1
 
 
 def test_decode_headroom_guard_is_atomic():
