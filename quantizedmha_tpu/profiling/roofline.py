@@ -52,17 +52,15 @@ def detect_chip() -> ChipSpec:
     return ChipSpec(kind, *_DEFAULT_SPEC)
 
 
-def attention_flops(batch: int, heads: int, q_len: int, kv_len: int,
-                    head_dim: int, causal: bool = False,
-                    window=None, sinks: int = 0) -> float:
-    """FLOPs of the two attention matmuls (QK^T and PV), 2*N*M*d each,
-    counting only VISIBLE (q, kv) pairs: full, causal (end-aligned), and
-    causal sliding-window (+ attention sinks) masks."""
+def visible_pairs(batch: int, heads: int, q_len: int, kv_len: int,
+                  causal: bool = False, window=None, sinks: int = 0) -> float:
+    """Number of VISIBLE (q, kv) score elements: full, causal
+    (end-aligned), and causal sliding-window (+ attention sinks) masks.
+    The common denominator of the FLOP count and the VPU-pass model."""
     import numpy as np
 
-    per_pair = 2.0 * 2.0 * head_dim  # two matmuls, 2 FLOPs/MAC each
     if not causal:
-        return batch * heads * float(q_len) * kv_len * per_pair
+        return batch * heads * float(q_len) * kv_len
     qpos = np.arange(q_len, dtype=np.int64) + (kv_len - q_len)  # end-aligned
     visible = np.minimum(qpos + 1, kv_len)
     if window is not None:
@@ -71,7 +69,17 @@ def attention_flops(batch: int, heads: int, q_len: int, kv_len: int,
         in_win = np.minimum(qpos + 1, window) + np.clip(
             np.minimum(sinks, qpos + 1 - window), 0, None)
         visible = np.minimum(visible, in_win)
-    return batch * heads * float(visible.sum()) * per_pair
+    return batch * heads * float(visible.sum())
+
+
+def attention_flops(batch: int, heads: int, q_len: int, kv_len: int,
+                    head_dim: int, causal: bool = False,
+                    window=None, sinks: int = 0) -> float:
+    """FLOPs of the two attention matmuls (QK^T and PV), 2*N*M*d each,
+    counting only visible (q, kv) pairs."""
+    per_pair = 2.0 * 2.0 * head_dim  # two matmuls, 2 FLOPs/MAC each
+    return visible_pairs(batch, heads, q_len, kv_len, causal, window,
+                         sinks) * per_pair
 
 
 def attention_bytes(batch: int, heads: int, q_len: int, kv_len: int,
@@ -87,6 +95,120 @@ def attention_bytes(batch: int, heads: int, q_len: int, kv_len: int,
     ob = o_bytes if o_bytes is not None else bytes_per_el
     return float(
         batch * heads * (q_len * qb + 2 * kv_len * kb + q_len * ob) * head_dim
+    )
+
+
+# -- composite achievable-time model (run9 productized) ----------------------
+#
+# "% of raw MXU SoL" is the honest *upper* bound but a shape-blind target:
+# at head_dim <= 64 the QK contraction fills only d/128 of the MXU's
+# contraction depth, and the online-softmax pipeline is a serial chain of
+# full [block_kv x block_q] VPU sweeps whose cost is d-INDEPENDENT — so the
+# reachable fraction of MXU SoL varies ~3x with shape alone
+# (profiles/md/run9_mxu_gap/notes.md:71-89). This model computes the
+# ACHIEVABLE kernel time for the shape and scores quality against that:
+#
+#   t_mxu  = qk_flops / (peak * min(d,128)/128)   # contraction-depth tax
+#          + pv_flops / peak                       # PV contracts over the
+#                                                  # kv block: full depth
+#   t_vpu  = passes * visible_pairs / vpu_eff_ops  # serial softmax sweeps
+#   t_hbm  = min traffic / HBM bw                  # usually hidden by DMA
+#   t_ach  = max(t_mxu + t_vpu, t_hbm)             # MXU/VPU SERIALIZE on
+#                                                  # this target (run9 fact
+#                                                  # 3; substantiation:
+#                                                  # run20)
+#
+# Constants (calibrated on v5e against run9's measured decomposition at the
+# reference headline shape: matmul-only floor 1.75 ms, softmax ~4.1 ms over
+# 2.147e9 score elements => ~3.2e12 effective VPU elementwise ops/s at ~6
+# passes/element for the int8 pipeline; cross-checked by run19):
+_VPU_EFF_OPS = {  # effective elementwise ops/s of the serial softmax chain
+    "TPU v5 lite": 3.2e12,
+    "TPU v5e": 3.2e12,
+    "TPU v5": 7.4e12,      # scaled by clock/core ratio vs v5e; uncalibrated
+    "TPU v4": 3.1e12,      # uncalibrated
+    "TPU v6 lite": 7.3e12,  # uncalibrated
+    "TPU v6e": 7.3e12,
+}
+_DEFAULT_VPU_EFF_OPS = 3.2e12
+# Serial VPU passes per score element by kernel pipeline: the int8 kernels
+# sweep dequant-fma, running max, exp(sub), sum, round, int8 cast (~6); the
+# bf16/f32 flash kernels drop the round + cast (~4).
+_SOFTMAX_PASSES = {"int8": 6.0, "int4": 6.0, "bf16": 4.0, "fp32": 4.0,
+                   "float32": 4.0, "bfloat16": 4.0}
+
+
+def vpu_eff_ops(chip: "ChipSpec") -> float:
+    for key, v in _VPU_EFF_OPS.items():
+        if chip.name.startswith(key):
+            return v
+    return _DEFAULT_VPU_EFF_OPS
+
+
+@dataclasses.dataclass(frozen=True)
+class AchievableReport:
+    t_measured_s: float
+    t_achievable_s: float
+    pct_of_achievable: float
+    t_mxu_s: float      # matmul floor at this shape (contraction-depth tax)
+    t_vpu_s: float      # serial softmax-pipeline floor
+    t_hbm_s: float      # minimum-traffic floor (usually hidden)
+    chip: str
+    dtype: str
+
+    def __str__(self) -> str:
+        return (
+            f"{self.t_measured_s * 1e3:.3f} ms = {self.pct_of_achievable:.1f}% of "
+            f"achievable {self.t_achievable_s * 1e3:.3f} ms "
+            f"(mxu {self.t_mxu_s * 1e3:.3f} + vpu {self.t_vpu_s * 1e3:.3f} | "
+            f"hbm {self.t_hbm_s * 1e3:.3f}) [{self.dtype} on {self.chip}]"
+        )
+
+
+def attention_achievable(
+    time_s: float,
+    *,
+    batch: int,
+    heads: int,
+    q_len: int,
+    kv_len: int,
+    head_dim: int,
+    dtype: str = "int8",
+    chip: Optional["ChipSpec"] = None,
+    causal: bool = False,
+    window=None,
+    sinks: int = 0,
+    passes: Optional[float] = None,
+    io_bytes: Optional[float] = None,
+) -> AchievableReport:
+    """Score a measured fused-attention time against the composite
+    achievable-time model above. `passes` overrides the per-dtype softmax
+    pass count; `io_bytes` overrides the minimum-HBM-traffic estimate."""
+    chip = chip or detect_chip()
+    pairs = visible_pairs(batch, heads, q_len, kv_len, causal, window, sinks)
+    peak = chip.peak_for(dtype) * 1e12
+    qk_flops = pv_flops = 2.0 * pairs * head_dim
+    qk_eff = min(head_dim, 128) / 128.0
+    t_mxu = qk_flops / (peak * qk_eff) + pv_flops / peak
+    n_passes = passes if passes is not None else _SOFTMAX_PASSES.get(
+        dtype, 4.0)
+    t_vpu = n_passes * pairs / vpu_eff_ops(chip)
+    if io_bytes is None:
+        # fa_int8 reads fp32 Q/K/V and writes fp32 O (quantization is
+        # in-kernel); the bf16 path moves 2-byte elements.
+        el = 4 if dtype in ("int8", "int4", "fp32", "float32") else 2
+        io_bytes = attention_bytes(batch, heads, q_len, kv_len, head_dim, el)
+    t_hbm = io_bytes / (chip.hbm_gbps * 1e9)
+    t_ach = max(t_mxu + t_vpu, t_hbm)
+    return AchievableReport(
+        t_measured_s=time_s,
+        t_achievable_s=t_ach,
+        pct_of_achievable=100.0 * t_ach / time_s if time_s else 0.0,
+        t_mxu_s=t_mxu,
+        t_vpu_s=t_vpu,
+        t_hbm_s=t_hbm,
+        chip=chip.name,
+        dtype=dtype,
     )
 
 

@@ -225,3 +225,56 @@ def test_benchmark_warns_when_noise_swamps_signal(monkeypatch):
             monkeypatch, fake, warmup=1, runs=16, repeats=3, min_signal_s=0.0
         )
     assert t.estimate_s == pytest.approx(1e-9)
+
+
+# -- composite achievable-time model ------------------------------------------
+
+
+def test_attention_achievable_matches_run9_decomposition():
+    """The model's constants are calibrated against run9's measured
+    decomposition at the reference headline shape (N=8192, h=32, d=32,
+    int8): matmul-only floor 1.75 ms, softmax pipeline ~4.0 ms
+    (profiles/md/run9_mxu_gap/notes.md:20-39)."""
+    from quantizedmha_tpu.profiling.roofline import attention_achievable
+
+    chip = ChipSpec("TPU v5 lite", 197.0, 394.0, 819.0)
+    r = attention_achievable(
+        6.0e-3, batch=1, heads=32, q_len=8192, kv_len=8192, head_dim=32,
+        dtype="int8", chip=chip)
+    assert r.t_mxu_s == pytest.approx(1.75e-3, rel=0.02)
+    assert r.t_vpu_s == pytest.approx(4.0e-3, rel=0.02)
+    assert r.t_achievable_s == pytest.approx(r.t_mxu_s + r.t_vpu_s)
+    assert r.pct_of_achievable == pytest.approx(
+        100.0 * r.t_achievable_s / 6.0e-3)
+
+
+def test_attention_achievable_contraction_tax_gone_at_d128():
+    """At head_dim >= 128 the QK contraction fills the MXU: t_mxu equals
+    flops/peak exactly (no depth tax), so the achievable target tightens."""
+    from quantizedmha_tpu.profiling.roofline import attention_achievable
+
+    chip = ChipSpec("TPU v5 lite", 197.0, 394.0, 819.0)
+    r = attention_achievable(
+        1e-3, batch=1, heads=8, q_len=4096, kv_len=4096, head_dim=128,
+        dtype="int8", chip=chip)
+    flops = attention_flops(1, 8, 4096, 4096, 128)
+    assert r.t_mxu_s == pytest.approx(flops / 394e12)
+    # d=256 saturates too (min(d,128)/128 == 1): no *extra* credit.
+    r256 = attention_achievable(
+        1e-3, batch=1, heads=8, q_len=4096, kv_len=4096, head_dim=256,
+        dtype="int8", chip=chip)
+    assert r256.t_mxu_s == pytest.approx(
+        attention_flops(1, 8, 4096, 4096, 256) / 394e12)
+
+
+def test_attention_achievable_hbm_floor_for_skinny_shapes():
+    """A tiny-q/huge-kv shape is HBM-bound: the achievable time is the
+    traffic floor, not the (negligible) compute terms."""
+    from quantizedmha_tpu.profiling.roofline import attention_achievable
+
+    chip = ChipSpec("TPU v5 lite", 197.0, 394.0, 819.0)
+    r = attention_achievable(
+        1e-4, batch=1, heads=8, q_len=8, kv_len=8192, head_dim=128,
+        dtype="bf16", chip=chip)
+    assert r.t_hbm_s > r.t_mxu_s + r.t_vpu_s
+    assert r.t_achievable_s == pytest.approx(r.t_hbm_s)
