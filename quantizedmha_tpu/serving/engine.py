@@ -116,9 +116,34 @@ def build_pools(cfg: LlamaConfig, ecfg: "EngineConfig"):
     hybrid = bool(ecfg.hybrid_kv) and len(groups) > 1
     if ecfg.mixed_kv is not None:
         if hybrid:
-            raise ValueError(
-                "mixed_kv does not compose with hybrid_kv (grouped mixed "
-                "pools) — pick one")
+            # Composition (round-2 verdict #7): the FULL-ATTENTION group —
+            # the unbounded KV tenant in a Gemma-2/Qwen2 pattern — gets
+            # the mixed int8-sink/int4-bulk pool pair; sliding groups stay
+            # plain int8 (already capped at O(window + sinks) by trims).
+            mk = dict(ecfg.mixed_kv)
+            boundary = mk["boundary_tokens"]
+            pages_by_group = dict(ecfg.hybrid_pages or {})
+            unknown = set(pages_by_group) - set(groups)
+            if unknown:
+                raise ValueError(
+                    f"hybrid_pages keys {sorted(unknown)} match no window "
+                    f"group of this model (groups: {sorted(groups)})")
+            for k in groups:
+                pages_by_group.setdefault(k, ecfg.num_pages)
+            cache = llama_adapter.make_cache_hybrid_mixed(
+                cfg, pages_by_group, ecfg.page_size,
+                n8_pages=mk["int8_pages"], n4_pages=mk["int4_pages"],
+                subs=mk.get("subs", 4))
+            allocs = {}
+            for k in groups:
+                if k == "full":
+                    allocs[k] = MixedPageAllocator(
+                        mk["int8_pages"], mk["int4_pages"], ecfg.page_size,
+                        boundary)
+                else:
+                    allocs[k] = PageAllocator(
+                        pages_by_group[k], ecfg.page_size, scrap_page=0)
+            return cache, allocs, allocs["full"], True
         mk = dict(ecfg.mixed_kv)
         boundary = mk["boundary_tokens"]
         w = cfg.recyclable_window
@@ -204,8 +229,14 @@ class Engine:
             llama_adapter.group_key(w): w for w in set(cfg.layer_windows)}
         self.cache, self.allocs, self.alloc, self.hybrid = build_pools(
             cfg, ecfg)
-        self.mixed = isinstance(self.alloc, MixedPageAllocator)
-        if self.mixed:
+        # Three cache modes: `mixed` = one mixed pool pair for a UNIFORM
+        # pattern; `hybrid_mixed` = grouped pools where the full group is
+        # mixed (build_pools); plain hybrid/single otherwise.
+        self.mixed = (isinstance(self.alloc, MixedPageAllocator)
+                      and not self.hybrid)
+        self.hybrid_mixed = self.hybrid and any(
+            isinstance(a, MixedPageAllocator) for a in self.allocs.values())
+        if self.mixed or self.hybrid_mixed:
             if ecfg.prefix_cache:
                 raise ValueError(
                     "prefix_cache does not compose with mixed_kv yet "
@@ -288,6 +319,23 @@ class Engine:
                 lambda params, cache, toks, start, table, last, page_size:
                     pcm(params, cache, toks, start, table[0], table[1],
                         last, page_size=page_size))
+        if self.hybrid_mixed:
+            # The generic grouped programs, boundary-aware: mixed groups'
+            # page ids/tables travel as tuples inside the group dicts.
+            bt = self.allocs["full"].boundary
+            self._decode = jax.jit(functools.partial(
+                llama_adapter.decode_step, cfg, boundary_tokens=bt))
+            self._decode_loop = jax.jit(
+                functools.partial(llama_adapter.decode_loop, cfg,
+                                  sampling=ecfg.sampling,
+                                  boundary_tokens=bt),
+                static_argnames=("n_steps", "page_size"),
+            )
+            self._prefill_chunk = jax.jit(
+                functools.partial(llama_adapter.prefill_chunk, cfg,
+                                  boundary_tokens=bt),
+                static_argnames=("page_size",),
+            )
 
     # -- hybrid pool helpers -------------------------------------------------
 
@@ -325,6 +373,14 @@ class Engine:
         mp = self.ecfg.max_pages_per_seq
 
         def one(alloc):
+            if isinstance(alloc, MixedPageAllocator):
+                t8, t4 = alloc.block_tables(seq_ids, mp)
+                f8 = np.zeros((pad_to, alloc.bp), np.int32)  # scrap = 0
+                f4 = np.zeros((pad_to, mp), np.int32)
+                f8[:len(seq_ids)] = t8
+                f4[:len(seq_ids)] = t4
+                return (f8, f4) if host else (jnp.asarray(f8),
+                                              jnp.asarray(f4))
             t = alloc.block_table_array(seq_ids, mp)
             full = np.full((pad_to, mp),
                            alloc.scrap_page if alloc.scrap_page is not None
@@ -487,9 +543,15 @@ class Engine:
             k_w = k_w * keep
             v_w = v_w * keep
         if self.hybrid:
+            def to_j(p):  # mixed groups admit (pages8, pages4) tuples
+                if isinstance(p, tuple):
+                    return tuple(jnp.asarray(np.asarray(x, np.int32))
+                                 for x in p)
+                return jnp.asarray(p, jnp.int32)
+
             self.cache = self._write_hybrid(
                 self.cache, k_w, v_w,
-                {k: jnp.asarray(p, jnp.int32) for k, p in pages.items()},
+                {k: to_j(p) for k, p in pages.items()},
                 page_size=self.ecfg.page_size,
             )
         elif self.mixed:
@@ -538,11 +600,17 @@ class Engine:
             )
         self._admit_all(rid, n)
         if self.hybrid:
-            table_j = {
-                k: jnp.asarray(
-                    a.block_table_array([rid], self.ecfg.max_pages_per_seq)[0],
-                    jnp.int32)
-                for k, a in self.allocs.items()}
+            def one_table(a):
+                if isinstance(a, MixedPageAllocator):
+                    t8, t4 = a.block_tables(
+                        [rid], self.ecfg.max_pages_per_seq)
+                    return (jnp.asarray(t8[0], jnp.int32),
+                            jnp.asarray(t4[0], jnp.int32))
+                return jnp.asarray(
+                    a.block_table_array(
+                        [rid], self.ecfg.max_pages_per_seq)[0], jnp.int32)
+
+            table_j = {k: one_table(a) for k, a in self.allocs.items()}
         elif self.mixed:
             t8, t4 = self.alloc.block_tables([rid], self.ecfg.max_pages_per_seq)
             table_j = (jnp.asarray(t8[0], jnp.int32),
@@ -756,6 +824,11 @@ class Engine:
         allocator too)."""
         allocs = [alloc] if alloc is not None else self._each_alloc()
         for alloc in allocs:
+            if isinstance(alloc, MixedPageAllocator):
+                alloc.check_extend_headroom(
+                    [s.seq_id for s in self.active], n_tokens,
+                    self.ecfg.max_pages_per_seq)
+                continue
             needed = 0
             for seq in self.active:
                 length = alloc.lengths[seq.seq_id]
@@ -844,18 +917,30 @@ class Engine:
         slots = np.zeros(B, np.int32)
         lengths = np.ones(B, np.int32)
         pids_np = {id(a): np.zeros(B, np.int32) for a in self._each_alloc()}
+        pids4_np = {id(a): np.zeros(B, np.int32) for a in self._each_alloc()
+                    if isinstance(a, MixedPageAllocator)}
         for i, seq in enumerate(self.active):
             pos = self.alloc.lengths[seq.seq_id]  # 0-based position of pending
             for a in self._each_alloc():
-                pid, slot, _ = a.extend(seq.seq_id)
-                pids_np[id(a)][i] = pid
+                if isinstance(a, MixedPageAllocator):
+                    p8, p4, slot, _ = a.extend(seq.seq_id)
+                    pids_np[id(a)][i] = p8
+                    pids4_np[id(a)][i] = p4
+                else:
+                    pid, slot, _ = a.extend(seq.seq_id)
+                    pids_np[id(a)][i] = pid
                 slots[i] = slot  # position-derived: identical across pools
             tokens[i] = seq.pending
             positions[i] = pos
             lengths[i] = self.alloc.lengths[seq.seq_id]
         if self.hybrid:
-            page_ids = {k: jnp.asarray(pids_np[id(a)])
-                        for k, a in self.allocs.items()}
+            page_ids = {}
+            for k, a in self.allocs.items():
+                if isinstance(a, MixedPageAllocator):
+                    page_ids[k] = (jnp.asarray(pids_np[id(a)]),
+                                   jnp.asarray(pids4_np[id(a)]))
+                else:
+                    page_ids[k] = jnp.asarray(pids_np[id(a)])
         else:
             page_ids = jnp.asarray(pids_np[id(self.alloc)])
         tables = self._tables_for([s.seq_id for s in self.active], B)

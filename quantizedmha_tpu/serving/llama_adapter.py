@@ -134,6 +134,43 @@ def _g(d, window):
     return d[group_key(window)] if isinstance(d, dict) else d
 
 
+def make_cache_hybrid_mixed(cfg: LlamaConfig, pages_by_group: Dict[str, int],
+                            page_size: int, *, n8_pages: int, n4_pages: int,
+                            subs: int = 4) -> Dict[str, Any]:
+    """Hybrid caches where the FULL-ATTENTION group is mixed-precision
+    (int8 sinks + int4 bulk) and sliding groups stay plain int8.
+
+    The composition targets Gemma-2-class patterns at long context: the
+    full layers are the unbounded KV tenant (sliding layers cap at
+    O(window + sinks) via trims), so the int4 capacity lever applies
+    exactly where it pays; a sliding group's fixed-size pool gains little
+    and would re-open the windowed-mixed sinks==boundary constraint."""
+    from quantizedmha_tpu.serving.mixed_kv import MixedPagedKVState
+
+    ensure_serving_supported(cfg)
+    groups = window_groups(cfg)
+    if "full" not in groups:
+        raise ValueError(
+            "mixed_kv x hybrid_kv puts the int8/int4 split on the "
+            "full-attention group; this window pattern has none "
+            f"(groups: {sorted(groups)})")
+    missing = set(groups) - set(pages_by_group) - {"full"}
+    if missing:
+        raise ValueError(f"pages_by_group missing groups {sorted(missing)}")
+    out = {}
+    for key, idxs in groups.items():
+        if key == "full":
+            one = MixedPagedKVState.create(
+                cfg.num_kv_heads, n8_pages, n4_pages, page_size, cfg.hd,
+                subs)
+        else:
+            one = PagedKVCacheState.create(
+                cfg.num_kv_heads, pages_by_group[key], page_size, cfg.hd)
+        out[key] = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (len(idxs), *x.shape)).copy(), one)
+    return out
+
+
 def scan_layers_caches(windows: Tuple, body, x, layers, caches: Dict[str, Any]):
     """scan_layers for grouped caches: `body(x, layer_slice, cache_slice,
     window) -> (x, new_cache_slice)` where cache_slice comes from the
@@ -284,14 +321,28 @@ def write_prefill_hybrid(
     page_size: int,
 ) -> Dict[str, PagedKVCacheState]:
     """write_prefill into grouped caches: each group receives ITS layers'
-    slice of the prompt K/V, scattered into its own page pool."""
+    slice of the prompt K/V, scattered into its own page pool. A MIXED
+    group (make_cache_hybrid_mixed) passes its page ids as an
+    (ids8, ids4) tuple and writes through write_pages_mixed."""
+    from quantizedmha_tpu.serving.mixed_kv import write_pages_mixed
+
     out = {}
     for key, idxs in window_groups(cfg).items():
         sel = jnp.asarray(idxs, jnp.int32)
-        out[key] = write_prefill(
-            cfg, caches[key],
-            jnp.take(k_all, sel, axis=0), jnp.take(v_all, sel, axis=0),
-            page_ids[key], page_size=page_size)
+        k_g = jnp.take(k_all, sel, axis=0)
+        v_g = jnp.take(v_all, sel, axis=0)
+        pg = page_ids[key]
+        if isinstance(pg, tuple):
+            ids8, ids4 = pg
+
+            def body(_, scanned, ids8=ids8, ids4=ids4):
+                cache_l, k_l, v_l = scanned
+                return None, write_pages_mixed(cache_l, k_l, v_l, ids8, ids4)
+
+            _, out[key] = jax.lax.scan(body, None, (caches[key], k_g, v_g))
+        else:
+            out[key] = write_prefill(
+                cfg, caches[key], k_g, v_g, pg, page_size=page_size)
     return out
 
 
@@ -540,6 +591,7 @@ def prefill_chunk(
     *,
     page_size: int,
     axis_name: Optional[str] = None,
+    boundary_tokens: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, PagedKVCacheState]:
     """One chunk of a chunked prefill (prompts longer than the largest
     bucket): per layer, project/RoPE the chunk, WRITE its K/V into the paged
@@ -574,6 +626,35 @@ def prefill_chunk(
         # they can't inflate the per-page scales fitted over them.
         keep = (jnp.arange(C) <= last_index)[None, :, None]
         tbl = _g(table, window)
+        if isinstance(tbl, tuple):  # mixed group (make_cache_hybrid_mixed)
+            from quantizedmha_tpu.serving.mixed_kv import (
+                mixed_paged_prefill_attention,
+                write_pages_mixed_routed,
+            )
+
+            t8, t4 = tbl
+            bp = boundary_tokens // page_size
+            n_pg = C // page_size
+            ls = chunk_start // page_size + jnp.arange(n_pg, dtype=jnp.int32)
+            below = ls < bp
+            pid8 = t8[jnp.clip(ls, 0, t8.shape[0] - 1)]
+            pid4 = t4[jnp.clip(ls - bp, 0, t4.shape[0] - 1)]
+            cache_l = write_pages_mixed_routed(
+                cache_l, k[0] * keep, v[0] * keep, below, pid8, pid4)
+            o = mixed_paged_prefill_attention(
+                q, cache_l,
+                jnp.broadcast_to(
+                    jnp.asarray(chunk_start + C, jnp.int32), (1,)),
+                jnp.broadcast_to(jnp.asarray(chunk_start, jnp.int32), (1,)),
+                t8[None], t4[None], boundary_tokens,
+                sm_scale=cfg.sm_scale,
+                window=window, logit_softcap=cfg.logit_softcap,
+                attention_sinks=cfg.attention_sinks if window is not None else 0,
+            )
+            o = o.transpose(0, 2, 1, 3).reshape(b, C, cfg.num_heads * hd)
+            x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
+            x = _mlp_residual(cfg, dense, p, x, reduce_tp)
+            return x, cache_l
         chunk_pages = jax.lax.dynamic_slice(
             tbl, (chunk_start // page_size,), (C // page_size,)
         )
@@ -724,13 +805,22 @@ def decode_step(
     lengths: jnp.ndarray,    # [B] i32 — context length INCLUDING this token
     tables,                  # [B, max_pages] i32
     axis_name: Optional[str] = None,
+    boundary_tokens: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, PagedKVCacheState]:
     """One decode step for a batch of sequences -> (logits [B, vocab], cache).
 
     Hybrid caches: `cache` may be a group dict (make_cache_hybrid), in
     which case `page_ids` and `tables` are group dicts too (each group has
     its own page pool); `slots`/`lengths` are position-derived and shared.
+    A MIXED group (make_cache_hybrid_mixed) carries (pid8, pid4) /
+    (tables8, tables4) tuples and `boundary_tokens` must be set.
     """
+    from quantizedmha_tpu.serving.mixed_kv import (
+        MixedPagedKVState,
+        append_tokens_batched_mixed,
+        mixed_paged_decode_attention,
+    )
+
     b = tokens.shape[0]
     hd = cfg.hd
     reduce_tp = _psum_or_id(axis_name)
@@ -745,14 +835,26 @@ def decode_step(
         # RoPE at each sequence's absolute position.
         q = _rope_single(q, positions, cfg.rope_theta)
         k = _rope_single(k, positions, cfg.rope_theta)
-        cache_l = _append_batch(cache_l, k, v, _g(page_ids, window), slots)
-        o = paged_decode_attention(
-            q, cache_l.k_pages, cache_l.v_pages,
-            cache_l.k_scales, cache_l.v_scales, lengths, _g(tables, window),
-            sm_scale=cfg.sm_scale,
-            window=window, logit_softcap=cfg.logit_softcap,
-            attention_sinks=cfg.attention_sinks if window is not None else 0,
-        )
+        if isinstance(cache_l, MixedPagedKVState):
+            pid8, pid4 = _g(page_ids, window)
+            t8, t4 = _g(tables, window)
+            cache_l = append_tokens_batched_mixed(
+                cache_l, k, v, positions, boundary_tokens, pid8, pid4, slots)
+            o = mixed_paged_decode_attention(
+                q, cache_l, lengths, t8, t4, boundary_tokens,
+                sm_scale=cfg.sm_scale,
+                window=window, logit_softcap=cfg.logit_softcap,
+                attention_sinks=cfg.attention_sinks if window is not None else 0,
+            )
+        else:
+            cache_l = _append_batch(cache_l, k, v, _g(page_ids, window), slots)
+            o = paged_decode_attention(
+                q, cache_l.k_pages, cache_l.v_pages,
+                cache_l.k_scales, cache_l.v_scales, lengths, _g(tables, window),
+                sm_scale=cfg.sm_scale,
+                window=window, logit_softcap=cfg.logit_softcap,
+                attention_sinks=cfg.attention_sinks if window is not None else 0,
+            )
         o = o.reshape(b, 1, cfg.num_heads * hd)
         x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
         x = _mlp_residual(cfg, dense, p, x, reduce_tp)
@@ -784,6 +886,7 @@ def decode_loop(
     sampling=None,  # serving.sampling.SamplingParams; None -> greedy
     axis_name: Optional[str] = None,
     return_logits: bool = False,
+    boundary_tokens: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, PagedKVCacheState]:
     """Fused decode of `n_steps` tokens per sequence, entirely on-device:
     the sampled token feeds the next step inside a lax.scan, and each
@@ -805,17 +908,32 @@ def decode_loop(
     def take_pids(t, pos):
         return jnp.take_along_axis(t, (pos // page_size)[:, None], axis=1)[:, 0]
 
+    def take_clip(t, idx):
+        idx = jnp.clip(idx, 0, t.shape[1] - 1)
+        return jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+
+    def pids_for(t, pos):
+        if isinstance(t, tuple):  # mixed group: route by the boundary
+            t8, t4 = t
+            below = pos < boundary_tokens
+            p8 = jnp.where(below, take_clip(t8, pos // page_size), 0)
+            p4 = jnp.where(
+                below, 0,
+                take_clip(t4, (pos - boundary_tokens) // page_size))
+            return (p8, p4)
+        return take_pids(t, pos)
+
     def body(carry, _):
         cache, toks, lens, key = carry
         pos = lens  # absolute position of the pending token
         if isinstance(tables, dict):
-            pids = {k: take_pids(t, pos) for k, t in tables.items()}
+            pids = {k: pids_for(t, pos) for k, t in tables.items()}
         else:
             pids = take_pids(tables, pos)
         slots = pos % page_size
         logits, cache = decode_step(
             cfg, params, cache, toks, pos, pids, slots, lens + 1, tables,
-            axis_name,
+            axis_name, boundary_tokens=boundary_tokens,
         )
         key, sub = jax.random.split(key)
         nxt = sample(logits, sub, sampling)

@@ -253,7 +253,8 @@ def build_tp_mixed_programs(cfg: LlamaConfig, params: Dict[str, Any],
 
 def build_tp_programs(cfg: LlamaConfig, params: Dict[str, Any],
                       ecfg: EngineConfig, mesh: Mesh, axis: str,
-                      hybrid_groups=None, verify: bool = False):
+                      hybrid_groups=None, verify: bool = False,
+                      mixed_groups=None, boundary_tokens=None):
     """Sharded program set for ONE model on `mesh`.
 
     Returns (pspecs, cspecs, progs) where progs holds jitted shard_maps
@@ -262,6 +263,10 @@ def build_tp_programs(cfg: LlamaConfig, params: Dict[str, Any],
     signatures the replicated Engine/SpecDecodeEngine programs have.
     `hybrid_groups`: the window-group keys when this model's pools are
     hybrid (dict-structured cache specs / tables / page ids), else None.
+    `mixed_groups` (+ `boundary_tokens`): the subset of hybrid groups
+    holding a MIXED int8/int4 pool pair (engine.hybrid_mixed — in
+    practice {"full"}): their cache specs follow MixedPagedKVState and
+    their tables/page ids travel as (int8, int4) tuples.
     Shared by TPEngine (target only) and TPSpecDecodeEngine (target with
     verify + draft)."""
     tp = mesh.shape[axis]
@@ -273,16 +278,23 @@ def build_tp_programs(cfg: LlamaConfig, params: Dict[str, Any],
     rep2 = P(None, None)
     rep3 = P(None, None, None)
     hybrid = hybrid_groups is not None
+    mixed_set = set(mixed_groups or ())
     if hybrid:
         # Grouped pools: every group's cache shards its kv heads the
         # same way; tables/page-id dicts replicate per group. The
-        # shard_map in_specs mirror the dict pytree structure.
+        # shard_map in_specs mirror the dict pytree structure — tuples
+        # for the mixed groups.
         groups = list(hybrid_groups)
-        cspecs = {k: tp_cache_specs(axis) for k in groups}
-        tab1_spec = {k: rep1 for k in groups}  # [max_pages]
-        tab2_spec = {k: rep2 for k in groups}  # [B, max_pages]
-        pid_spec = {k: rep1 for k in groups}   # [B]
-        pages_spec = {k: P() for k in groups}  # prefill page ids
+
+        def pick(k, mixed_v, plain_v):
+            return mixed_v if k in mixed_set else plain_v
+
+        cspecs = {k: pick(k, tp_mixed_cache_specs(axis),
+                          tp_cache_specs(axis)) for k in groups}
+        tab1_spec = {k: pick(k, (rep1, rep1), rep1) for k in groups}
+        tab2_spec = {k: pick(k, (rep2, rep2), rep2) for k in groups}
+        pid_spec = {k: pick(k, (rep1, rep1), rep1) for k in groups}
+        pages_spec = {k: pick(k, (P(), P()), P()) for k in groups}
     else:
         cspecs = tp_cache_specs(axis)
         tab1_spec, tab2_spec, pid_spec, pages_spec = rep1, rep2, rep1, P()
@@ -322,7 +334,8 @@ def build_tp_programs(cfg: LlamaConfig, params: Dict[str, Any],
     )
 
     decode_sm = jax.shard_map(
-        functools.partial(llama_adapter.decode_step, lcfg, axis_name=axis),
+        functools.partial(llama_adapter.decode_step, lcfg, axis_name=axis,
+                          boundary_tokens=boundary_tokens),
         mesh=mesh,
         in_specs=(pspecs, cspecs, rep1, rep1, pid_spec, rep1, rep1,
                   tab2_spec),
@@ -334,7 +347,8 @@ def build_tp_programs(cfg: LlamaConfig, params: Dict[str, Any],
     def chunk_sm(page_size):
         return jax.shard_map(
             functools.partial(llama_adapter.prefill_chunk, lcfg,
-                              page_size=page_size, axis_name=axis),
+                              page_size=page_size, axis_name=axis,
+                              boundary_tokens=boundary_tokens),
             mesh=mesh,
             in_specs=(pspecs, cspecs, rep2, P(), tab1_spec, P()),
             out_specs=(rep2, cspecs),
@@ -353,6 +367,7 @@ def build_tp_programs(cfg: LlamaConfig, params: Dict[str, Any],
                 llama_adapter.decode_loop, lcfg, axis_name=axis,
                 n_steps=n_steps, page_size=page_size,
                 sampling=ecfg.sampling, return_logits=return_logits,
+                boundary_tokens=boundary_tokens,
             ),
             mesh=mesh,
             # The PRNG key is replicated: every shard samples the same
@@ -425,9 +440,18 @@ class TPEngine(Engine):
             self._decode_loop_mixed = progs["decode_loop_mixed"]
             return
 
+        mixed_groups = None
+        boundary = None
+        if self.hybrid_mixed:
+            from quantizedmha_tpu.serving.kv_cache import MixedPageAllocator
+
+            mixed_groups = [k for k, a in self.allocs.items()
+                            if isinstance(a, MixedPageAllocator)]
+            boundary = self.allocs[mixed_groups[0]].boundary
         pspecs, cspecs, progs = build_tp_programs(
             cfg, params, ecfg, mesh, axis,
-            hybrid_groups=self.groups if self.hybrid else None)
+            hybrid_groups=self.groups if self.hybrid else None,
+            mixed_groups=mixed_groups, boundary_tokens=boundary)
         self.params = shard_tree(params, pspecs, mesh)
         self.cache = shard_tree(self.cache, cspecs, mesh)
         self._prefill = progs["prefill"]
