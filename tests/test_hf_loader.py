@@ -421,3 +421,48 @@ def test_layer_types_sliding_without_window_refuses(tmp_path):
         {**base, "sliding_window": 16, "use_sliding_window": False}))
     with pytest.raises(ValueError, match="sliding_window"):
         config_from_hf(tmp_path)
+
+
+def test_multifile_shard_on_load_tp_accounting(tmp_path):
+    """The 70B claim's mechanical half (round-2 verdict #8): a MULTI-FILE
+    indexed checkpoint loaded shard-on-load under a TP mesh. Asserts
+    (a) values are IDENTICAL to the single-file load, (b) every device
+    holds exactly replicated_bytes + sharded_bytes/tp of addressable
+    parameter memory — i.e. no tensor was silently materialized
+    replicated — and (c) column/row-sharded leaves carry the plan's spec."""
+    import numpy as np
+
+    from quantizedmha_tpu.models.llama import param_shardings
+    from quantizedmha_tpu.parallel.distributed import hybrid_mesh
+
+    save_llama_synthetic(tmp_path / "multi", CFG, seed=0, shards=4)
+    save_llama_synthetic(tmp_path / "single", CFG, seed=0, shards=1)
+    assert len(list((tmp_path / "multi").glob("model-*.safetensors"))) == 4
+
+    tp = 2
+    mesh = hybrid_mesh((2,), (tp,), ("dp",), ("tp",))
+    pm = load_llama(tmp_path / "multi", CFG, mesh=mesh)
+    ps = load_llama(tmp_path / "single", CFG)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)), pm, ps)
+
+    # Sharding plan applied: wq column-sharded, wo row-sharded over tp.
+    assert "tp" in str(pm["layers"]["wq"].sharding.spec)
+    assert "tp" in str(pm["layers"]["wo"].sharding.spec)
+
+    # Per-device addressable-memory accounting: each of the mesh's devices
+    # must hold full bytes of replicated leaves and 1/tp of tp-sharded
+    # leaves (dp only replicates here — no batch dim in params).
+    specs = param_shardings(CFG)  # PartitionSpec is a pytree LEAF
+    expected = sum(jax.tree_util.tree_leaves(jax.tree.map(
+        lambda leaf, spec: leaf.size * leaf.dtype.itemsize
+        // (tp if "tp" in str(spec) else 1), pm, specs)))
+
+    per_device = {}
+    for leaf in jax.tree_util.tree_leaves(pm):
+        for s in leaf.addressable_shards:
+            per_device[s.device] = per_device.get(s.device, 0) + s.data.nbytes
+    assert len(per_device) == 4  # every mesh device holds a shard
+    for dev, nbytes in per_device.items():
+        assert nbytes == expected, (dev, nbytes, expected)
