@@ -63,7 +63,7 @@ def _kernel_t(
     qt_ref, k_ref, vt_ref, ks_ref, vs_ref, ot_ref,
     m_scratch, l_scratch, acc_scratch, qi8_scratch, sq_scratch,
     *, sm_scale, block_q, block_kv,
-    softmax, stat_dtype, maxmode, summode,
+    softmax, stat_dtype, maxmode, summode, pv_dtype="int8",
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
@@ -125,7 +125,15 @@ def _kernel_t(
             p = jnp.exp(st - (m_next - _LN127).astype(dt))
         # bf16 jnp.round (math.roundeven) does not legalize in Mosaic;
         # p >= 0 so add-half + truncating cast is exact round-half-up.
-        if dt == jnp.float32:
+        if pv_dtype == "bf16":
+            # run21 (round-2 verdict weak #3): drop the round + int8-cast
+            # VPU passes entirely — P goes to the MXU as bf16. p in
+            # (0, 127] and int8 V fits bf16's 8-bit mantissa exactly, so
+            # the only new error is bf16's ~0.2% rounding of p. The PV
+            # matmul runs at the bf16 rate (half of int8) — a net win iff
+            # the two deleted VPU sweeps cost more than PV's extra time.
+            p_i8 = p.astype(jnp.bfloat16)
+        elif dt == jnp.float32:
             p_i8 = (
                 jnp.round(p).astype(jnp.int8) if stat_dtype == "f32"
                 else (p + 0.5).astype(jnp.int8)  # "f32_addhalf"
@@ -150,11 +158,18 @@ def _kernel_t(
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
-    pv_i32 = jax.lax.dot_general(
-        vt_ref[0, 0, :, :], p_i8, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32, precision=_INT8_PRECISION,
-    )
-    acc_scratch[...] = acc_scratch[...] * alpha + pv_i32.astype(jnp.float32) * (
+    if pv_dtype == "bf16" and softmax == "full":
+        pv = jax.lax.dot_general(
+            vt_ref[0, 0, :, :].astype(jnp.bfloat16), p_i8,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
+        )
+    else:
+        pv = jax.lax.dot_general(
+            vt_ref[0, 0, :, :], p_i8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32, precision=_INT8_PRECISION,
+        ).astype(jnp.float32)
+    acc_scratch[...] = acc_scratch[...] * alpha + pv * (
         vs_ref[b_idx, h_idx, kv_idx]
     )
 
@@ -166,7 +181,8 @@ def _kernel_t(
 
 
 def build_int8_t(shape, *, block_q=4096, block_kv=512, softmax="full",
-                 stat_dtype="f32", maxmode="f32", summode="vpu"):
+                 stat_dtype="f32", maxmode="f32", summode="vpu",
+                 pv_dtype="int8"):
     """Returns a jitted fn(q, k, v) for [B, H, S, D] inputs."""
     B, H, S, D = shape
     block_q = min(block_q, S)
@@ -181,7 +197,7 @@ def build_int8_t(shape, *, block_q=4096, block_kv=512, softmax="full",
         kernel = functools.partial(
             _kernel_t, sm_scale=D ** -0.5, block_q=block_q, block_kv=block_kv,
             softmax=softmax, stat_dtype=stat_dtype, maxmode=maxmode,
-            summode=summode,
+            summode=summode, pv_dtype=pv_dtype,
         )
         out_t = pl.pallas_call(
             kernel,
@@ -515,6 +531,18 @@ def main():
             "bq2048_bkv1024": dict(block_q=2048, block_kv=1024),
             "bq8192_bkv256": dict(block_q=8192, block_kv=256),
         }
+    elif args_cli.phase == "pv":
+        # run21: bf16 P-V WITHOUT the (losing) pipeline. run9 row 7's
+        # "max_rel 0.17 collapse" was measured against the int8 BASELINE
+        # with a 1e-3 denominator floor: a ~2e-4 ABSOLUTE deviation at a
+        # near-zero output reads as 0.17 — the same tiny-|ref| artifact
+        # run9 row 9 diagnosed for block sweeps. This phase scores both
+        # variants against the FP32 reference directly (see main()).
+        specs = {
+            "baseline": dict(),
+            "pv_bf16": dict(pv_dtype="bf16"),
+            "pv_bf16_i32max": dict(pv_dtype="bf16", maxmode="i32"),
+        }
     elif args_cli.phase == "pipe":
         # Software pipelining: overlap the MXU matmuls with the (dominant)
         # VPU softmax by deferring softmax/PV across kv grid steps.
@@ -555,6 +583,20 @@ def main():
             print(f"  {vname:24s} {ms:8.3f} ms{rel}")
         results[wname] = res
         # accuracy spot-check of full-math variants vs baseline output
+        if args_cli.phase == "pv":
+            # Ground truth, not the baseline's own rounding: fp32 MHA.
+            from quantizedmha_tpu.reference.mha import mha_reference_shaped
+
+            q_a, k_a, v_a = arrs
+            gold = np.asarray(mha_reference_shaped(q_a, k_a, v_a), np.float32)
+            for vname, fn in variants.items():
+                out = np.asarray(fn(*arrs), np.float32)
+                abs_err = np.abs(out - gold)
+                denom = np.abs(gold)
+                rel = abs_err / np.maximum(denom, 1e-2)  # floored rel
+                print(f"  {vname:24s} vs fp32 golden: max_abs={abs_err.max():.2e} "
+                      f"p99.9_abs={np.quantile(abs_err, 0.999):.2e} "
+                      f"max_rel@|ref|>1e-2={rel.max():.2e}")
         ref_out = variants["baseline"](*arrs) if "baseline" in variants else None
         if ref_out is not None:
             for vname, fn in variants.items():
