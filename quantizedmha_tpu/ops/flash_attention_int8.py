@@ -10,9 +10,15 @@ and of the INT8 algorithm documented in its run6 notes
     S_i32    = Qq_i8 @ Kq_i8^T on the MXU's int8 path   (wmma int8, :177-280)
     S_f32    = S_i32 * sQ * sK * sm_scale               (dequant, :150-174)
     online softmax in f32 (m, l in VMEM scratch)
-    Pq  int8 = round(P')  where P' = exp(s - (m - ln 127)) in (0, 127]
-    O_i32    = Pq @ Vq_i8 on the MXU
-    acc_f32 += O_i32 * sV   (fp32 accum, :420-423; the 127 cancels vs l')
+    P' = exp(s - (m - ln 127)) in (0, 127]; then either
+      Pq int8 = round(P')            (pv_dtype="int8", the reference's way)
+      Pq bf16 = P'.astype(bf16)      (pv_dtype="bf16": deletes the round +
+                                      cast VPU sweeps; default at d <= 64
+                                      where it measures 1.05-1.12x faster
+                                      AND tighter vs the fp32 golden —
+                                      run21, profiles/raw_r3/run21_pv.out)
+    O        = Pq @ Vq_i8 on the MXU (int32 or f32 accumulation)
+    acc_f32 += O * sV       (fp32 accum, :420-423; the 127 cancels vs l')
 
 Deliberate departures from the reference:
   * K/V are quantized ONCE per sequence in an O(S*D) host-side XLA pass
@@ -100,6 +106,7 @@ def _int8_fwd_kernel(
     softcap: Optional[float] = None,
     sinks: int = 0,
     windowed_grid: Optional[tuple] = None,
+    pv_dtype: str = "int8",
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)      # q head; kv head = h_idx // group (GQA)
@@ -203,13 +210,25 @@ def _int8_fwd_kernel(
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
-        p_i8 = jnp.round(p).astype(jnp.int8)
-        pv_i32 = jax.lax.dot_general(
-            p_i8, v_ref[0, 0, :, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-            precision=_INT8_PRECISION,
-        )
-        acc_scratch[...] = acc_scratch[...] * alpha + pv_i32.astype(jnp.float32) * (
+        if pv_dtype == "bf16":
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                v_ref[0, 0, :, :].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION,
+            )
+        else:
+            # int8 P: the default here — at head_dim >= 128 the PV
+            # matmul's bf16-rate surcharge outweighs the two deleted VPU
+            # sweeps (the transposed d<=64 orientation defaults to bf16).
+            p_i8 = jnp.round(p).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_i8, v_ref[0, 0, :, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+                precision=_INT8_PRECISION,
+            ).astype(jnp.float32)
+        acc_scratch[...] = acc_scratch[...] * alpha + pv * (
             vs_ref[b_idx, kvh_idx, kv_idx]
         )
 
@@ -258,6 +277,7 @@ def flash_attention_int8_prequant(
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
     interpret: Optional[bool] = None,
+    pv_dtype: str = "int8",
 ):
     """Fused INT8 attention over pre-quantized K/V (the INT8 KV-cache path).
 
@@ -342,6 +362,7 @@ def flash_attention_int8_prequant(
 
     kernel = functools.partial(
         _int8_fwd_kernel,
+        pv_dtype=pv_dtype,
         sm_scale=scale,
         causal=causal,
         kv_len=kv_len,
@@ -441,6 +462,7 @@ def _int8_fwd_kernel_t(
     softcap: Optional[float] = None,
     sinks: int = 0,
     windowed_grid: Optional[tuple] = None,
+    pv_dtype: str = "bf16",
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)      # q head; kv head = h_idx // group (GQA)
@@ -533,15 +555,32 @@ def _int8_fwd_kernel_t(
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
-        p_i8 = jnp.round(p).astype(jnp.int8)
         # O^T [head_dim, block_q] += V^T @ P^T: full-lane output, head_dim
         # is only the cheap streaming dimension.
-        pv_i32 = jax.lax.dot_general(
-            vt_ref[0, 0, :, :], p_i8, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-            precision=_INT8_PRECISION,
-        )
-        acc_scratch[...] = acc_scratch[...] * alpha + pv_i32.astype(jnp.float32) * (
+        if pv_dtype == "bf16":
+            # run21: drop the round + int8-cast VPU sweeps entirely — P
+            # goes to the MXU as bf16. p in (0, p_scale] and int8 V fit
+            # bf16's 8-bit mantissa, so accuracy is AT LEAST the int8
+            # path's (measured max_abs 3.9e-4 vs 4.8e-4 against the fp32
+            # golden) while the two deleted VPU sweeps dominate the PV
+            # matmul's bf16-rate surcharge at head_dim <= 64 (1.12x at
+            # the reference headline shape, profiles/raw_r3/run21_pv.out;
+            # run9 row 7's "accuracy collapse" was a tiny-|ref|
+            # denominator artifact in its baseline-relative check).
+            pv = jax.lax.dot_general(
+                vt_ref[0, 0, :, :].astype(jnp.bfloat16),
+                p.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION,
+            )
+        else:
+            p_i8 = jnp.round(p).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                vt_ref[0, 0, :, :], p_i8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+                precision=_INT8_PRECISION,
+            ).astype(jnp.float32)
+        acc_scratch[...] = acc_scratch[...] * alpha + pv * (
             vs_ref[b_idx, kvh_idx, kv_idx]
         )
 
@@ -610,6 +649,7 @@ def flash_attention_int8_t_prequant(
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
     interpret: Optional[bool] = None,
+    pv_dtype: str = "bf16",
     q_transposed: bool = False,
     v_transposed: bool = False,
     out_transposed: bool = False,
@@ -705,6 +745,7 @@ def flash_attention_int8_t_prequant(
     grid = (batch, heads, q_len_p // block_q_eff, nkv_grid)
     kernel = functools.partial(
         _int8_fwd_kernel_t,
+        pv_dtype=pv_dtype,
         sm_scale=scale,
         causal=causal,
         kv_len=kv_len,
@@ -785,9 +826,12 @@ def flash_attention_int8_t(
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
     interpret: Optional[bool] = None,
+    pv_dtype: str = "bf16",
 ) -> jnp.ndarray:
     """Transposed-score fused INT8 attention (optimal for head_dim <= 64):
-    quantize K/V per block, then run the prequant entry point."""
+    quantize K/V per block, then run the prequant entry point. P rides the
+    PV matmul as bf16 by default (run21: faster AND tighter than int8 P at
+    d <= 64); pv_dtype="int8" restores the all-int8 pipeline."""
     if q.ndim != 4:
         raise ValueError(f"expected [batch, heads, seq, head_dim], got {q.shape}")
     validate_masking(causal, window, attention_sinks)
@@ -811,7 +855,7 @@ def flash_attention_int8_t(
         p_static_scale=p_static_scale,
         window=window, logit_softcap=logit_softcap,
         attention_sinks=attention_sinks,
-        interpret=interpret,
+        interpret=interpret, pv_dtype=pv_dtype,
     )
 
 
@@ -831,6 +875,7 @@ def flash_attention_int8(
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
     interpret: Optional[bool] = None,
+    pv_dtype: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fused INT8-quantized FlashAttention forward on TPU.
 
@@ -857,6 +902,7 @@ def flash_attention_int8(
             window=window, logit_softcap=logit_softcap,
             attention_sinks=attention_sinks,
             interpret=interpret,
+            pv_dtype=pv_dtype if pv_dtype is not None else "bf16",
         )
     _, block_kv_eff = pick_blocks(q_len, kv_len, q.shape[-1], block_q=block_q, block_kv=block_kv)
     kv_pad = (-kv_len) % block_kv_eff
@@ -873,4 +919,5 @@ def flash_attention_int8(
         window=window, logit_softcap=logit_softcap,
         attention_sinks=attention_sinks,
         interpret=interpret,
+        pv_dtype=pv_dtype if pv_dtype is not None else "int8",
     )

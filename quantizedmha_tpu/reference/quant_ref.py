@@ -49,6 +49,7 @@ def mha_int8_reference(
     causal: bool = False,
     p_static_scale: float = 127.0,
     scale_clamp: float = 1e-8,
+    pv_dtype: str = "int8",
 ) -> jnp.ndarray:
     """Blocked fake-quant INT8 attention golden over [..., seq, head_dim].
 
@@ -110,9 +111,19 @@ def mha_int8_reference(
             # factor cancels in the epilogue division.
             p = jnp.exp(s - (m_next - jnp.log(jnp.float32(p_static_scale))))
             l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-            p_q = jnp.clip(jnp.round(p), -127, 127).astype(jnp.int32)
-            o_i32 = jnp.einsum("...qk,...kd->...qd", p_q, v_q.astype(jnp.int32))
-            acc = alpha * acc + o_i32.astype(jnp.float32) * s_v
+            if pv_dtype == "bf16":
+                # Models the kernel's bf16 P path (run21): P rides the PV
+                # matmul as bf16, V dequantizes through the same s_v.
+                o = jnp.einsum(
+                    "...qk,...kd->...qd",
+                    p.astype(jnp.bfloat16).astype(jnp.float32),
+                    v_q.astype(jnp.float32))
+            else:
+                p_q = jnp.clip(jnp.round(p), -127, 127).astype(jnp.int32)
+                o = jnp.einsum(
+                    "...qk,...kd->...qd", p_q,
+                    v_q.astype(jnp.int32)).astype(jnp.float32)
+            acc = alpha * acc + o * s_v
             m = m_next
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         out = out.at[..., qs, :].set(acc * l_inv)

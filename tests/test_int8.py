@@ -39,14 +39,25 @@ def test_quantize_constant_input_is_exact():
 
 
 @pytest.mark.parametrize("causal", [False, True])
-def test_kernel_matches_fake_quant_golden(qkv_factory, causal):
+@pytest.mark.parametrize("pv_dtype", ["int8", "bf16"])
+def test_kernel_matches_fake_quant_golden(qkv_factory, causal, pv_dtype):
     """The Pallas kernel must reproduce the jnp fake-quant golden almost
-    exactly — same quantization decisions, same accumulation structure."""
+    exactly — same quantization decisions, same accumulation structure —
+    in BOTH P-V modes (bf16 P is the d<=64 default since run21; the
+    golden models the same cast)."""
     q, k, v = qkv_factory(batch=1, heads=2, q_len=256, kv_len=256)
     q, k, v = (jnp.asarray(x) for x in (q, k, v))
-    out = flash_attention_int8(q, k, v, causal=causal, block_q=128, block_kv=128)
-    ref = mha_int8_reference(q, k, v, causal=causal, block_q=128, block_kv=128)
-    assert_close(out, ref, abs_tol=1e-5, rel_tol=1e-4, what=f"int8 vs fake-quant causal={causal}")
+    out = flash_attention_int8(q, k, v, causal=causal, block_q=128,
+                               block_kv=128, pv_dtype=pv_dtype)
+    ref = mha_int8_reference(q, k, v, causal=causal, block_q=128,
+                             block_kv=128, pv_dtype=pv_dtype)
+    # int8 P-V accumulates in INTEGERS (order-invariant, bit-reproducible
+    # between einsum and MXU); bf16 P-V accumulates in f32, where the
+    # golden's einsum and the kernel's dot sum in different orders —
+    # ~1e-5-scale noise at these magnitudes, not a quantization delta.
+    abs_tol = 1e-5 if pv_dtype == "int8" else 1e-4
+    assert_close(out, ref, abs_tol=abs_tol, rel_tol=1e-4,
+                 what=f"int8 vs fake-quant causal={causal} pv={pv_dtype}")
 
 
 def test_error_budget_vs_fp32_random(qkv_factory):
