@@ -149,7 +149,12 @@ def solve(
             raise ValueError(
                 "abi_fast requires head_dim <= 64, use_rope=False, and "
                 "seq divisible by the kv quant block")
-        if eligible and abi_fast is not False:
+        # Auto default flipped to the STANDARD route in round 3: under the
+        # bf16-P-V kernel the run15 re-run measured abi_fast 6.18 ms vs
+        # standard 5.57 ms interleaved (profiles/raw_r3/run15_abi.out) —
+        # the whole-matrix-transpose layout lost its edge (outputs remain
+        # bitwise identical; abi_fast=True keeps the route for A/Bs).
+        if eligible and abi_fast:
             from quantizedmha_tpu.ops.flash_attention_int8 import (
                 flash_attention_int8_t_prequant)
             from quantizedmha_tpu.ops.quantize import (
