@@ -58,8 +58,8 @@ def _decode_kernel(
     q_ref,             # [1, 1, group_p, head_dim] f32/bf16
     k_page_ref,        # [1, 1, page_size, head_dim] int8
     v_page_ref,        # [1, 1, page_size, head_dim] int8
-    ks_ref,            # [num_kv_heads, num_pages] f32 in SMEM
-    vs_ref,            # [num_kv_heads, num_pages] f32 in SMEM
+    ks_ref,            # [1, num_pages, 1] f32 VMEM — this head's column
+    vs_ref,            # [1, num_pages, 1] f32 VMEM (_scales_cols layout)
     # outputs: o_ref [1, 1, group_p, head_dim] (+ lse_ref [1, 1, group_p,
     # LANES] when save_residuals), then scratch m/l [group_p, LANES],
     # acc [group_p, head_dim]
@@ -109,7 +109,7 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
-        ) * ks_ref[h, page]
+        ) * _read_scale(ks_ref, page, h)
         if softcap is not None:
             # Gemma-2-style cap*tanh(s/cap) on the scaled logits.
             s = softcap * jnp.tanh(s / softcap)
@@ -139,7 +139,7 @@ def _decode_kernel(
         pv = jax.lax.dot_general(
             p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
-        ) * vs_ref[h, page]
+        ) * _read_scale(vs_ref, page, h)
         acc_scratch[...] = acc_scratch[...] * alpha + pv
 
     @pl.when(i == num_pages_grid - 1)
@@ -155,6 +155,48 @@ def _decode_kernel(
             m = m_scratch[:, :1]
             lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(jnp.maximum(l, 1e-38)))
             lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _scales_cols(scales: jnp.ndarray) -> jnp.ndarray:
+    """[num_kv_heads, num_pages(, subs)] -> [num_kv_heads, rows, 1]: the
+    per-(head, page) scales with the page/sub rows on the SUBLANE dim, so
+    each grid (b, h) block-fetches ITS column into VMEM and reads scalars
+    by native dynamic-sublane indexing.
+
+    Why not SMEM (the original design): each SMEM word costs ~32 bytes on
+    this target, so whole-pool scale tables blow the 1 MiB SMEM budget at
+    ~1500 pages x 8 kv heads — the round-3 run17 re-run hit exactly this
+    ("Ran out of memory in memory space smem. Used 2.00M of 1.00M",
+    profiles/raw_r3/run17_mixed.out). A [num_pages, 1] VMEM block per head
+    costs num_pages x 512 B of (lane-padded) VMEM out of ~16 MiB and is
+    fetched once per (b, h) — the index map ignores the page step, so
+    Pallas elides the re-fetch across the page grid."""
+    if scales.ndim == 3:
+        h, n, subs = scales.shape
+        return scales.reshape(h, n * subs, 1)
+    return scales[:, :, None]
+
+
+def _read_scale(scales_ref, row, h):
+    """One f32 scale from this head's [1, rows, 1] VMEM block: a native
+    dynamic-SUBLANE scalar read (rows ride the sublane dim; Mosaic has no
+    dynamic lane indexing, and a (rows, 1)-over-(rows, Hkv) block is
+    rejected — the last block dim must be 128-divisible or whole, which
+    is why the layout is [Hkv, rows, 1] blocked (1, rows, 1): both
+    trailing block dims EQUAL the array dims). An earlier iota-select
+    variant over head lanes measured 14% slower on the serving-shape
+    decode (profiles/raw_r3/run22 first pass); this read matches the old
+    SMEM path (run22: 1.00-1.02 ms both ways, bitwise equal). `h` is
+    consumed by the BlockSpec, not here."""
+    del h
+    return scales_ref[0, row, 0]
+
+
+def _scales_spec(num_rows: int):
+    """One kv head's scale column as a [1, rows, 1] VMEM block, fetched
+    once per (b, h) — the index map ignores the page step, so Pallas
+    elides the re-fetch across the page grid."""
+    return pl.BlockSpec((1, num_rows, 1), lambda b, h, i, L, T: (h, 0, 0))
 
 
 def _make_clamped_page_idx(page_size: int, window, sinks: int):
@@ -257,8 +299,8 @@ def paged_decode_attention(
             pl.BlockSpec((1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, page_size, head_dim), page_idx),
             pl.BlockSpec((1, 1, page_size, head_dim), page_idx),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _scales_spec(num_pages),
+            _scales_spec(num_pages),
         ],
         out_specs=(out_block, lse_block) if save_residuals else out_block,
         scratch_shapes=[
@@ -277,7 +319,8 @@ def paged_decode_attention(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
-    )(lengths, block_tables, qg, k_pages, v_pages, k_scales, v_scales)
+    )(lengths, block_tables, qg, k_pages, v_pages,
+      _scales_cols(k_scales), _scales_cols(v_scales))
     if save_residuals:
         o, lse = out
         return (
@@ -295,8 +338,8 @@ def _decode_kernel_int4(
     q_ref,             # [1, 1, group_p, head_dim] f32/bf16
     k_page_ref,        # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
     v_page_ref,        # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
-    ks_ref,            # [num_kv_heads, num_pages, subs] f32 in SMEM
-    vs_ref,            # [num_kv_heads, num_pages, subs] f32 in SMEM
+    ks_ref,            # [1, num_pages * subs, 1] f32 VMEM — this head's
+    vs_ref,            # [1, num_pages * subs, 1] f32 VMEM
     # outputs: o_ref [1, 1, group_p, head_dim] (+ lse_ref [1, 1, group_p,
     # LANES] when save_residuals), then scratch m/l [group_p, LANES],
     # acc_lo/acc_hi [group_p, head_dim//2]
@@ -353,10 +396,12 @@ def _decode_kernel_int4(
         """[1, page_size] per-column dequant row from the page's sub-tile
         scales (subs is static and small, so this unrolls)."""
         if subs == 1:
-            return scales_ref[h, page, 0]
+            return _read_scale(scales_ref, page, h)
         sub_w = page_size // subs
         return jnp.concatenate(
-            [jnp.full((1, sub_w), scales_ref[h, page, j], jnp.float32)
+            [jnp.full((1, sub_w),
+                      _read_scale(scales_ref, page * subs + j, h),
+                      jnp.float32)
              for j in range(subs)], axis=1)
 
     @pl.when(in_ctx)
@@ -501,8 +546,8 @@ def paged_decode_attention_int4(
             pl.BlockSpec((1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, page_size, half), page_idx),
             pl.BlockSpec((1, 1, page_size, half), page_idx),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _scales_spec(num_pages * subs),
+            _scales_spec(num_pages * subs),
         ],
         out_specs=(out_block, lse_block) if save_residuals else out_block,
         scratch_shapes=[
@@ -522,7 +567,8 @@ def paged_decode_attention_int4(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
-    )(lengths, block_tables, qg, k_pages, v_pages, k_scales, v_scales)
+    )(lengths, block_tables, qg, k_pages, v_pages,
+      _scales_cols(k_scales), _scales_cols(v_scales))
     if save_residuals:
         o, lse = out
         return (

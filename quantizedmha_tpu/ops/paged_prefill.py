@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from quantizedmha_tpu.ops.decode import _read_scale
 from quantizedmha_tpu.ops.flash_attention import (
     DEFAULT_MASK_VALUE,
     LANES,
@@ -68,8 +69,8 @@ def _prefill_kernel(
     q_ref,         # [1, 1, group, block_q, head_dim]
     k_page_ref,    # [1, 1, page_size, head_dim] int8
     v_page_ref,    # [1, 1, page_size, head_dim] int8
-    ks_ref,        # [num_kv_heads, num_pages] f32 in SMEM
-    vs_ref,        # [num_kv_heads, num_pages] f32 in SMEM
+    ks_ref,        # [1, num_pages, 1] f32 VMEM — this kv head's column
+    vs_ref,        # [1, num_pages, 1] f32 VMEM (decode._scales_cols)
     # outputs: o_ref [1, 1, group, block_q, head_dim] (+ lse_ref
     # [1, 1, group, block_q, LANES] when save_residuals), then scratch
     # m/l [group*block_q, LANES], acc [group*block_q, head_dim]
@@ -123,7 +124,7 @@ def _prefill_kernel(
         s = jax.lax.dot_general(
             q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
-        ) * ks_ref[h, page]
+        ) * _read_scale(ks_ref, page, h)
         if softcap is not None:
             s = softcap * jnp.tanh(s / softcap)
 
@@ -157,7 +158,7 @@ def _prefill_kernel(
         pv = jax.lax.dot_general(
             p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
-        ) * vs_ref[h, page]
+        ) * _read_scale(vs_ref, page, h)
         acc_scratch[...] = acc_scratch[...] * alpha + pv
 
     @pl.when(i == num_pages_grid - 1)
@@ -266,6 +267,12 @@ def paged_prefill_attention(
                 ic = clamped
         return (h, T[b, ic], 0, 0)
 
+    from quantizedmha_tpu.ops.decode import _scales_cols
+
+    # per-head VMEM scale columns (SMEM words cost ~32 B each — whole-
+    # pool tables blow the 1 MiB SMEM budget; see decode._scales_cols).
+    _scol_spec = pl.BlockSpec(
+        (1, num_pages, 1), lambda b, h, qb, i, L, S, T: (h, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, num_kv_heads, q_len_p // block_q, max_pages),
@@ -274,8 +281,8 @@ def paged_prefill_attention(
                          lambda b, h, qb, i, L, S, T: (b, h, 0, qb, 0)),
             pl.BlockSpec((1, 1, page_size, head_dim), _page_idx),
             pl.BlockSpec((1, 1, page_size, head_dim), _page_idx),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _scol_spec,
+            _scol_spec,
         ],
         out_specs=(
             (_out_block(group, block_q, head_dim),
@@ -302,7 +309,7 @@ def paged_prefill_attention(
         interpret=_auto_interpret(interpret),
     )(lengths.astype(jnp.int32), q_starts.astype(jnp.int32),
       block_tables.astype(jnp.int32), qg, k_pages, v_pages,
-      k_scales, v_scales)
+      _scales_cols(k_scales), _scales_cols(v_scales))
     if save_residuals:
         o, lse = out
         return (
@@ -322,8 +329,8 @@ def _prefill_kernel_int4(
     q_ref,         # [1, 1, group, block_q, head_dim]
     k_page_ref,    # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
     v_page_ref,    # [1, 1, page_size, head_dim//2] int8 (nibble-packed)
-    ks_ref,        # [num_kv_heads, num_pages, subs] f32 in SMEM
-    vs_ref,        # [num_kv_heads, num_pages, subs] f32 in SMEM
+    ks_ref,        # [1, num_pages * subs, 1] f32 VMEM — this head's
+    vs_ref,        # [1, num_pages * subs, 1] f32 VMEM
     # outputs: o_ref [1, 1, group, block_q, head_dim] (+ lse_ref
     # [1, 1, group, block_q, LANES] when save_residuals), then scratch
     # m/l [group*block_q, LANES], acc_lo/acc_hi [group*block_q, head_dim//2]
@@ -377,10 +384,12 @@ def _prefill_kernel_int4(
 
     def _scale_cols(scales_ref, page):
         if subs == 1:
-            return scales_ref[h, page, 0]
+            return _read_scale(scales_ref, page, h)
         sub_w = page_size // subs
         return jnp.concatenate(
-            [jnp.full((1, sub_w), scales_ref[h, page, j], jnp.float32)
+            [jnp.full((1, sub_w),
+                      _read_scale(scales_ref, page * subs + j, h),
+                      jnp.float32)
              for j in range(subs)], axis=1)
 
     @pl.when(in_ctx)
@@ -537,6 +546,11 @@ def paged_prefill_attention_int4(
                 ic = clamped
         return (h, T[b, ic], 0, 0)
 
+    from quantizedmha_tpu.ops.decode import _scales_cols
+
+    _scol_spec = pl.BlockSpec(
+        (1, num_pages * subs, 1),
+        lambda b, h, qb, i, L, S, T: (h, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, num_kv_heads, q_len_p // block_q, max_pages),
@@ -545,8 +559,8 @@ def paged_prefill_attention_int4(
                          lambda b, h, qb, i, L, S, T: (b, h, 0, qb, 0)),
             pl.BlockSpec((1, 1, page_size, half), _page_idx),
             pl.BlockSpec((1, 1, page_size, half), _page_idx),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _scol_spec,
+            _scol_spec,
         ],
         out_specs=(
             (_out_block(group, block_q, head_dim),
@@ -574,7 +588,7 @@ def paged_prefill_attention_int4(
         interpret=_auto_interpret(interpret),
     )(lengths.astype(jnp.int32), q_starts.astype(jnp.int32),
       block_tables.astype(jnp.int32), qg, k_pages, v_pages,
-      k_scales, v_scales)
+      _scales_cols(k_scales), _scales_cols(v_scales))
     if save_residuals:
         o, lse = out
         return (

@@ -67,11 +67,22 @@ def main():
 
     print("phase B: ~45 s sustained matmul load")
     big = jnp.asarray(rng.normal(0, 1, (8192, 8192)), jnp.bfloat16)
-    loadfn = jax.jit(lambda x: x @ x)
+
+    @jax.jit
+    def loadfn(x):
+        # ~50 chained matmuls per dispatch, one host sync per call:
+        # an unsynced enqueue loop floods the tunnel's queue and hangs
+        # (first run of this probe died exactly there).
+        def body(_, y):
+            return (y @ big) * (1.0 / 90.0)
+
+        return jax.lax.fori_loop(0, 50, body, x)
+
     tb = time.time()
+    r = big
     while time.time() - tb < 45:
-        r = loadfn(big)
-    np.asarray(r[0, 0])
+        r = loadfn(r)
+        np.asarray(r[0, 0])
 
     print("phase C: fits after sustained load")
     for i in range(6):
