@@ -8,10 +8,19 @@ FP32 in/out, all heads (reference include/config.h:22-28) — against the
 reference's best kernel, fa_tc_int8_b at 7.70 ms on an NVIDIA L4
 (reference README.md:19). vs_baseline > 1 means we beat it.
 
-Extra context (secondary metrics, correctness gate) goes into "extra".
+Round-3 robustness (round-2 verdict weak #1): the headline is the MEDIAN
+OF K INDEPENDENT FITS interleaved through the whole process — chip state
+on the tunneled v5e drifts one-sidedly between/within processes, so a
+single early fit random-walks the number of record; the spread of the K
+fits is printed so a bad-chip-state round is visible instead of silent.
+
+Extra context (secondary metrics, achievable-model scores, the serving
+row, correctness gates) goes into "extra".
 """
 
 import json
+import os
+import subprocess
 import sys
 
 import jax
@@ -24,9 +33,46 @@ from quantizedmha_tpu.harness.timing import benchmark
 from quantizedmha_tpu.harness.verify import compare
 from quantizedmha_tpu.ops.flash_attention import flash_attention
 from quantizedmha_tpu.ops.flash_attention_int8 import flash_attention_int8
-from quantizedmha_tpu.profiling.roofline import attention_flops, detect_chip, roofline
+from quantizedmha_tpu.profiling.roofline import (
+    attention_achievable,
+    attention_flops,
+    detect_chip,
+    roofline,
+)
 
 REFERENCE_INT8_MS = 7.70  # fa_tc_int8_b on L4, reference README.md:19
+SERVING_TIMEOUT_S = 300   # subprocess budget for the 8B serving row
+
+
+def serving_row() -> dict:
+    """Llama-8B-shape decode tok/s + % of HBM SoL, in a SUBPROCESS with a
+    timeout: 8B-scale jobs have wedged this machine's tunneled backend
+    before (.claude/skills/verify/SKILL.md) — a hang must degrade this
+    row, never the headline."""
+    cmd = [sys.executable, "-m", "quantizedmha_tpu.harness.serving_bench",
+           "--json", "--batch", "8", "--prompt-len", "256", "--max-new",
+           "48", "--chunk", "16"]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=SERVING_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        if proc.returncode != 0:
+            return {"serving_error": (proc.stderr or "")[-300:]}
+        line = proc.stdout.strip().splitlines()[-1]
+        out = json.loads(line)
+        row = out["sweep"][0]
+        return {
+            "decode_toks_per_s": row["decode_toks_per_s"],
+            "decode_pct_hbm_sol": row["decode_pct_hbm_sol"],
+            "decode_ms_per_tok": row["decode_ms_per_tok"],
+            "hbm_bytes_per_tok": row["hbm_bytes_per_tok"],
+            "serving_model": out["model"],
+            "serving_batch": row["batch"],
+        }
+    except subprocess.TimeoutExpired:
+        return {"serving_error": f"timeout after {SERVING_TIMEOUT_S}s"}
+    except Exception as e:  # noqa: BLE001 — the row is best-effort
+        return {"serving_error": f"{type(e).__name__}: {e}"}
 
 
 def main():
@@ -38,6 +84,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     rng = np.random.default_rng(42)
+    chip = detect_chip()
 
     # --- Headline: the reference's exact workload, its ABI (flat [N, d_model]).
     wl = ReferenceWorkload()
@@ -47,7 +94,11 @@ def main():
     v = jnp.asarray(rng.normal(0, 0.5, (N, d_model)), jnp.float32)
 
     solve_int8 = jax.jit(lambda q, k, v: solve(q, k, v, d_model, h, kernel="fa_int8"))
-    t_headline = benchmark(solve_int8, q, k, v, warmup=3, runs=32, repeats=7)
+
+    def headline_fit():
+        return benchmark(solve_int8, q, k, v, warmup=3, runs=32, repeats=5)
+
+    fits = [headline_fit()]  # fit 1: cold-ish chip state
 
     # --- Secondary: BASELINE.json metric config (N=4K, d=64) per kernel.
     B, H, S, D = 1, 16, 4096, 64
@@ -60,17 +111,26 @@ def main():
     fa_bf16 = jax.jit(lambda q, k, v: flash_attention(q, k, v))
     t_int8 = benchmark(fa_int8, qs, ks, vs, warmup=3, runs=24, repeats=5)
     t_bf16 = benchmark(fa_bf16, qb, kb, vb, warmup=3, runs=24, repeats=5)
+    fits.append(headline_fit())  # fit 2
 
     flops = attention_flops(B, H, S, S, D)
-    chip = detect_chip()
     rl_int8 = roofline(t_int8.median_s, flops, 0, dtype="int8", chip=chip)
     rl_bf16 = roofline(t_bf16.median_s, flops, 0, dtype="bf16", chip=chip)
+    # Composite achievable-time scores (run9 productized): % of the
+    # shape's achievable floor, not of the shape-blind raw-MXU peak.
+    # d=64 routes to the transposed orientation whose default P-V mode is
+    # bf16 (run21) — the floor model charges that pipeline (4 VPU passes,
+    # PV at the bf16 rate).
+    ach_int8 = attention_achievable(
+        t_int8.median_s, batch=B, heads=H, q_len=S, kv_len=S, head_dim=D,
+        dtype="int8_bf16pv", chip=chip)
+    ach_bf16 = attention_achievable(
+        t_bf16.median_s, batch=B, heads=H, q_len=S, kv_len=S, head_dim=D,
+        dtype="bf16", chip=chip)
 
     # --- d=128 SoL row (same total FLOPs as the d=64 config): at head_dim
     # 128 the QK contraction fills the MXU, separating kernel quality from
-    # the d<=64 shape tax (run9 showed the d<=64 gap is shape-bound: the
-    # serial VPU softmax + half-empty contraction; see
-    # profiles/md/run9_mxu_gap/notes.md).
+    # the d<=64 shape tax (run9, profiles/md/run9_mxu_gap/notes.md).
     q128 = jnp.asarray(rng.normal(0, 0.5, (1, 8, S, 128)), jnp.float32)
     k128 = jnp.asarray(rng.normal(0, 0.5, (1, 8, S, 128)), jnp.float32)
     v128 = jnp.asarray(rng.normal(0, 0.5, (1, 8, S, 128)), jnp.float32)
@@ -78,10 +138,13 @@ def main():
     rl_128 = roofline(
         t_128.median_s, attention_flops(1, 8, S, S, 128), 0,
         dtype="int8", chip=chip)
+    ach_128 = attention_achievable(
+        t_128.median_s, batch=1, heads=8, q_len=S, kv_len=S, head_dim=128,
+        dtype="int8", chip=chip)
+    fits.append(headline_fit())  # fit 3
 
-    # --- Long-context extra: 32K causal sliding-window bf16 (the shrunk-
-    # grid O(seq*W) path; full causal comparison lives in scripts/
-    # long_context_check.py).
+    # --- Long-context extra: 32K causal sliding-window (shrunk O(seq*W)
+    # grids in both the bf16 and int8 orientations).
     Sw = 32768
     qw = jnp.asarray(rng.normal(0, 0.5, (1, 8, Sw, 128)), jnp.bfloat16)
     kw = jnp.asarray(rng.normal(0, 0.5, (1, 8, Sw, 128)), jnp.bfloat16)
@@ -89,15 +152,14 @@ def main():
     fa_win = jax.jit(lambda q, k, v: flash_attention(
         q, k, v, causal=True, window=4096, attention_sinks=64))
     t_win = benchmark(fa_win, qw, kw, vw, warmup=2, runs=8, repeats=3)
-    # INT8 on the same windowed workload: the shrunk O(seq*window) grid now
-    # exists in both INT8 orientations too (round-1 verdict weak #5 — the
-    # windowed win previously existed only on the float path).
     qwf, kwf, vwf = (x.astype(jnp.float32) for x in (qw, kw, vw))
     fa_win_i8 = jax.jit(lambda q, k, v: flash_attention_int8(
         q, k, v, causal=True, window=4096, attention_sinks=64))
     t_win_i8 = benchmark(fa_win_i8, qwf, kwf, vwf, warmup=2, runs=8, repeats=3)
+    fits.append(headline_fit())  # fit 4
 
-    # --- Correctness gate: INT8 max-abs err vs FP32 golden on random inputs.
+    # --- Correctness gate 1: INT8 max-abs err vs FP32 golden, RANDOM
+    # inputs (the reference's blind spot — SURVEY §4.4).
     from quantizedmha_tpu.reference.mha import mha_reference_shaped
 
     small = slice(0, 1024)
@@ -105,31 +167,57 @@ def main():
     int8_small = flash_attention_int8(qs[:, :2, small], ks[:, :2, small], vs[:, :2, small])
     gate = compare(int8_small, ref_small, abs_tol=1e-1, rel_tol=1e-1)
 
-    # Headline statistic: the MEDIAN per-run estimate (the honest central
-    # number); the min-batch fit — robust to the tunnel's one-sided spikes —
-    # rides along as extra (see profiles/md/run3 on measured variance).
-    value_ms = t_headline.median_ms
+    # --- Correctness gate 2: the reference's OWN metric — constant-1.0
+    # inputs at its workload, where the exact answer is 1.0 everywhere
+    # (any row-stochastic attention times V=1 gives 1; RoPE cancels).
+    # The reference's int8_b deviates 0.3-0.4% here from its SMEM unions
+    # (reference profiles/md/run7/notes.md:41-53); apples-to-apples our
+    # random-input max_rel (~1.6e-2) is a tiny-|ref|-denominator artifact,
+    # THIS row is the like-for-like budget.
+    ones = jnp.ones((N, d_model), jnp.float32)
+    const_out = np.asarray(solve_int8(ones, ones, ones))
+    const_dev = float(np.abs(const_out - 1.0).max())
+    fits.append(headline_fit())  # fit 5: warmed chip state
+
+    # --- Serving row (subprocess; best-effort).
+    serving = serving_row()
+
+    # Headline statistic: median of the K interleaved fits' medians.
+    med = sorted(f.median_ms for f in fits)[len(fits) // 2]
+    spread = (max(f.median_ms for f in fits) - min(f.median_ms for f in fits)) / med
+    ach_head = attention_achievable(
+        med * 1e-3, batch=1, heads=h, q_len=N, kv_len=N,
+        head_dim=d_model // h, dtype="int8_bf16pv", chip=chip)
     result = {
         "metric": "fused_int8_mha_ms_reference_workload_N8192_h32_d32",
-        "value": round(value_ms, 3),
+        "value": round(med, 3),
         "unit": "ms",
-        "vs_baseline": round(REFERENCE_INT8_MS / value_ms, 3),
+        "vs_baseline": round(REFERENCE_INT8_MS / med, 3),
         "extra": {
             "chip": chip.name,
-            "headline_note": "reference fa_tc_int8_b = 7.70 ms on L4 (README.md:19); vs_baseline = ref_ms / ours",
+            "headline_note": "reference fa_tc_int8_b = 7.70 ms on L4 (README.md:19); vs_baseline = ref_ms / ours; value = median of 5 interleaved fits",
+            "headline_fits_ms": [round(f.median_ms, 3) for f in fits],
+            "headline_spread": round(spread, 3),
+            "headline_best_ms": round(min(f.best_ms for f in fits), 3),
+            "headline_pct_achievable": round(ach_head.pct_of_achievable, 1),
             "int8_n4k_d64_ms": round(t_int8.median_ms, 3),
             "int8_n4k_d64_tflops": round(rl_int8.tflops_achieved, 2),
             "int8_pct_mxu_sol": round(rl_int8.pct_of_compute_sol, 1),
+            "int8_n4k_d64_pct_achievable": round(ach_int8.pct_of_achievable, 1),
             "bf16_n4k_d64_ms": round(t_bf16.median_ms, 3),
             "bf16_n4k_d64_tflops": round(rl_bf16.tflops_achieved, 2),
             "bf16_pct_mxu_sol": round(rl_bf16.pct_of_compute_sol, 1),
+            "bf16_n4k_d64_pct_achievable": round(ach_bf16.pct_of_achievable, 1),
             "int8_n4k_d128_ms": round(t_128.median_ms, 3),
             "int8_n4k_d128_pct_mxu_sol": round(rl_128.pct_of_compute_sol, 1),
-            "headline_best_ms": round(t_headline.best_ms, 3),
+            "int8_n4k_d128_pct_achievable": round(ach_128.pct_of_achievable, 1),
             "windowed_32k_w4k_bf16_ms": round(t_win.median_ms, 3),
             "windowed_32k_w4k_int8_ms": round(t_win_i8.median_ms, 3),
             "int8_vs_fp32_max_abs_err": round(gate.max_abs, 5),
             "int8_vs_fp32_max_rel_err": round(gate.max_rel, 5),
+            "const_input_max_dev": round(const_dev, 6),
+            "const_input_note": "reference's own gate metric; its int8_b deviates 3-4e-3 (run7/notes.md:41-53)",
+            **serving,
         },
     }
     print(json.dumps(result))

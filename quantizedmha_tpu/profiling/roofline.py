@@ -136,10 +136,15 @@ _VPU_EFF_OPS = {  # effective elementwise ops/s of the serial softmax chain
     "TPU v6e": 7.3e12,
 }
 _DEFAULT_VPU_EFF_OPS = 3.2e12
-# Serial VPU passes per score element by kernel pipeline: the int8 kernels
-# sweep dequant-fma, running max, exp(sub), sum, round, int8 cast (~6); the
-# bf16/f32 flash kernels drop the round + cast (~4).
-_SOFTMAX_PASSES = {"int8": 6.0, "int4": 6.0, "bf16": 4.0, "fp32": 4.0,
+# Serial VPU passes per score element by kernel PIPELINE (the algorithmic
+# minimum — the floor; run19 measures EFFECTIVE passes 1-2 higher at
+# small-element shapes, which is exactly the headroom pct_of_achievable
+# tracks): "int8" = dequant-fma, max, exp(sub), sum, round, int8-cast
+# (the standard d>=128 orientation); "int8_bf16pv" = the transposed
+# d<=64 default since run21, which deletes the round + cast (P rides the
+# PV matmul as bf16); bf16/f32 flash = scale, max, exp, sum.
+_SOFTMAX_PASSES = {"int8": 6.0, "int4": 6.0, "int8_bf16pv": 4.0,
+                   "bf16": 4.0, "fp32": 4.0,
                    "float32": 4.0, "bfloat16": 4.0}
 
 
@@ -191,17 +196,21 @@ def attention_achievable(
     pass count; `io_bytes` overrides the minimum-HBM-traffic estimate."""
     chip = chip or detect_chip()
     pairs = visible_pairs(batch, heads, q_len, kv_len, causal, window, sinks)
-    peak = chip.peak_for(dtype) * 1e12
+    peak = chip.peak_for("int8" if dtype.startswith("int8") else dtype) * 1e12
+    # int8_bf16pv: QK runs int8 x int8, but P rides the PV matmul as bf16
+    # (half rate) — the floor charges each matmul its own peak.
+    pv_peak = (chip.bf16_tflops * 1e12 if dtype == "int8_bf16pv" else peak)
     qk_flops = pv_flops = 2.0 * pairs * head_dim
     qk_eff = min(head_dim, 128) / 128.0
-    t_mxu = qk_flops / (peak * qk_eff) + pv_flops / peak
+    t_mxu = qk_flops / (peak * qk_eff) + pv_flops / pv_peak
     n_passes = passes if passes is not None else _SOFTMAX_PASSES.get(
         dtype, 4.0)
     t_vpu = n_passes * pairs / vpu_eff_ops(chip)
     if io_bytes is None:
         # fa_int8 reads fp32 Q/K/V and writes fp32 O (quantization is
         # in-kernel); the bf16 path moves 2-byte elements.
-        el = 4 if dtype in ("int8", "int4", "fp32", "float32") else 2
+        el = 4 if dtype in ("int8", "int4", "int8_bf16pv", "fp32",
+                            "float32") else 2
         io_bytes = attention_bytes(batch, heads, q_len, kv_len, head_dim, el)
     t_hbm = io_bytes / (chip.hbm_gbps * 1e9)
     t_ach = t_mxu + t_vpu + t_hbm

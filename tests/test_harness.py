@@ -281,3 +281,26 @@ def test_attention_achievable_hbm_dominates_skinny_shapes():
     assert r.t_hbm_s > r.t_mxu_s + r.t_vpu_s
     assert r.t_achievable_s == pytest.approx(
         r.t_hbm_s + r.t_mxu_s + r.t_vpu_s)
+
+
+def test_attention_achievable_bf16pv_pipeline():
+    """The d<=64 default pipeline (run21): 4 VPU passes and the PV matmul
+    charged at the bf16 rate while QK stays int8."""
+    from quantizedmha_tpu.profiling.roofline import attention_achievable
+
+    chip = ChipSpec("TPU v5 lite", 197.0, 394.0, 819.0)
+    a = attention_achievable(
+        1e-3, batch=1, heads=16, q_len=4096, kv_len=4096, head_dim=64,
+        dtype="int8_bf16pv", chip=chip)
+    b = attention_achievable(
+        1e-3, batch=1, heads=16, q_len=4096, kv_len=4096, head_dim=64,
+        dtype="int8", chip=chip)
+    pairs = 16 * 4096.0 * 4096
+    flops = 2.0 * pairs * 64
+    # QK identical (int8 peak, depth tax 64/128); PV doubles under bf16.
+    assert a.t_mxu_s == pytest.approx(
+        flops / (394e12 * 0.5) + flops / 197e12)
+    assert b.t_mxu_s == pytest.approx(
+        flops / (394e12 * 0.5) + flops / 394e12)
+    # 4 passes vs 6.
+    assert a.t_vpu_s == pytest.approx(b.t_vpu_s * 4 / 6)
