@@ -12,17 +12,20 @@ OUT=profiles/raw_r3
 mkdir -p $OUT
 
 probe() {
-  timeout 90 python -c "
+  # 150 s grace: the first contact after an idle/wedged tunnel can take
+  # >90 s, and a timeout-kill mid-handshake itself wedges the tunnel for
+  # minutes — a tight probe loop turns one hiccup into a standing outage.
+  timeout 150 python -c "
 import jax, jax.numpy as jnp, numpy as np
 x = jnp.ones((256,256)); print('ok', float(np.asarray(x@x)[0,0]))" \
     >/dev/null 2>&1
 }
 
 echo "[chip_batch] waiting for tunnel..."
-for i in $(seq 1 90); do
+for i in $(seq 1 60); do
   if probe; then echo "[chip_batch] tunnel up after probe $i"; break; fi
-  if [ "$i" = 90 ]; then echo "[chip_batch] tunnel never returned"; exit 2; fi
-  sleep 120
+  if [ "$i" = 60 ]; then echo "[chip_batch] tunnel never returned"; exit 2; fi
+  sleep 180
 done
 
 run() {  # run <name> <timeout_s> <cmd...>
