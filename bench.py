@@ -118,9 +118,9 @@ def main():
     rl_bf16 = roofline(t_bf16.median_s, flops, 0, dtype="bf16", chip=chip)
     # Composite achievable-time scores (run9 productized): % of the
     # shape's achievable floor, not of the shape-blind raw-MXU peak.
-    # d=64 routes to the transposed orientation whose default P-V mode is
-    # bf16 (run21) — the floor model charges that pipeline (4 VPU passes,
-    # PV at the bf16 rate).
+    # d=64 routes to the transposed orientation whose default pipeline is
+    # bf16 P-V (run21) + MXU-sum l (run25) — the floor model charges that
+    # pipeline (3 VPU passes, PV at the bf16 rate).
     ach_int8 = attention_achievable(
         t_int8.median_s, batch=B, heads=H, q_len=S, kv_len=S, head_dim=D,
         dtype="int8_bf16pv", chip=chip)

@@ -142,6 +142,7 @@ def _fwd_kernel(
     softcap: Optional[float] = None,
     sinks: int = 0,
     windowed_grid: Optional[tuple] = None,
+    summode: str = "vpu",
 ):
     q_idx = pl.program_id(2)
     j = pl.program_id(3)  # local step along the (possibly shrunk) kv grid
@@ -249,17 +250,33 @@ def _fwd_kernel(
             # their l stays 0 and the epilogue emits o = 0, lse = -inf.
             row_live = m_next > DEFAULT_MASK_VALUE * 0.5
             p = jnp.where(row_live, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
         v = v_ref[0, 0, :, :]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision,
-        )
+        if summode == "mxu":
+            # run25 (int8 sibling): l rides the PV matmul as a ones COLUMN
+            # appended to V — at head_dim <= 64 the PV output's lane dim
+            # pads to 128 anyway, so column head_dim is free MXU work and
+            # the VPU sum(p) reduction pass is deleted. l then sums the
+            # same P the numerator uses (p cast to v.dtype for bf16 V).
+            hd = acc_scratch.shape[1]
+            v_aug = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+            pv_aug = jax.lax.dot_general(
+                p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision,
+            )
+            pv = pv_aug[:, :hd]
+            l_next = alpha * l_prev + pv_aug[:, hd:hd + 1]
+        else:
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision,
+            )
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
         acc_scratch[...] = acc_scratch[...] * alpha + pv
 
     @pl.when(j == num_kv - 1)
@@ -295,9 +312,19 @@ def _fwd(
     softcap: Optional[float] = None,
     sinks: int = 0,
     interpret: Optional[bool] = None,
+    summode: Optional[str] = None,
 ):
     batch, heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
+    if summode is None:
+        summode = "vpu"  # flipped per-shape after the run26 chip A/B
+    if summode not in ("vpu", "mxu"):
+        raise ValueError(f"summode must be 'vpu' or 'mxu', got {summode!r}")
+    if summode == "mxu" and head_dim > 64:
+        raise ValueError(
+            "summode='mxu' requires head_dim <= 64: at head_dim >= 128 "
+            "the ones-column adds an MXU output tile instead of riding "
+            "padding lanes")
     # GQA: k/v may carry FEWER heads than q (num_kv_heads divides num_heads);
     # each group of `group` consecutive q heads reads the same kv head via
     # the BlockSpec index map — no materialized repeat (the _repeat_kv the
@@ -376,6 +403,7 @@ def _fwd(
         softcap=softcap,
         sinks=sinks,
         windowed_grid=windowed_grid,
+        summode=summode,
     )
     if not save_residuals:
         kernel = functools.partial(_strip_lse, kernel)

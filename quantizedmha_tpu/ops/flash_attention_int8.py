@@ -463,6 +463,7 @@ def _int8_fwd_kernel_t(
     sinks: int = 0,
     windowed_grid: Optional[tuple] = None,
     pv_dtype: str = "bf16",
+    summode: str = "vpu",
 ):
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)      # q head; kv head = h_idx // group (GQA)
@@ -551,9 +552,7 @@ def _int8_fwd_kernel_t(
             # Columns (= q rows) masked across the whole block: see the
             # standard kernel's note.
             p = jnp.where(m_next > DEFAULT_MASK_VALUE * 0.5, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
         # O^T [head_dim, block_q] += V^T @ P^T: full-lane output, head_dim
         # is only the cheap streaming dimension.
@@ -567,19 +566,45 @@ def _int8_fwd_kernel_t(
             # the reference headline shape, profiles/raw_r3/run21_pv.out;
             # run9 row 7's "accuracy collapse" was a tiny-|ref|
             # denominator artifact in its baseline-relative check).
-            pv = jax.lax.dot_general(
-                vt_ref[0, 0, :, :].astype(jnp.bfloat16),
-                p.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_INT8_PRECISION,
-            )
+            p_bf = p.astype(jnp.bfloat16)
+            if summode == "mxu":
+                # run25: l rides the PV matmul as a ones-row appended to
+                # V^T — at head_dim <= 64 the MXU output tile has idle
+                # sublanes, so the extra row is free and the whole VPU
+                # sum(p) reduction pass is deleted. l then sums the SAME
+                # bf16 P the numerator uses (denominator-consistent).
+                # run3 rejected an int8 ones-row on accuracy (the ~vs/2
+                # rounding of round(1/vs) lands on l); a bf16 ones-row is
+                # exact. run9's 'mxusum' loser was a SEPARATE ones @ P
+                # matmul paying its own MXU pass, not a fused row.
+                hd = acc_scratch.shape[0]
+                vt_aug = jnp.concatenate(
+                    [vt_ref[0, 0, :, :].astype(jnp.bfloat16),
+                     jnp.ones((1, block_kv), jnp.bfloat16)], axis=0)
+                pv_aug = jax.lax.dot_general(
+                    vt_aug, p_bf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_INT8_PRECISION,
+                )
+                pv = pv_aug[:hd, :]
+                l_next = alpha * l_prev + pv_aug[hd:hd + 1, :]
+            else:
+                l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+                pv = jax.lax.dot_general(
+                    vt_ref[0, 0, :, :].astype(jnp.bfloat16),
+                    p_bf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_INT8_PRECISION,
+                )
         else:
+            l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
             p_i8 = jnp.round(p).astype(jnp.int8)
             pv = jax.lax.dot_general(
                 vt_ref[0, 0, :, :], p_i8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
                 precision=_INT8_PRECISION,
             ).astype(jnp.float32)
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
         acc_scratch[...] = acc_scratch[...] * alpha + pv * (
             vs_ref[b_idx, kvh_idx, kv_idx]
         )
@@ -650,6 +675,7 @@ def flash_attention_int8_t_prequant(
     attention_sinks: int = 0,
     interpret: Optional[bool] = None,
     pv_dtype: str = "bf16",
+    summode: Optional[str] = None,
     q_transposed: bool = False,
     v_transposed: bool = False,
     out_transposed: bool = False,
@@ -672,6 +698,17 @@ def flash_attention_int8_t_prequant(
     instead of a per-head split + per-operand relayout chain (run15).
     """
     validate_masking(causal, window, attention_sinks)
+    if summode is None:
+        # run25 default: with bf16 P the l ones-row is free MXU work and
+        # measured 1.28-1.34x (profiles/raw_r3/run21b_pv_ab.out); the int8
+        # P path keeps the VPU sum (an int8 ones-row is lossy — run3).
+        summode = "mxu" if pv_dtype == "bf16" else "vpu"
+    if summode not in ("vpu", "mxu"):
+        raise ValueError(f"summode must be 'vpu' or 'mxu', got {summode!r}")
+    if summode == "mxu" and pv_dtype != "bf16":
+        raise ValueError(
+            "summode='mxu' requires pv_dtype='bf16' (an int8 ones-row "
+            "would put round(1/vs) quantization error on l — run3)")
     if q_transposed:
         batch, heads, head_dim, q_len = q.shape
     else:
@@ -746,6 +783,7 @@ def flash_attention_int8_t_prequant(
     kernel = functools.partial(
         _int8_fwd_kernel_t,
         pv_dtype=pv_dtype,
+        summode=summode,
         sm_scale=scale,
         causal=causal,
         kv_len=kv_len,
@@ -827,6 +865,7 @@ def flash_attention_int8_t(
     attention_sinks: int = 0,
     interpret: Optional[bool] = None,
     pv_dtype: str = "bf16",
+    summode: Optional[str] = None,
 ) -> jnp.ndarray:
     """Transposed-score fused INT8 attention (optimal for head_dim <= 64):
     quantize K/V per block, then run the prequant entry point. P rides the
@@ -855,7 +894,7 @@ def flash_attention_int8_t(
         p_static_scale=p_static_scale,
         window=window, logit_softcap=logit_softcap,
         attention_sinks=attention_sinks,
-        interpret=interpret, pv_dtype=pv_dtype,
+        interpret=interpret, pv_dtype=pv_dtype, summode=summode,
     )
 
 
@@ -876,6 +915,7 @@ def flash_attention_int8(
     attention_sinks: int = 0,
     interpret: Optional[bool] = None,
     pv_dtype: Optional[str] = None,
+    summode: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fused INT8-quantized FlashAttention forward on TPU.
 
@@ -903,7 +943,13 @@ def flash_attention_int8(
             attention_sinks=attention_sinks,
             interpret=interpret,
             pv_dtype=pv_dtype if pv_dtype is not None else "bf16",
+            summode=summode,
         )
+    if summode not in (None, "vpu"):
+        raise ValueError(
+            "summode='mxu' is a transposed-orientation (head_dim <= 64) "
+            "feature: the standard orientation's PV output lanes are full "
+            "at head_dim >= 128, so a fused ones-row is not free there")
     _, block_kv_eff = pick_blocks(q_len, kv_len, q.shape[-1], block_q=block_q, block_kv=block_kv)
     kv_pad = (-kv_len) % block_kv_eff
     if kv_pad:

@@ -141,9 +141,11 @@ _DEFAULT_VPU_EFF_OPS = 3.2e12
 # small-element shapes, which is exactly the headroom pct_of_achievable
 # tracks): "int8" = dequant-fma, max, exp(sub), sum, round, int8-cast
 # (the standard d>=128 orientation); "int8_bf16pv" = the transposed
-# d<=64 default since run21, which deletes the round + cast (P rides the
-# PV matmul as bf16); bf16/f32 flash = scale, max, exp, sum.
-_SOFTMAX_PASSES = {"int8": 6.0, "int4": 6.0, "int8_bf16pv": 4.0,
+# d<=64 default pipeline — run21 deleted the round + cast (P rides the
+# PV matmul as bf16) and run25 deleted the sum (l rides the PV matmul as
+# a ones-row: dequant-fma, max, exp remain); bf16/f32 flash = scale,
+# max, exp, sum.
+_SOFTMAX_PASSES = {"int8": 6.0, "int4": 6.0, "int8_bf16pv": 3.0,
                    "bf16": 4.0, "fp32": 4.0,
                    "float32": 4.0, "bfloat16": 4.0}
 

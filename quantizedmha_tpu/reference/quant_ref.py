@@ -50,6 +50,7 @@ def mha_int8_reference(
     p_static_scale: float = 127.0,
     scale_clamp: float = 1e-8,
     pv_dtype: str = "int8",
+    summode: str = "vpu",
 ) -> jnp.ndarray:
     """Blocked fake-quant INT8 attention golden over [..., seq, head_dim].
 
@@ -110,15 +111,18 @@ def mha_int8_reference(
             # P arrives in (0, 127], l carries the p_scale factor, and the
             # factor cancels in the epilogue division.
             p = jnp.exp(s - (m_next - jnp.log(jnp.float32(p_static_scale))))
-            l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
             if pv_dtype == "bf16":
                 # Models the kernel's bf16 P path (run21): P rides the PV
                 # matmul as bf16, V dequantizes through the same s_v.
-                o = jnp.einsum(
-                    "...qk,...kd->...qd",
-                    p.astype(jnp.bfloat16).astype(jnp.float32),
-                    v_q.astype(jnp.float32))
+                pb = p.astype(jnp.bfloat16).astype(jnp.float32)
+                # summode="mxu" (run25): l is the ones-row of the PV
+                # matmul, i.e. it sums the SAME bf16 P the numerator uses.
+                l_p = pb if summode == "mxu" else p
+                l = alpha * l + jnp.sum(l_p, axis=-1, keepdims=True)
+                o = jnp.einsum("...qk,...kd->...qd", pb,
+                               v_q.astype(jnp.float32))
             else:
+                l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
                 p_q = jnp.clip(jnp.round(p), -127, 127).astype(jnp.int32)
                 o = jnp.einsum(
                     "...qk,...kd->...qd", p_q,

@@ -284,8 +284,9 @@ def test_attention_achievable_hbm_dominates_skinny_shapes():
 
 
 def test_attention_achievable_bf16pv_pipeline():
-    """The d<=64 default pipeline (run21): 4 VPU passes and the PV matmul
-    charged at the bf16 rate while QK stays int8."""
+    """The d<=64 default pipeline (run21 bf16 P-V + run25 MXU-sum l):
+    3 VPU passes and the PV matmul charged at the bf16 rate while QK
+    stays int8."""
     from quantizedmha_tpu.profiling.roofline import attention_achievable
 
     chip = ChipSpec("TPU v5 lite", 197.0, 394.0, 819.0)
@@ -302,5 +303,5 @@ def test_attention_achievable_bf16pv_pipeline():
         flops / (394e12 * 0.5) + flops / 197e12)
     assert b.t_mxu_s == pytest.approx(
         flops / (394e12 * 0.5) + flops / 394e12)
-    # 4 passes vs 6.
-    assert a.t_vpu_s == pytest.approx(b.t_vpu_s * 4 / 6)
+    # 3 passes (dequant-fma, max, exp — run25 moved sum to the MXU) vs 6.
+    assert a.t_vpu_s == pytest.approx(b.t_vpu_s * 3 / 6)

@@ -39,25 +39,47 @@ def test_quantize_constant_input_is_exact():
 
 
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("pv_dtype", ["int8", "bf16"])
-def test_kernel_matches_fake_quant_golden(qkv_factory, causal, pv_dtype):
+@pytest.mark.parametrize("pv_dtype,summode",
+                         [("int8", "vpu"), ("bf16", "vpu"), ("bf16", "mxu")])
+def test_kernel_matches_fake_quant_golden(qkv_factory, causal, pv_dtype,
+                                          summode):
     """The Pallas kernel must reproduce the jnp fake-quant golden almost
     exactly — same quantization decisions, same accumulation structure —
     in BOTH P-V modes (bf16 P is the d<=64 default since run21; the
-    golden models the same cast)."""
+    golden models the same cast) and both l modes (summode="mxu" computes
+    l as a ones-row of the P-V matmul — run25)."""
     q, k, v = qkv_factory(batch=1, heads=2, q_len=256, kv_len=256)
     q, k, v = (jnp.asarray(x) for x in (q, k, v))
     out = flash_attention_int8(q, k, v, causal=causal, block_q=128,
-                               block_kv=128, pv_dtype=pv_dtype)
+                               block_kv=128, pv_dtype=pv_dtype,
+                               summode=summode)
     ref = mha_int8_reference(q, k, v, causal=causal, block_q=128,
-                             block_kv=128, pv_dtype=pv_dtype)
+                             block_kv=128, pv_dtype=pv_dtype,
+                             summode=summode)
     # int8 P-V accumulates in INTEGERS (order-invariant, bit-reproducible
     # between einsum and MXU); bf16 P-V accumulates in f32, where the
     # golden's einsum and the kernel's dot sum in different orders —
     # ~1e-5-scale noise at these magnitudes, not a quantization delta.
     abs_tol = 1e-5 if pv_dtype == "int8" else 1e-4
     assert_close(out, ref, abs_tol=abs_tol, rel_tol=1e-4,
-                 what=f"int8 vs fake-quant causal={causal} pv={pv_dtype}")
+                 what=f"int8 vs fake-quant causal={causal} pv={pv_dtype} "
+                      f"sum={summode}")
+
+
+def test_summode_mxu_requires_bf16_pv(qkv_factory):
+    """An int8 ones-row would land round(1/vs) error on l (run3's rejected
+    candidate 3) — the combination must refuse, not silently degrade."""
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=128, kv_len=128)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    with pytest.raises(ValueError, match="summode"):
+        flash_attention_int8(q, k, v, pv_dtype="int8", summode="mxu")
+    # Standard orientation (head_dim >= 128): no idle output sublanes to
+    # ride — refused as well.
+    q2 = jnp.concatenate([q, q], axis=-1)
+    k2 = jnp.concatenate([k, k], axis=-1)
+    v2 = jnp.concatenate([v, v], axis=-1)
+    with pytest.raises(ValueError, match="summode"):
+        flash_attention_int8(q2, k2, v2, summode="mxu")
 
 
 def test_error_budget_vs_fp32_random(qkv_factory):
