@@ -143,27 +143,46 @@ def _kernel_t(
         else:  # "bf16": add-half in bf16, truncate
             p_i8 = (p + jnp.asarray(0.5, dt)).astype(jnp.int8)
         if summode == "mxu":
-            # l = ones @ p_i8 on the MXU; consistent with the quantized p
-            # used for PV (normalization exactly compensates p rounding).
+            # l = ones @ p_i8 on the MXU as a SEPARATE matmul; run9 loser
+            # (0.93x — pays its own MXU pass). Kept for the record.
             ones = jnp.ones((_SUBS, block_kv), jnp.int8)
             lsum = jax.lax.dot_general(
                 ones, p_i8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32, precision=_INT8_PRECISION,
             )[:1, :].astype(jnp.float32)
+        elif summode == "fusedrow":
+            lsum = None  # run25 production mode: l rides the PV matmul
         else:
             # f32 accumulation even for the bf16 pipeline (a 512-term bf16
             # sum would put ~1% error straight into the normalizer).
             lsum = jnp.sum(p, axis=0, keepdims=True, dtype=jnp.float32)
-        l_next = alpha * l_scratch[:1, :] + lsum
+        if lsum is not None:
+            l_next = alpha * l_scratch[:1, :] + lsum
+            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
     if pv_dtype == "bf16" and softmax == "full":
-        pv = jax.lax.dot_general(
-            vt_ref[0, 0, :, :].astype(jnp.bfloat16), p_i8,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
-        )
+        if summode == "fusedrow":
+            # run25: the l ones-row fused into the PV matmul (the
+            # production kernel's default pipeline since c5636db).
+            hd = acc_scratch.shape[0]
+            vt_aug = jnp.concatenate(
+                [vt_ref[0, 0, :, :].astype(jnp.bfloat16),
+                 jnp.ones((1, block_kv), jnp.bfloat16)], axis=0)
+            pv_aug = jax.lax.dot_general(
+                vt_aug, p_i8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION,
+            )
+            pv = pv_aug[:hd, :]
+            l_next = alpha * l_scratch[:1, :] + pv_aug[hd:hd + 1, :]
+            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+        else:
+            pv = jax.lax.dot_general(
+                vt_ref[0, 0, :, :].astype(jnp.bfloat16), p_i8,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
+            )
     else:
         pv = jax.lax.dot_general(
             vt_ref[0, 0, :, :], p_i8, (((1,), (0,)), ((), ())),
@@ -496,6 +515,17 @@ def main():
     if args_cli.phase == "decompose":
         specs = {
             "baseline": dict(),
+            "skip": dict(softmax="skip"),
+            "noexp": dict(softmax="noexp"),
+        }
+    elif args_cli.phase == "decompose25":
+        # run19b: re-calibrate the achievable model on the SHIPPED pipeline
+        # (run21 bf16 P-V + run25 fused-row l). `prod` = the production
+        # pipeline in the ladder kernel; `skip` isolates the MXU+DMA floor
+        # (unchanged); the delta is the new pipeline's true VPU share.
+        specs = {
+            "prod": dict(pv_dtype="bf16", summode="fusedrow"),
+            "prod_vpusum": dict(pv_dtype="bf16"),
             "skip": dict(softmax="skip"),
             "noexp": dict(softmax="noexp"),
         }
