@@ -138,9 +138,11 @@ def main():
     rl_128 = roofline(
         t_128.median_s, attention_flops(1, 8, S, S, 128), 0,
         dtype="int8", chip=chip)
+    # d=128 routes to the transposed orientation since run27 — the same
+    # bf16-P-V + MXU-sum pipeline as d<=64 (3 VPU passes, PV at bf16 rate).
     ach_128 = attention_achievable(
         t_128.median_s, batch=1, heads=8, q_len=S, kv_len=S, head_dim=128,
-        dtype="int8", chip=chip)
+        dtype="int8_bf16pv", chip=chip)
     fits.append(headline_fit())  # fit 3
 
     # --- Long-context extra: 32K causal sliding-window (shrunk O(seq*W)

@@ -638,6 +638,7 @@ _SUBS = 8  # min f32 sublane tile for the [1, block_q] m/l statistics
 def pick_blocks_t(
     q_len: int,
     kv_len: int,
+    head_dim: int = 64,
     *,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
@@ -648,7 +649,12 @@ def pick_blocks_t(
     if block_kv is None:
         block_kv = 512
     if block_q is None:
-        block_q = 4096
+        # head_dim > 64 doubles every d-proportional VMEM term (Q^T/O^T
+        # tiles, acc, qi8); bq=4096 compiled at short seq but blows the
+        # 16 MiB scoped-VMEM stack by ~2.4 M at 32K in ALL mask variants
+        # (chip compile matrix, profiles/raw_r3/run27b_bq_cap.out) —
+        # cap at 2048, which compiles everywhere and keeps the run27 win.
+        block_q = 2048 if head_dim > 64 else 4096
         while block_q * block_kv * 6 > 13 * 1024 * 1024 and block_q > 512:
             block_q //= 2
     return min(block_q, q_len), min(block_kv, kv_len)
@@ -726,7 +732,7 @@ def flash_attention_int8_t_prequant(
             f"cache length {kv_len_p} not divisible into {nkv} scale blocks")
     block_kv_eff = kv_len_p // nkv
     block_q_eff, _ = pick_blocks_t(
-        q_len, kv_len_p, block_q=block_q, block_kv=block_kv_eff)
+        q_len, kv_len_p, head_dim, block_q=block_q, block_kv=block_kv_eff)
     if causal and q_offset is None and q_len > kv_len:
         raise ValueError("causal attention requires q_len <= kv_len")
 
@@ -879,7 +885,7 @@ def flash_attention_int8_t(
     if causal and q_len > kv_len:
         raise ValueError("causal attention requires q_len <= kv_len")
     block_q_eff, block_kv_eff = pick_blocks_t(
-        q_len, kv_len, block_q=block_q, block_kv=block_kv
+        q_len, kv_len, q.shape[-1], block_q=block_q, block_kv=block_kv
     )
     kv_pad = (-kv_len) % block_kv_eff
     if kv_pad:
@@ -933,7 +939,17 @@ def flash_attention_int8(
     kv_len = k.shape[2]
     head_dim = q.shape[-1]
     if transposed is None:
-        transposed = head_dim <= 64
+        # d <= 64: the PV-orientation win (this file's header), causal or
+        # not. d = 128 NON-CAUSAL: the QK contraction is MXU-full either
+        # way, but the transposed orientation still deletes the sublane-
+        # sum VPU pass via the fused ones-row (run25) — measured 0.565 vs
+        # 0.614 ms at n4k_d128 with better accuracy (run27, raw:
+        # profiles/raw_r3/run27_d128_orient.out). d = 128 CAUSAL/WINDOWED:
+        # the standard orientation wins instead (0.473 vs 0.488 causal,
+        # 7.92 vs 8.56 windowed-32K — run27c) — the transposed mask/skip
+        # structure costs more than the fused row saves there. Above
+        # d=128 the ones-row stops riding a single output tile: standard.
+        transposed = head_dim <= 64 or (head_dim <= 128 and not causal)
     if transposed:
         return flash_attention_int8_t(
             q, k, v, sm_scale=sm_scale, causal=causal,
@@ -947,9 +963,9 @@ def flash_attention_int8(
         )
     if summode not in (None, "vpu"):
         raise ValueError(
-            "summode='mxu' is a transposed-orientation (head_dim <= 64) "
-            "feature: the standard orientation's PV output lanes are full "
-            "at head_dim >= 128, so a fused ones-row is not free there")
+            "summode='mxu' is a transposed-orientation feature: the "
+            "standard orientation's PV output lanes are full, so a fused "
+            "ones-row is not free there")
     _, block_kv_eff = pick_blocks(q_len, kv_len, q.shape[-1], block_q=block_q, block_kv=block_kv)
     kv_pad = (-kv_len) % block_kv_eff
     if kv_pad:

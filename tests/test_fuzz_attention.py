@@ -74,7 +74,9 @@ def test_fuzz_int8(i):
     if c["dtype"] == jnp.bfloat16:
         c["dtype"] = jnp.float32  # int8 budget is defined vs fp32 inputs
     q, k, v = _make(rng, c)
-    transposed = bool(rng.integers(0, 2)) if c["head_dim"] <= 64 else False
+    # Both orientations exist through d=128 (run27 flipped the default
+    # route to transposed there); fuzz whichever the coin picks.
+    transposed = bool(rng.integers(0, 2)) if c["head_dim"] <= 128 else False
     out = flash_attention_int8(q, k, v, causal=c["causal"], window=c["window"],
                                attention_sinks=c["sinks"],
                                logit_softcap=c["softcap"],

@@ -66,6 +66,28 @@ def test_kernel_matches_fake_quant_golden(qkv_factory, causal, pv_dtype,
                       f"sum={summode}")
 
 
+def test_kernel_matches_golden_d128_transposed(qkv_factory):
+    """head_dim=128 NON-CAUSAL routes to the TRANSPOSED orientation since
+    run27 (0.565 vs 0.614 ms on chip; causal/windowed stay standard —
+    run27c): the fused-row pipeline must still match the fake-quant
+    golden exactly at the full-MXU head size. transposed=True pins the
+    orientation so the test keeps covering it if routing changes."""
+    q, k, v = qkv_factory(batch=1, heads=2, q_len=256, kv_len=256,
+                          head_dim=128)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    out = flash_attention_int8(q, k, v, transposed=True, block_q=128,
+                               block_kv=128)
+    ref = mha_int8_reference(q, k, v, block_q=128,
+                             block_kv=128, pv_dtype="bf16", summode="mxu")
+    assert_close(out, ref, abs_tol=1e-4, rel_tol=1e-4,
+                 what="int8 d128 transposed vs fake-quant golden")
+    # The default route at this (non-causal) shape IS the transposed
+    # orientation — same numbers.
+    out_auto = flash_attention_int8(q, k, v, block_q=128, block_kv=128)
+    assert_close(out_auto, ref, abs_tol=1e-4, rel_tol=1e-4,
+                 what="int8 d128 auto-route vs fake-quant golden")
+
+
 def test_summode_mxu_requires_bf16_pv(qkv_factory):
     """An int8 ones-row would land round(1/vs) error on l (run3's rejected
     candidate 3) — the combination must refuse, not silently degrade."""
@@ -73,13 +95,10 @@ def test_summode_mxu_requires_bf16_pv(qkv_factory):
     q, k, v = (jnp.asarray(x) for x in (q, k, v))
     with pytest.raises(ValueError, match="summode"):
         flash_attention_int8(q, k, v, pv_dtype="int8", summode="mxu")
-    # Standard orientation (head_dim >= 128): no idle output sublanes to
-    # ride — refused as well.
-    q2 = jnp.concatenate([q, q], axis=-1)
-    k2 = jnp.concatenate([k, k], axis=-1)
-    v2 = jnp.concatenate([v, v], axis=-1)
+    # Standard orientation (transposed=False): the PV output lanes are
+    # full, no idle sublanes to ride — refused as well.
     with pytest.raises(ValueError, match="summode"):
-        flash_attention_int8(q2, k2, v2, summode="mxu")
+        flash_attention_int8(q, k, v, transposed=False, summode="mxu")
 
 
 def test_error_budget_vs_fp32_random(qkv_factory):
