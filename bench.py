@@ -49,9 +49,13 @@ def serving_row() -> dict:
     timeout: 8B-scale jobs have wedged this machine's tunneled backend
     before (.claude/skills/verify/SKILL.md) — a hang must degrade this
     row, never the headline."""
+    # chunk=32 after run28's sweep (8/16/32 -> 381/409/431 tok/s): the
+    # fused chunk amortizes ~2.3 ms/step of host gap; the cost is EOS
+    # overshoot (up to chunk-1 discarded steps per finished sequence) and
+    # 32-step result latency — a throughput-row tradeoff, stated here.
     cmd = [sys.executable, "-m", "quantizedmha_tpu.harness.serving_bench",
            "--json", "--batch", "8", "--prompt-len", "256", "--max-new",
-           "48", "--chunk", "16"]
+           "96", "--chunk", "32"]
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=SERVING_TIMEOUT_S,

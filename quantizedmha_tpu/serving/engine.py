@@ -275,42 +275,59 @@ class Engine:
         self._prefill = jax.jit(
             functools.partial(llama_adapter.prefill_at, cfg),
         )
-        self._decode = jax.jit(functools.partial(llama_adapter.decode_step, cfg))
+        # Every cache-threading program DONATES the cache operand: the KV
+        # pool is the largest buffer in the program (0.5 GiB at 8B serving
+        # scale) and without donation XLA copies it in AND out of each
+        # dispatch — run23's decode trace showed the carry copies costing
+        # ~0.8 ms of a 16.9 ms step even at a small test pool. Engine call
+        # sites always reassign self.cache from the return, so the old
+        # buffer is never touched again.
+        self._decode = jax.jit(
+            functools.partial(llama_adapter.decode_step, cfg),
+            donate_argnames=("cache",))
         self._decode_loop = jax.jit(
             functools.partial(llama_adapter.decode_loop, cfg,
                               sampling=ecfg.sampling),
             static_argnames=("n_steps", "page_size"),
+            donate_argnames=("cache",),
         )
         self._write = jax.jit(
             functools.partial(llama_adapter.write_prefill, cfg),
             static_argnames=("page_size",),
+            donate_argnames=("cache",),
         )
         self._write_hybrid = jax.jit(
             functools.partial(llama_adapter.write_prefill_hybrid, cfg),
             static_argnames=("page_size",),
+            donate_argnames=("caches",),
         )
         self._prefill_chunk = jax.jit(
             functools.partial(llama_adapter.prefill_chunk, cfg),
             static_argnames=("page_size",),
+            donate_argnames=("cache",),
         )
         if self.mixed:
             bt = self.alloc.boundary
             self._write_mixed = jax.jit(
                 functools.partial(llama_adapter.write_prefill_mixed, cfg),
                 static_argnames=("page_size",),
+                donate_argnames=("cache",),
             )
             self._decode_mixed = jax.jit(functools.partial(
-                llama_adapter.decode_step_mixed, cfg, boundary_tokens=bt))
+                llama_adapter.decode_step_mixed, cfg, boundary_tokens=bt),
+                donate_argnames=("cache",))
             self._decode_loop_mixed = jax.jit(
                 functools.partial(llama_adapter.decode_loop_mixed, cfg,
                                   boundary_tokens=bt,
                                   sampling=ecfg.sampling),
                 static_argnames=("n_steps", "page_size"),
+                donate_argnames=("cache",),
             )
             pcm = jax.jit(
                 functools.partial(llama_adapter.prefill_chunk_mixed, cfg,
                                   boundary_tokens=bt),
                 static_argnames=("page_size",),
+                donate_argnames=("cache",),
             )
             # Same call shape as the plain chunk program: `table` is the
             # (table8, table4) tuple — _admit_chunked and _prefill_tick
@@ -324,17 +341,20 @@ class Engine:
             # page ids/tables travel as tuples inside the group dicts.
             bt = self.allocs["full"].boundary
             self._decode = jax.jit(functools.partial(
-                llama_adapter.decode_step, cfg, boundary_tokens=bt))
+                llama_adapter.decode_step, cfg, boundary_tokens=bt),
+                donate_argnames=("cache",))
             self._decode_loop = jax.jit(
                 functools.partial(llama_adapter.decode_loop, cfg,
                                   sampling=ecfg.sampling,
                                   boundary_tokens=bt),
                 static_argnames=("n_steps", "page_size"),
+                donate_argnames=("cache",),
             )
             self._prefill_chunk = jax.jit(
                 functools.partial(llama_adapter.prefill_chunk, cfg,
                                   boundary_tokens=bt),
                 static_argnames=("page_size",),
+                donate_argnames=("cache",),
             )
 
     # -- hybrid pool helpers -------------------------------------------------

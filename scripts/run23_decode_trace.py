@@ -43,16 +43,22 @@ BATCH, PROMPT, MAX_NEW, CHUNK, PAGE = 8, 256, 96, 16, 128
 
 
 def classify(op_name: str) -> str:
-    """Bucket an XLA/Mosaic op by its role in the decode step."""
+    """Bucket an XLA/Mosaic LEAF op by its role in the decode step.
+    Returns None for container ops (while/call wrappers) whose time is the
+    SUM of their children — counting them double-counts the step."""
     n = op_name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "_lambda_" in n:
+    if n.startswith("%while") or n.startswith("%call") or (
+            n.startswith("%conditional")):
+        return None
+    if ("closed_call" in n or "custom-call" in n or "tpu_custom_call" in n
+            or "_lambda_" in n):
         return "attention kernel (paged int8)"
-    if re.search(r"\bfusion|convolution|dot\b|matmul", n):
+    if "dynamic-update-slice" in n or "dynamic_update" in n or "scatter" in n:
+        return "KV-cache writes"
+    if re.search(r"fusion|convolution|\bdot\b|matmul", n):
         return "matmuls + fused elementwise"
     if "copy" in n or "bitcast" in n or "transpose" in n or "reshape" in n:
         return "copies/layout"
-    if "dynamic-update-slice" in n or "dynamic_update" in n or "scatter" in n:
-        return "KV-cache writes"
     if "rng" in n or "sort" in n or "iota" in n or "reduce" in n:
         return "sampling/reductions"
     return "other"
@@ -92,10 +98,16 @@ def main():
     s = summarize_trace(trace_dir)
     md = s.to_markdown(top=25)
 
-    # Rollup by role, normalized per decode STEP (the chunk is CHUNK steps).
+    # Rollup by role, normalized per decode STEP (the chunk is CHUNK
+    # steps). Container ops (while wrappers) are EXCLUDED — their time is
+    # the sum of their children; the outermost while is the denominator.
     groups = {}
+    outer_ms = max((op.total_ms for op in s.ops
+                    if op.name.lower().startswith("%while")), default=0.0)
     for op in s.ops:
         g = classify(op.name)
+        if g is None:
+            continue
         groups[g] = groups.get(g, 0.0) + op.total_ms
     ctx = PROMPT + CHUNK * 2  # live context at the traced chunk
     step_bytes = decode_step_bytes(cfg, params, BATCH, ctx, PAGE)
@@ -120,6 +132,8 @@ def main():
         f"(workload: llama3-8B-shape int8 w8a16, batch={BATCH}, "
         f"prompt={PROMPT}, chunk={CHUNK}, page={PAGE}, live ctx ~{ctx}; "
         f"one fused chunk = {wall * 1e3:.1f} ms wall incl. host; "
+        f"outer while = {outer_ms:.1f} ms -> "
+        f"{outer_ms / CHUNK:.2f} ms/step device; "
         f"HBM SoL floor {sol_ms:.2f} ms/step on {chip.name})",
     ]
     out = md + "\n".join(lines) + "\n"
