@@ -56,10 +56,10 @@ def _decode_kernel(
     tables_ref,        # [batch, max_pages] i32
     # inputs
     q_ref,             # [1, 1, group_p, head_dim] f32/bf16
-    k_page_ref,        # [1, 1, page_size, head_dim] int8
-    v_page_ref,        # [1, 1, page_size, head_dim] int8
-    ks_ref,            # [1, num_pages, 1] f32 VMEM — this head's column
-    vs_ref,            # [1, num_pages, 1] f32 VMEM (_scales_cols layout)
+    # then J k-page refs + J v-page refs [1, 1, page_size, head_dim] int8
+    # (J = pages_per_step; operand j holds logical page i*J + j),
+    # ks_ref / vs_ref [1, num_pages, 1] f32 VMEM — this head's column
+    # (_scales_cols layout),
     # outputs: o_ref [1, 1, group_p, head_dim] (+ lse_ref [1, 1, group_p,
     # LANES] when save_residuals), then scratch m/l [group_p, LANES],
     # acc [group_p, head_dim]
@@ -67,21 +67,30 @@ def _decode_kernel(
     sm_scale: float,
     page_size: int,
     group_p: int,
+    pages_per_step: int = 1,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: int = 0,
     save_residuals: bool = False,
 ):
+    J = pages_per_step
+    k_refs = refs[:J]
+    v_refs = refs[J:2 * J]
+    ks_ref, vs_ref = refs[2 * J], refs[2 * J + 1]
+    rest = refs[2 * J + 2:]
     if save_residuals:
-        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = refs
+        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
     else:
-        o_ref, m_scratch, l_scratch, acc_scratch = refs
+        o_ref, m_scratch, l_scratch, acc_scratch = rest
         lse_ref = None
     b = pl.program_id(0)
     h = pl.program_id(1)
     i = pl.program_id(2)
     num_pages_grid = pl.num_programs(2)
     length = lengths_ref[b]
+    span = page_size * J       # positions covered by one grid step
+    base = i * span            # first position of this step's span
+    max_pages = tables_ref.shape[1]
 
     @pl.when(i == 0)
     def _init():
@@ -89,34 +98,63 @@ def _decode_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    in_ctx = i * page_size < length
+    # Step-level skip: run only if ANY page in the span is needed. The
+    # per-POSITION `valid` mask below is what makes the result exact —
+    # pages past the context (or behind the window) inside a running span
+    # are fetched as clamped duplicates and masked to -inf, contributing 0.
+    in_ctx = base < length
     if window is not None:
         # Sliding window: the new token (position length-1) sees positions
-        # >= length - window; skip pages entirely behind that — except
-        # pages holding attention-sink positions.
-        in_win = (i + 1) * page_size > length - window
+        # >= length - window; skip spans entirely behind that — except
+        # spans holding attention-sink positions.
+        in_win = base + span > length - window
         if sinks:
-            in_win |= i * page_size < sinks
+            in_win |= base < sinks
         in_ctx &= in_win
 
     @pl.when(in_ctx)
     def _run():
-        page = tables_ref[b, i]
         q = q_ref[0, 0, :, :].astype(jnp.float32) * sm_scale
-        k = k_page_ref[0, 0, :, :]
-        # q is a handful of rows; dequantizing scores (not k) keeps the
-        # matmul int-free on the q side: s = (q @ k^T_int8) * k_scale.
-        s = jax.lax.dot_general(
-            q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
-        ) * _read_scale(ks_ref, page, h)
+        # The span's J pages as ONE [span, head_dim] tile: a single deeper
+        # QK^T matmul amortizes the per-grid-step fixed cost that dominates
+        # short-context decode (run28: 2.97 ms/step at ctx 288 vs a ~1 ms
+        # data floor). Per-page scales move onto the score COLUMNS — the
+        # scale is constant per column block, so (q @ K_cat^T) ⊙ kscale_col
+        # equals the per-page (q @ k_j^T) * scale_j exactly.
+        if J == 1:
+            page = tables_ref[b, jnp.minimum(i, max_pages - 1)]
+            k = k_refs[0][0, 0, :, :]
+            # q is a handful of rows; dequantizing scores (not k) keeps the
+            # matmul int-free on the q side: s = (q @ k^T_int8) * k_scale.
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION,
+            ) * _read_scale(ks_ref, page, h)
+        else:
+            # Scale reads clamp the logical page into the table so masked
+            # tail pages read SOME valid scale — their columns are masked
+            # to -inf (k) or carry p == 0 (v), so the value is irrelevant.
+            pages = [tables_ref[b, jnp.minimum(i * J + j, max_pages - 1)]
+                     for j in range(J)]
+            k = jnp.concatenate(
+                [k_refs[j][0, 0, :, :] for j in range(J)], axis=0)
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION,
+            )
+            kcols = jnp.concatenate(
+                [jnp.full((1, page_size), _read_scale(ks_ref, pages[j], h),
+                          jnp.float32) for j in range(J)], axis=1)
+            s = s * kcols
         if softcap is not None:
             # Gemma-2-style cap*tanh(s/cap) on the scaled logits.
             s = softcap * jnp.tanh(s / softcap)
 
-        # Mask positions beyond the sequence length within this page (and
+        # Mask positions beyond the sequence length within this span (and
         # behind the sliding window, if any).
-        pos = jax.lax.broadcasted_iota(jnp.int32, (group_p, page_size), 1) + i * page_size
+        pos = jax.lax.broadcasted_iota(jnp.int32, (group_p, span), 1) + base
         valid = pos < length
         if window is not None:
             in_win = pos >= length - window
@@ -135,11 +173,26 @@ def _decode_kernel(
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
-        v = v_page_ref[0, 0, :, :]
-        pv = jax.lax.dot_general(
-            p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_INT8_PRECISION,
-        ) * _read_scale(vs_ref, page, h)
+        if J == 1:
+            v = v_refs[0][0, 0, :, :]
+            pv = jax.lax.dot_general(
+                p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION,
+            ) * _read_scale(vs_ref, page, h)
+        else:
+            # Per-page v scales ride the P columns: (p ⊙ vscale_col) @ V_cat
+            # == Σ_j (p_j @ v_j) * vscale_j exactly.
+            v = jnp.concatenate(
+                [v_refs[j][0, 0, :, :] for j in range(J)], axis=0)
+            vcols = jnp.concatenate(
+                [jnp.full((1, page_size), _read_scale(vs_ref, pages[j], h),
+                          jnp.float32) for j in range(J)], axis=1)
+            pv = jax.lax.dot_general(
+                p * vcols, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_INT8_PRECISION,
+            )
         acc_scratch[...] = acc_scratch[...] * alpha + pv
 
     @pl.when(i == num_pages_grid - 1)
@@ -199,16 +252,21 @@ def _scales_spec(num_rows: int):
     return pl.BlockSpec((1, num_rows, 1), lambda b, h, i, L, T: (h, 0, 0))
 
 
-def _make_clamped_page_idx(page_size: int, window, sinks: int):
+def _make_clamped_page_idx(page_size: int, window, sinks: int,
+                           pages_per_step: int = 1, j: int = 0):
     """Block-table index map CLAMPED to the pages a sequence actually
     needs: grid steps past the context (or wholly behind the sliding
     window, sink pages aside) re-reference an adjacent needed page, and
     Pallas elides the DMA when a step's block index equals the previous
     step's. This is what makes decode cost proportional to the TRUE
     context length instead of max_pages — pl.when alone skips only the
-    compute, not the page fetch (VERDICT round-1 weak #2)."""
+    compute, not the page fetch (VERDICT round-1 weak #2).
+
+    pages_per_step/j: operand j of a J-page-folded grid holds logical page
+    i*J + j (the kernel masks any clamped duplicates per position)."""
 
     def page_idx(b, h, i, L, T):
+        i = i * pages_per_step + j
         last = jnp.maximum(L[b] - 1, 0) // page_size
         ic = jnp.minimum(i, last)
         if window is not None:
@@ -239,9 +297,17 @@ def paged_decode_attention(
     logit_softcap: Optional[float] = None,
     attention_sinks: int = 0,
     save_residuals: bool = False,
+    pages_per_step: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token attention against a paged INT8 KV cache.
+
+    pages_per_step: fold J pages into each grid step (J offset-indexed
+    page operands, one [J*page_size, head_dim] score tile). The per-step
+    fixed cost (~0.4 us) dominates short-context decode — run28 measured
+    the kernel at ~33% of its data floor at ctx 288 — and folding
+    amortizes it J-fold while keeping per-page scales exact (they ride
+    the score/P columns). None -> min(4, max_pages).
 
     window/logit_softcap: sliding-window size and Gemma-2 soft-cap, matching
     ops.flash_attention semantics (decode is causal by construction; pages
@@ -275,17 +341,25 @@ def paged_decode_attention(
     # is causal by construction): sinks without a window must raise here
     # too, not be silently ignored.
     validate_masking(True, window, attention_sinks)
+    J = pages_per_step if pages_per_step is not None else min(4, max_pages)
+    J = max(1, min(J, max_pages))
     kernel = functools.partial(
         _decode_kernel,
         sm_scale=scale,
         page_size=page_size,
         group_p=group_p,
+        pages_per_step=J,
         window=window,
         softcap=logit_softcap,
         sinks=attention_sinks,
         save_residuals=save_residuals,
     )
-    page_idx = _make_clamped_page_idx(page_size, window, attention_sinks)
+    page_specs = [
+        pl.BlockSpec(
+            (1, 1, page_size, head_dim),
+            _make_clamped_page_idx(page_size, window, attention_sinks, J, j))
+        for j in range(J)
+    ]
     out_block = pl.BlockSpec(
         (1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)
     )
@@ -294,11 +368,11 @@ def paged_decode_attention(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(batch, num_kv_heads, max_pages),
+        grid=(batch, num_kv_heads, -(-max_pages // J)),
         in_specs=[
             pl.BlockSpec((1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, page_size, head_dim), page_idx),
-            pl.BlockSpec((1, 1, page_size, head_dim), page_idx),
+            *page_specs,
+            *page_specs,
             _scales_spec(num_pages),
             _scales_spec(num_pages),
         ],
@@ -319,7 +393,7 @@ def paged_decode_attention(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
-    )(lengths, block_tables, qg, k_pages, v_pages,
+    )(lengths, block_tables, qg, *([k_pages] * J), *([v_pages] * J),
       _scales_cols(k_scales), _scales_cols(v_scales))
     if save_residuals:
         o, lse = out
