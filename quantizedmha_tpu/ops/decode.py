@@ -54,11 +54,13 @@ def _decode_kernel(
     # scalar prefetch
     lengths_ref,       # [batch] i32
     tables_ref,        # [batch, max_pages] i32
+    # (stacked only: layer_ref [1] i32 — consumed by the BlockSpec index
+    # maps, dropped here)
     # inputs
-    q_ref,             # [1, 1, group_p, head_dim] f32/bf16
-    # then J k-page refs + J v-page refs [1, 1, page_size, head_dim] int8
-    # (J = pages_per_step; operand j holds logical page i*J + j),
-    # ks_ref / vs_ref [1, num_pages, 1] f32 VMEM — this head's column
+    # q_ref [1, 1, group_p, head_dim] f32/bf16,
+    # then J k-page refs + J v-page refs [(1,) 1, 1, page_size, head_dim]
+    # int8 (J = pages_per_step; operand j holds logical page i*J + j),
+    # ks_ref / vs_ref [(1,) 1, num_pages, 1] f32 VMEM — this head's column
     # (_scales_cols layout),
     # outputs: o_ref [1, 1, group_p, head_dim] (+ lse_ref [1, 1, group_p,
     # LANES] when save_residuals), then scratch m/l [group_p, LANES],
@@ -72,12 +74,28 @@ def _decode_kernel(
     softcap: Optional[float] = None,
     sinks: int = 0,
     save_residuals: bool = False,
+    stacked: bool = False,
 ):
     J = pages_per_step
+    if stacked:
+        refs = refs[1:]  # drop layer_ref — index maps consumed it
+    q_ref = refs[0]
+    refs = refs[1:]
     k_refs = refs[:J]
     v_refs = refs[J:2 * J]
     ks_ref, vs_ref = refs[2 * J], refs[2 * J + 1]
     rest = refs[2 * J + 2:]
+    # Layer-stacked pools carry one extra leading block dim (see
+    # paged_decode_attention's `layer` argument); collapse it here so the
+    # body below is layout-agnostic.
+    if stacked:
+        k_page = lambda j: k_refs[j][0, 0, 0, :, :]
+        v_page = lambda j: v_refs[j][0, 0, 0, :, :]
+        read_scale = lambda ref, row: ref[0, 0, row, 0]
+    else:
+        k_page = lambda j: k_refs[j][0, 0, :, :]
+        v_page = lambda j: v_refs[j][0, 0, :, :]
+        read_scale = lambda ref, row: ref[0, row, 0]
     if save_residuals:
         o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
     else:
@@ -101,7 +119,9 @@ def _decode_kernel(
     # Step-level skip: run only if ANY page in the span is needed. The
     # per-POSITION `valid` mask below is what makes the result exact —
     # pages past the context (or behind the window) inside a running span
-    # are fetched as clamped duplicates and masked to -inf, contributing 0.
+    # are fetched as clamped duplicates and masked to DEFAULT_MASK_VALUE
+    # (finite, -0.7*f32max: exp underflows those p entries to exactly 0 —
+    # the mask must be applied BEFORE any sum over s).
     in_ctx = base < length
     if window is not None:
         # Sliding window: the new token (position length-1) sees positions
@@ -123,29 +143,36 @@ def _decode_kernel(
         # equals the per-page (q @ k_j^T) * scale_j exactly.
         if J == 1:
             page = tables_ref[b, jnp.minimum(i, max_pages - 1)]
-            k = k_refs[0][0, 0, :, :]
+            k = k_page(0)
             # q is a handful of rows; dequantizing scores (not k) keeps the
             # matmul int-free on the q side: s = (q @ k^T_int8) * k_scale.
             s = jax.lax.dot_general(
                 q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_INT8_PRECISION,
-            ) * _read_scale(ks_ref, page, h)
+            ) * read_scale(ks_ref, page)
         else:
-            # Scale reads clamp the logical page into the table so masked
-            # tail pages read SOME valid scale — their columns are masked
-            # to -inf (k) or carry p == 0 (v), so the value is irrelevant.
-            pages = [tables_ref[b, jnp.minimum(i * J + j, max_pages - 1)]
+            # Scale reads clamp the logical page to the sequence's LAST
+            # needed page (same contract as _make_clamped_page_idx), so a
+            # masked tail page always reads a scale the sequence actually
+            # owns — never block-table padding, whose entry could be an
+            # out-of-range physical id or map to a non-finite pool scale
+            # (0 * inf = NaN would poison pv; p == 0 only neutralizes
+            # finite values). The duplicate's columns are masked to
+            # DEFAULT_MASK_VALUE (k) / carry p == 0 (v), so WHICH owned
+            # scale is read is irrelevant.
+            last = jnp.maximum(length - 1, 0) // page_size
+            pages = [tables_ref[b, jnp.minimum(jnp.minimum(i * J + j, last),
+                                               max_pages - 1)]
                      for j in range(J)]
-            k = jnp.concatenate(
-                [k_refs[j][0, 0, :, :] for j in range(J)], axis=0)
+            k = jnp.concatenate([k_page(j) for j in range(J)], axis=0)
             s = jax.lax.dot_general(
                 q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_INT8_PRECISION,
             )
             kcols = jnp.concatenate(
-                [jnp.full((1, page_size), _read_scale(ks_ref, pages[j], h),
+                [jnp.full((1, page_size), read_scale(ks_ref, pages[j]),
                           jnp.float32) for j in range(J)], axis=1)
             s = s * kcols
         if softcap is not None:
@@ -174,19 +201,18 @@ def _decode_kernel(
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
         if J == 1:
-            v = v_refs[0][0, 0, :, :]
+            v = v_page(0)
             pv = jax.lax.dot_general(
                 p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_INT8_PRECISION,
-            ) * _read_scale(vs_ref, page, h)
+            ) * read_scale(vs_ref, page)
         else:
             # Per-page v scales ride the P columns: (p ⊙ vscale_col) @ V_cat
             # == Σ_j (p_j @ v_j) * vscale_j exactly.
-            v = jnp.concatenate(
-                [v_refs[j][0, 0, :, :] for j in range(J)], axis=0)
+            v = jnp.concatenate([v_page(j) for j in range(J)], axis=0)
             vcols = jnp.concatenate(
-                [jnp.full((1, page_size), _read_scale(vs_ref, pages[j], h),
+                [jnp.full((1, page_size), read_scale(vs_ref, pages[j]),
                           jnp.float32) for j in range(J)], axis=1)
             pv = jax.lax.dot_general(
                 p * vcols, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -230,6 +256,13 @@ def _scales_cols(scales: jnp.ndarray) -> jnp.ndarray:
     return scales[:, :, None]
 
 
+def _scales_cols_stacked(scales: jnp.ndarray) -> jnp.ndarray:
+    """Layer-stacked variant: [L, num_kv_heads, num_pages] ->
+    [L, num_kv_heads, num_pages, 1] (the layer index map picks one layer's
+    head column per (b, h) grid cell)."""
+    return scales[:, :, :, None]
+
+
 def _read_scale(scales_ref, row, h):
     """One f32 scale from this head's [1, rows, 1] VMEM block: a native
     dynamic-SUBLANE scalar read (rows ride the sublane dim; Mosaic has no
@@ -245,15 +278,21 @@ def _read_scale(scales_ref, row, h):
     return scales_ref[0, row, 0]
 
 
-def _scales_spec(num_rows: int):
+def _scales_spec(num_rows: int, stacked: bool = False):
     """One kv head's scale column as a [1, rows, 1] VMEM block, fetched
     once per (b, h) — the index map ignores the page step, so Pallas
-    elides the re-fetch across the page grid."""
+    elides the re-fetch across the page grid. Stacked pools block one
+    LAYER's column out of [L, Hkv, rows, 1] via the prefetched layer
+    scalar."""
+    if stacked:
+        return pl.BlockSpec(
+            (1, 1, num_rows, 1), lambda b, h, i, L, T, LI: (LI[0], h, 0, 0))
     return pl.BlockSpec((1, num_rows, 1), lambda b, h, i, L, T: (h, 0, 0))
 
 
 def _make_clamped_page_idx(page_size: int, window, sinks: int,
-                           pages_per_step: int = 1, j: int = 0):
+                           pages_per_step: int = 1, j: int = 0,
+                           stacked: bool = False):
     """Block-table index map CLAMPED to the pages a sequence actually
     needs: grid steps past the context (or wholly behind the sliding
     window, sink pages aside) re-reference an adjacent needed page, and
@@ -263,9 +302,12 @@ def _make_clamped_page_idx(page_size: int, window, sinks: int,
     compute, not the page fetch (VERDICT round-1 weak #2).
 
     pages_per_step/j: operand j of a J-page-folded grid holds logical page
-    i*J + j (the kernel masks any clamped duplicates per position)."""
+    i*J + j (the kernel masks any clamped duplicates per position).
 
-    def page_idx(b, h, i, L, T):
+    stacked: pools carry a leading layer dim; the prefetched layer scalar
+    becomes the first block coordinate."""
+
+    def page_idx(b, h, i, L, T, *LI):
         i = i * pages_per_step + j
         last = jnp.maximum(L[b] - 1, 0) // page_size
         ic = jnp.minimum(i, last)
@@ -278,6 +320,8 @@ def _make_clamped_page_idx(page_size: int, window, sinks: int,
                 ic = jnp.where(i < sink_pages, ic, clamped)
             else:
                 ic = clamped
+        if stacked:
+            return (LI[0][0], h, T[b, ic], 0, 0)
         return (h, T[b, ic], 0, 0)
 
     return page_idx
@@ -298,6 +342,7 @@ def paged_decode_attention(
     attention_sinks: int = 0,
     save_residuals: bool = False,
     pages_per_step: Optional[int] = None,
+    layer: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token attention against a paged INT8 KV cache.
@@ -322,9 +367,28 @@ def paged_decode_attention(
     (out, lse [batch, num_q_heads] f32) — the partial-attention form
     parallel/combine.merge_two_partials consumes (mixed-precision KV
     merges, decode-side context parallelism).
+
+    layer: when k/v_pages carry a leading LAYER-STACK dim
+    ([num_layers, num_kv_heads, num_pages, page_size, head_dim] pools,
+    [num_layers, num_kv_heads, num_pages] scales), a traced i32 scalar
+    selecting the layer to read. The whole stack flows in unsliced — the
+    serving decode scan threads the stacked cache as a lax.scan CARRY
+    (token-granular in-place scatter appends), and slicing one layer's
+    pool out per step would copy ~pool/num_layers bytes per layer per
+    token, the run23 'nested-scan carry copies' overhead. The kernel DMAs
+    only the pages it needs, so the stack costs nothing extra.
     """
     batch, num_q_heads, head_dim = q.shape
-    num_kv_heads, num_pages, page_size, _ = k_pages.shape
+    stacked = k_pages.ndim == 5
+    if stacked:
+        if layer is None:
+            raise ValueError(
+                "layer-stacked pools (ndim 5) need the `layer` index")
+        _, num_kv_heads, num_pages, page_size, _ = k_pages.shape
+    else:
+        if layer is not None:
+            raise ValueError("`layer` is only meaningful for 5-D stacked pools")
+        num_kv_heads, num_pages, page_size, _ = k_pages.shape
     max_pages = block_tables.shape[1]
     group = num_q_heads // num_kv_heads
     assert group * num_kv_heads == num_q_heads
@@ -341,6 +405,15 @@ def paged_decode_attention(
     # is causal by construction): sinks without a window must raise here
     # too, not be silently ignored.
     validate_masking(True, window, attention_sinks)
+    if pages_per_step is not None and pages_per_step * page_size > 2048:
+        # Each folded page adds a double-buffered K+V VMEM operand and
+        # widens the score tile; an unbounded J is a VMEM blowout far from
+        # the call site. 2048 positions/step (e.g. J=8 @ page 256) is the
+        # tested budget — run29 measured J=4 as the knee.
+        raise ValueError(
+            f"pages_per_step={pages_per_step} x page_size={page_size} "
+            f"exceeds the 2048-position per-step tile budget; use a "
+            f"smaller fold (run29: J=4 captures the win)")
     J = pages_per_step if pages_per_step is not None else min(4, max_pages)
     J = max(1, min(J, max_pages))
     kernel = functools.partial(
@@ -353,28 +426,35 @@ def paged_decode_attention(
         softcap=logit_softcap,
         sinks=attention_sinks,
         save_residuals=save_residuals,
+        stacked=stacked,
     )
+    page_block = (1, 1, 1, page_size, head_dim) if stacked else (
+        1, 1, page_size, head_dim)
     page_specs = [
         pl.BlockSpec(
-            (1, 1, page_size, head_dim),
-            _make_clamped_page_idx(page_size, window, attention_sinks, J, j))
+            page_block,
+            _make_clamped_page_idx(page_size, window, attention_sinks, J, j,
+                                   stacked=stacked))
         for j in range(J)
     ]
+    q_block = pl.BlockSpec(
+        (1, 1, group_p, head_dim), lambda b, h, i, *s: (b, h, 0, 0)
+    )
     out_block = pl.BlockSpec(
-        (1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)
+        (1, 1, group_p, head_dim), lambda b, h, i, *s: (b, h, 0, 0)
     )
     lse_block = pl.BlockSpec(
-        (1, 1, group_p, LANES), lambda b, h, i, L, T: (b, h, 0, 0)
+        (1, 1, group_p, LANES), lambda b, h, i, *s: (b, h, 0, 0)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if stacked else 2,
         grid=(batch, num_kv_heads, -(-max_pages // J)),
         in_specs=[
-            pl.BlockSpec((1, 1, group_p, head_dim), lambda b, h, i, L, T: (b, h, 0, 0)),
+            q_block,
             *page_specs,
             *page_specs,
-            _scales_spec(num_pages),
-            _scales_spec(num_pages),
+            _scales_spec(num_pages, stacked),
+            _scales_spec(num_pages, stacked),
         ],
         out_specs=(out_block, lse_block) if save_residuals else out_block,
         scratch_shapes=[
@@ -385,6 +465,13 @@ def paged_decode_attention(
     )
     o_shape = jax.ShapeDtypeStruct((batch, num_kv_heads, group_p, head_dim), q.dtype)
     lse_shape = jax.ShapeDtypeStruct((batch, num_kv_heads, group_p, LANES), jnp.float32)
+    if stacked:
+        prefetch = (lengths, block_tables,
+                    jnp.asarray(layer, jnp.int32).reshape(1))
+        scols = (_scales_cols_stacked(k_scales), _scales_cols_stacked(v_scales))
+    else:
+        prefetch = (lengths, block_tables)
+        scols = (_scales_cols(k_scales), _scales_cols(v_scales))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -393,8 +480,7 @@ def paged_decode_attention(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
-    )(lengths, block_tables, qg, *([k_pages] * J), *([v_pages] * J),
-      _scales_cols(k_scales), _scales_cols(v_scales))
+    )(*prefetch, qg, *([k_pages] * J), *([v_pages] * J), *scols)
     if save_residuals:
         o, lse = out
         return (

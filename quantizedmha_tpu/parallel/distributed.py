@@ -153,18 +153,9 @@ def _iota_groups(m) -> list:
             for g in range(num_groups)]
 
 
-def classify_collectives(hlo_text: str, granule_size: int) -> Dict[str, Dict[str, int]]:
-    """Split the module's collectives into ICI vs DCN traffic classes.
-
-    granule_size: #devices per ICI domain (= chips per host in a hybrid
-    mesh). A collective whose replica group (or permute pair) stays within
-    one granule (all ids share id // granule_size) rides ICI; one that
-    crosses granules pays DCN. Handles literal `{{0,1},{2,3}}` groups, the
-    iota v2 `[g,s]<=[shape]T(perm)` form, permute source_target_pairs, and
-    empty groups (= all devices, classed DCN when devices span granules).
-    Returns {"ici": {kind: n}, "dcn": {kind: n}}.
-    """
-    out = {"ici": {}, "dcn": {}}
+def _iter_collectives(hlo_text: str, granule_size: int):
+    """Yield (kind, crosses_granule, line) for every collective op line.
+    Classification rules: see classify_collectives."""
     for line in hlo_text.splitlines():
         m = _OP_RE.search(line)
         if not m:
@@ -190,9 +181,103 @@ def classify_collectives(hlo_text: str, granule_size: int) -> Dict[str, Dict[str
             crosses = True  # empty/unknown groups = all devices; conservative
         else:
             crosses = _groups_cross(groups, granule_size)
+        yield kind, crosses, line
+
+
+def classify_collectives(hlo_text: str, granule_size: int) -> Dict[str, Dict[str, int]]:
+    """Split the module's collectives into ICI vs DCN traffic classes.
+
+    granule_size: #devices per ICI domain (= chips per host in a hybrid
+    mesh). A collective whose replica group (or permute pair) stays within
+    one granule (all ids share id // granule_size) rides ICI; one that
+    crosses granules pays DCN. Handles literal `{{0,1},{2,3}}` groups, the
+    iota v2 `[g,s]<=[shape]T(perm)` form, permute source_target_pairs, and
+    empty groups (= all devices, classed DCN when devices span granules).
+    Returns {"ici": {kind: n}, "dcn": {kind: n}}.
+    """
+    out = {"ici": {}, "dcn": {}}
+    for kind, crosses, _ in _iter_collectives(hlo_text, granule_size):
         bucket = out["dcn" if crosses else "ici"]
         bucket[kind] = bucket.get(kind, 0) + 1
     return out
+
+
+# Result-shape tokens on a collective line, e.g. `%ar = bf16[4096,1024]
+# all-reduce-start(...)`. Tuple results list each member shape.
+_SHAPE_RE = re.compile(
+    r"\b(pred|f64|f32|bf16|f16|f8e4m3fn|f8e5m2|s64|s32|s16|s8|u64|u32|u16|u8)"
+    r"\[([\d,]*)\]")
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "f8e4m3fn": 1, "f8e5m2": 1,
+    "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+    "f32": 4, "s32": 4, "u32": 4,
+    "f64": 8, "s64": 8, "u64": 8,
+}
+
+
+def _line_result_bytes(line: str) -> int:
+    """Bytes of the op's RESULT shape(s): the `ty[dims]` tokens between '='
+    and the opcode (async start ops tuple the operand/result buffers —
+    counting the whole tuple double-counts, so take the LARGEST member:
+    the payload; for plain ops it is the single result)."""
+    eq = line.find("=")
+    op = _OP_RE.search(line)
+    if op is None:
+        return 0
+    seg = line[eq + 1:op.start()] if eq >= 0 else line[:op.start()]
+    best = 0
+    for dt, dims in _SHAPE_RE.findall(seg):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        best = max(best, n * _DTYPE_BYTES[dt])
+    return best
+
+
+def collective_bytes(hlo_text: str, granule_size: int) -> Dict[str, int]:
+    """Sum the RESULT bytes of every collective, split ICI vs DCN (same
+    classification as classify_collectives). The result size is the
+    first-order wire traffic of all-reduce/all-gather/permute on a ring —
+    good enough to model the DCN cost of a step, which is what the
+    1->N-host scaling-efficiency model consumes."""
+    out = {"ici": 0, "dcn": 0}
+    for kind, crosses, line in _iter_collectives(hlo_text, granule_size):
+        out["dcn" if crosses else "ici"] += _line_result_bytes(line)
+    return out
+
+
+def audit_bytes_by_axis(fn, *args, granule_size: int, **kwargs) -> Dict[str, int]:
+    """collective_bytes of fn's compiled HLO (audit_fn_by_axis's byte
+    twin)."""
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+    compiled = jitted.lower(*args, **kwargs).compile()
+    text = "\n".join(
+        m.to_string() for m in compiled.runtime_executable().hlo_modules()
+    ) if hasattr(compiled, "runtime_executable") else compiled.as_text()
+    return collective_bytes(text, granule_size)
+
+
+def model_scaling_efficiency(step_time_s: float, dcn_bytes_per_step: float,
+                             *, dcn_gbps: float = 25.0,
+                             latency_s: float = 10e-6) -> float:
+    """Modeled 1 -> N host THROUGHPUT scaling efficiency for a step whose
+    per-host work is constant (DP over the DCN axis: each host keeps its
+    own batch shard / engine replica): the N-host step pays the audited
+    per-step DCN traffic at `dcn_gbps` (+ one launch latency when any DCN
+    collective exists) on top of the single-host step time.
+
+        efficiency = N * tput_1 / (N * tput_N') = t_1 / (t_1 + t_dcn)
+
+    With ZERO audited DCN bytes (serving decode: TP activations psum on
+    ICI, no cross-host collective per token) the model returns exactly
+    1.0 — the scaling-book ideal for DP-on-DCN serving. dcn_gbps default
+    is a conservative per-host DCN figure (scaling-book's 'tens of
+    GB/s')."""
+    if dcn_bytes_per_step <= 0:
+        return 1.0
+    t_dcn = dcn_bytes_per_step / (dcn_gbps * 1e9) + latency_s
+    return step_time_s / (step_time_s + t_dcn)
 
 
 def audit_fn_by_axis(fn, *args, granule_size: int, **kwargs) -> Dict[str, Dict[str, int]]:

@@ -124,6 +124,46 @@ def append_tokens_batched(
     )
 
 
+def append_tokens_batched_at_layer(
+    state: PagedKVCacheState,  # LAYER-STACKED leaves [L, ...]
+    layer: jnp.ndarray,  # scalar i32 (traced)
+    k_tok: jnp.ndarray,  # [B, num_kv_heads, head_dim]
+    v_tok: jnp.ndarray,
+    page_ids: jnp.ndarray,  # [B] i32
+    slots: jnp.ndarray,  # [B] i32
+) -> PagedKVCacheState:
+    """append_tokens_batched against ONE layer of a layer-stacked cache,
+    without slicing the layer out: the scatters target [layer, :, page,
+    slot] directly, so when `state` is a lax.scan CARRY the update is
+    in-place token-granular writes instead of per-layer pool copies (the
+    run23 trace's 'nested-scan carry copies'). Same quantization policy as
+    append_tokens_batched (page scale fitted by slot 0, later tokens
+    clamped into it)."""
+    kf = k_tok.astype(jnp.float32).transpose(1, 0, 2)  # [Hkv, B, hd]
+    vf = v_tok.astype(jnp.float32).transpose(1, 0, 2)
+    k_fit = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
+    v_fit = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
+    # One dynamic-slice of the [L, Hkv, pages] scale planes is cheap
+    # (pages * Hkv * 4 B); the PAGE pools are what must not be sliced.
+    ks_l = jax.lax.dynamic_index_in_dim(state.k_scales, layer, keepdims=False)
+    vs_l = jax.lax.dynamic_index_in_dim(state.v_scales, layer, keepdims=False)
+    ks = jnp.where(slots[None, :] == 0, k_fit, ks_l[:, page_ids])
+    vs = jnp.where(slots[None, :] == 0, v_fit, vs_l[:, page_ids])
+    kq = jnp.clip(jnp.round(kf / ks[..., None]), -127, 127).astype(jnp.int8)
+    vq = jnp.clip(jnp.round(vf / vs[..., None]), -127, 127).astype(jnp.int8)
+    # Advanced-index scatter with a scalar layer coordinate: the advanced
+    # axes (layer, page_ids, slots) are separated by the head slice, so the
+    # indexed result shape is [B, Hkv, ...] — transpose values to match.
+    return PagedKVCacheState(
+        k_pages=state.k_pages.at[layer, :, page_ids, slots].set(
+            kq.transpose(1, 0, 2)),
+        v_pages=state.v_pages.at[layer, :, page_ids, slots].set(
+            vq.transpose(1, 0, 2)),
+        k_scales=state.k_scales.at[layer, :, page_ids].set(ks.transpose(1, 0)),
+        v_scales=state.v_scales.at[layer, :, page_ids].set(vs.transpose(1, 0)),
+    )
+
+
 def append_token(
     state: PagedKVCacheState,
     k_tok: jnp.ndarray,  # [num_kv_heads, head_dim]

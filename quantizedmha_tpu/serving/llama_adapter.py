@@ -45,8 +45,15 @@ from quantizedmha_tpu.reference.mha import apply_rope
 from quantizedmha_tpu.serving.kv_cache import (
     PagedKVCacheState,
     append_tokens_batched as _append_batch,
+    append_tokens_batched_at_layer as _append_batch_at,
     write_pages,
 )
+
+
+# Measurement escape hatch (scripts/run30): False routes plain-cache
+# decode_step back through the xs/ys layer scan (per-layer pool slice +
+# re-stack) for same-process A/Bs against the carry-threaded stacked path.
+STACKED_CARRY = True
 
 
 def ensure_serving_supported(cfg: LlamaConfig) -> None:
@@ -827,7 +834,7 @@ def decode_step(
     dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
     x = embed_tokens(cfg, params, tokens)[:, None, :]  # [B, 1, hid]
 
-    def body(x, p, cache_l, window):
+    def qkv(p, x):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
         q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, cfg.num_heads, hd)
         k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, cfg.num_kv_heads, hd)
@@ -835,6 +842,10 @@ def decode_step(
         # RoPE at each sequence's absolute position.
         q = _rope_single(q, positions, cfg.rope_theta)
         k = _rope_single(k, positions, cfg.rope_theta)
+        return q, k, v
+
+    def body(x, p, cache_l, window):
+        q, k, v = qkv(p, x)
         if isinstance(cache_l, MixedPagedKVState):
             pid8, pid4 = _g(page_ids, window)
             t8, t4 = _g(tables, window)
@@ -860,9 +871,40 @@ def decode_step(
         x = _mlp_residual(cfg, dense, p, x, reduce_tp)
         return x, cache_l
 
+    def body_stacked(carry, scanned, window):
+        # Plain layer-stacked cache rides the scan CARRY: the appends are
+        # in-place token-granular scatters at [layer, ...] and the kernel
+        # reads one layer of the whole stack via its prefetched `layer`
+        # scalar — no per-layer pool slice in, no per-layer pool stack out.
+        # The xs/ys form (`body` above) made XLA materialize pool/L-sized
+        # dynamic slices + update-slices per layer (the run23 trace's
+        # 'nested-scan carry copies', ~0.5 ms/step at 8B scale).
+        x, cache = carry
+        p, li = scanned
+        q, k, v = qkv(p, x)
+        cache = _append_batch_at(cache, li, k, v, _g(page_ids, window), slots)
+        o = paged_decode_attention(
+            q, cache.k_pages, cache.v_pages,
+            cache.k_scales, cache.v_scales, lengths, _g(tables, window),
+            sm_scale=cfg.sm_scale,
+            window=window, logit_softcap=cfg.logit_softcap,
+            attention_sinks=cfg.attention_sinks if window is not None else 0,
+            layer=li,
+        )
+        o = o.reshape(b, 1, cfg.num_heads * hd)
+        x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
+        x = _mlp_residual(cfg, dense, p, x, reduce_tp)
+        return (x, cache), None
+
     if isinstance(cache, dict):
         x, cache = scan_layers_caches(
             cfg.layer_windows, body, x, params["layers"], cache)
+    elif isinstance(cache, PagedKVCacheState) and STACKED_CARRY:
+        lidx = jnp.arange(len(cfg.layer_windows), dtype=jnp.int32)
+        (x, cache), _ = scan_layers(
+            cfg.layer_windows,
+            lambda c, s, w: body_stacked(c, s, w),
+            (x, cache), (params["layers"], lidx))
     else:
         x, cache = scan_layers(
             cfg.layer_windows, lambda x, s, w: body(x, s[0], s[1], w),

@@ -291,3 +291,127 @@ def test_int4_decode_with_subpage_scales(rng):
         want = np.einsum("hk,hkd->hd", p, vg)
         np.testing.assert_allclose(np.asarray(out)[0], want,
                                    atol=2e-3, rtol=2e-2)
+
+
+def test_padding_table_entries_never_read(rng):
+    """Block-table PADDING may hold garbage physical ids whose pool scales
+    are non-finite; the J>1 folded kernel must clamp its scale reads to the
+    sequence's last owned page (ADVICE r3: p == 0 does not neutralize a
+    non-finite v-scale — 0 * nan poisons pv)."""
+    state, alloc, k_full, v_full = _setup_cache(rng)  # 200/128 toks = 2 pages each
+    lengths = alloc.lengths_array([0, 1])
+    tables = np.asarray(alloc.block_table_array([0, 1], max_pages=4))
+    owned = {p for t in alloc.tables.values() for p in t}
+    poison = max(set(range(state.k_pages.shape[1])) - owned)
+    tables[:, 2:] = poison  # padding slots -> a page with nan scales
+    k_scales = state.k_scales.at[:, poison].set(jnp.nan)
+    v_scales = state.v_scales.at[:, poison].set(jnp.nan)
+
+    q = rng.normal(0, 0.5, (2, 4, 64)).astype(np.float32)
+    out = paged_decode_attention(
+        jnp.asarray(q), state.k_pages, state.v_pages, k_scales, v_scales,
+        jnp.asarray(lengths), jnp.asarray(tables), pages_per_step=4,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    for b, sid in enumerate([0, 1]):
+        table = alloc.tables[sid]
+        kk = np.asarray(state.k_pages)[:, table].astype(np.float64)
+        kk *= np.asarray(state.k_scales)[:, table][:, :, None, None]
+        vv = np.asarray(state.v_pages)[:, table].astype(np.float64)
+        vv *= np.asarray(state.v_scales)[:, table][:, :, None, None]
+        kk = kk.reshape(kk.shape[0], -1, 64)
+        vv = vv.reshape(vv.shape[0], -1, 64)
+        want = _golden_decode(q[b], kk, vv, alloc.lengths[sid])
+        assert np.max(np.abs(np.asarray(out[b], np.float64) - want)) < 1e-4
+
+
+def test_pages_per_step_budget_guard(rng):
+    """An explicit oversized fold must fail loudly at the call site, not as
+    a VMEM blowout inside Mosaic (ADVICE r3)."""
+    state, alloc, _, _ = _setup_cache(rng)
+    lengths = alloc.lengths_array([0, 1])
+    tables = alloc.block_table_array([0, 1], max_pages=4)
+    q = jnp.asarray(rng.normal(0, 0.5, (2, 4, 64)).astype(np.float32))
+    with pytest.raises(ValueError, match="per-step tile budget"):
+        paged_decode_attention(
+            q, state.k_pages, state.v_pages, state.k_scales, state.v_scales,
+            jnp.asarray(lengths), jnp.asarray(tables), pages_per_step=32)
+
+
+def test_stacked_layer_kernel_matches_per_layer(rng):
+    """5-D layer-stacked pools + the prefetched `layer` scalar must read
+    exactly the selected layer: parity vs the 4-D kernel on each layer's
+    slice, across fold widths, windowing, and save_residuals."""
+    states = []
+    for seed in (0, 1, 2):
+        r = np.random.default_rng(seed)
+        s, alloc, _, _ = _setup_cache(r)
+        states.append(s)
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    lengths = alloc.lengths_array([0, 1])
+    tables = alloc.block_table_array([0, 1], max_pages=4)
+    q = jnp.asarray(rng.normal(0, 0.5, (2, 4, 64)).astype(np.float32))
+
+    for li in range(3):
+        for kw in ({}, {"pages_per_step": 1},
+                   {"window": 128, "attention_sinks": 0},
+                   {"save_residuals": True}):
+            got = paged_decode_attention(
+                q, stack.k_pages, stack.v_pages, stack.k_scales,
+                stack.v_scales, jnp.asarray(lengths), jnp.asarray(tables),
+                layer=jnp.int32(li), **kw)
+            want = paged_decode_attention(
+                q, states[li].k_pages, states[li].v_pages,
+                states[li].k_scales, states[li].v_scales,
+                jnp.asarray(lengths), jnp.asarray(tables), **kw)
+            if kw.get("save_residuals"):
+                np.testing.assert_allclose(np.asarray(got[1]),
+                                           np.asarray(want[1]), atol=1e-6)
+                got, want = got[0], want[0]
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-6)
+
+
+def test_stacked_kernel_arg_validation(rng):
+    state, alloc, _, _ = _setup_cache(rng)
+    lengths = jnp.asarray(alloc.lengths_array([0, 1]))
+    tables = jnp.asarray(alloc.block_table_array([0, 1], max_pages=4))
+    q = jnp.asarray(rng.normal(0, 0.5, (2, 4, 64)).astype(np.float32))
+    with pytest.raises(ValueError, match="layer"):
+        paged_decode_attention(
+            q, state.k_pages, state.v_pages, state.k_scales, state.v_scales,
+            lengths, tables, layer=jnp.int32(0))
+    stack = jax.tree.map(lambda x: jnp.stack([x, x]), state)
+    with pytest.raises(ValueError, match="layer"):
+        paged_decode_attention(
+            q, stack.k_pages, stack.v_pages, stack.k_scales, stack.v_scales,
+            lengths, tables)
+
+
+def test_append_tokens_batched_at_layer_matches_sliced(rng):
+    """In-place [layer, ...] scatter append == the 4-D append on that
+    layer's slice (quantization policy included: slot-0 scale fit, later
+    tokens clamped into the existing scale)."""
+    from quantizedmha_tpu.serving.kv_cache import (
+        append_tokens_batched, append_tokens_batched_at_layer)
+
+    states = []
+    for seed in (3, 4):
+        r = np.random.default_rng(seed)
+        s, alloc, _, _ = _setup_cache(r)
+        states.append(s)
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    B, hkv, d = 2, 2, 64
+    pids = jnp.asarray([9, 10], jnp.int32)
+    for li in (0, 1):
+        for slots in (jnp.asarray([0, 0], jnp.int32),
+                      jnp.asarray([1, 3], jnp.int32)):
+            k = jnp.asarray(rng.normal(0, 0.5, (B, hkv, d)).astype(np.float32))
+            v = jnp.asarray(rng.normal(0, 0.5, (B, hkv, d)).astype(np.float32))
+            stack = append_tokens_batched_at_layer(
+                stack, jnp.int32(li), k, v, pids, slots)
+            states[li] = append_tokens_batched(states[li], k, v, pids, slots)
+    for li in (0, 1):
+        got = jax.tree.map(lambda x, li=li: x[li], stack)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(states[li])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

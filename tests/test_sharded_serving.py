@@ -303,3 +303,62 @@ def test_tp_engine_prefix_cache_matches_single_device(setup):
     assert got == want
     assert eng.metrics.counter("prefix_cache_hits") == 1
     assert eng.metrics.counter("prefix_tokens_reused") == 16
+
+
+def test_llama70b_dims_tp8_engine_decode_and_memory():
+    """The 70B claim's mechanical half (round-3 verdict): a REAL TPEngine
+    decode at Llama-3-70B layer dimensions — hidden 8192, 64 q heads,
+    8 kv heads, head_dim 128 (local shard: 8 q / 1 kv head, the GQA-8
+    paged-decode grid) — on the 8-way mesh, 2 layers deep, with live
+    per-device buffer accounting cross-checked against the analytic
+    sharding plan that test_llama70b_tp8_sharding_plan_fits_v5p scales to
+    the full 80 layers. MLP width is cut to keep the CPU-mesh test fast
+    (the decode kernel and the sharding structure don't depend on it; the
+    analytic plan uses the true 28672)."""
+    import jax.numpy as jnp
+
+    tp = 8
+    cfg = LlamaConfig(
+        vocab_size=512, hidden_size=8192, intermediate_size=2048,
+        num_layers=2, num_heads=64, num_kv_heads=8, head_dim=128,
+        dtype=jnp.float32, attention_impl="flash_int8")
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    ecfg = EngineConfig(num_pages=16, page_size=8, max_batch=2,
+                        prefill_buckets=(8,), max_new_tokens=3,
+                        decode_chunk=3)
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9]]
+
+    ref = Engine(cfg, params, ecfg)
+    for p in prompts:
+        ref.add_request(list(p))
+    want = ref.run()
+
+    eng = TPEngine(cfg, params, ecfg, make_tp_mesh(tp))
+    for p in prompts:
+        eng.add_request(list(p))
+    got = eng.run()
+    assert got == want
+    assert all(len(t) == 3 for t in got.values())
+
+    # Live per-device accounting: each param leaf's addressable shard
+    # bytes must equal the analytic plan (leaf bytes / tp on sharded axes,
+    # full bytes on replicated ones) — the formula the v5p-fit test
+    # trusts at full scale.
+    specs = tp_param_specs()
+
+    def analytic(leaf, spec):
+        n = leaf.size * leaf.dtype.itemsize
+        return n // tp if "tp" in tuple(spec) else n
+
+    from quantizedmha_tpu.serving.sharded import expand_param_specs
+
+    especs = expand_param_specs(eng.params, specs)
+    pairs = []
+    jax.tree.map(lambda l, s: pairs.append((l, s)), eng.params, especs)
+    assert pairs
+    total_live = sum(l.addressable_shards[0].data.nbytes for l, _ in pairs)
+    total_plan = sum(analytic(l, s) for l, s in pairs)
+    assert total_live == total_plan
+    # Cache shard: kv heads /8 -> 1 local head of int8 pages.
+    kv_local = eng.cache.k_pages.addressable_shards[0].data
+    assert kv_local.shape[1] == 1 and kv_local.shape[-1] == 128
