@@ -133,35 +133,46 @@ def append_tokens_batched_at_layer(
     slots: jnp.ndarray,  # [B] i32
 ) -> PagedKVCacheState:
     """append_tokens_batched against ONE layer of a layer-stacked cache,
-    without slicing the layer out: the scatters target [layer, :, page,
-    slot] directly, so when `state` is a lax.scan CARRY the update is
-    in-place token-granular writes instead of per-layer pool copies (the
-    run23 trace's 'nested-scan carry copies'). Same quantization policy as
-    append_tokens_batched (page scale fitted by slot 0, later tokens
-    clamped into it)."""
-    kf = k_tok.astype(jnp.float32).transpose(1, 0, 2)  # [Hkv, B, hd]
-    vf = v_tok.astype(jnp.float32).transpose(1, 0, 2)
-    k_fit = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
+    without slicing the layer out, as a chain of per-lane
+    dynamic-update-slices. The update MUST NOT be a batched scatter:
+    run30's A/B measured `.at[layer, :, page_ids, slots].set(...)` at
+    B=8 forcing XLA to materialize the whole 5-D pool per layer inside
+    the scan carry (+26.5 ms/step at 8B shape — worse than the per-layer
+    slice copies it replaced), while chained single-index DUS ops alias
+    in place (the standard scan-carried KV-cache idiom; at B=1 the
+    scatter happens to lower to exactly this, which is why batch 1
+    measured neutral). Same quantization policy as append_tokens_batched
+    (page scale fitted by slot 0, later tokens clamped into it)."""
+    B, hkv, hd = k_tok.shape
+    kf = k_tok.astype(jnp.float32)  # [B, Hkv, hd]
+    vf = v_tok.astype(jnp.float32)
+    k_fit = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0  # [B, Hkv]
     v_fit = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
-    # One dynamic-slice of the [L, Hkv, pages] scale planes is cheap
-    # (pages * Hkv * 4 B); the PAGE pools are what must not be sliced.
-    ks_l = jax.lax.dynamic_index_in_dim(state.k_scales, layer, keepdims=False)
-    vs_l = jax.lax.dynamic_index_in_dim(state.v_scales, layer, keepdims=False)
-    ks = jnp.where(slots[None, :] == 0, k_fit, ks_l[:, page_ids])
-    vs = jnp.where(slots[None, :] == 0, v_fit, vs_l[:, page_ids])
-    kq = jnp.clip(jnp.round(kf / ks[..., None]), -127, 127).astype(jnp.int8)
-    vq = jnp.clip(jnp.round(vf / vs[..., None]), -127, 127).astype(jnp.int8)
-    # Advanced-index scatter with a scalar layer coordinate: the advanced
-    # axes (layer, page_ids, slots) are separated by the head slice, so the
-    # indexed result shape is [B, Hkv, ...] — transpose values to match.
-    return PagedKVCacheState(
-        k_pages=state.k_pages.at[layer, :, page_ids, slots].set(
-            kq.transpose(1, 0, 2)),
-        v_pages=state.v_pages.at[layer, :, page_ids, slots].set(
-            vq.transpose(1, 0, 2)),
-        k_scales=state.k_scales.at[layer, :, page_ids].set(ks.transpose(1, 0)),
-        v_scales=state.v_scales.at[layer, :, page_ids].set(vs.transpose(1, 0)),
-    )
+    kp, vp, kssa, vssa = (state.k_pages, state.v_pages,
+                          state.k_scales, state.v_scales)
+    layer = jnp.asarray(layer, jnp.int32)
+    zero = jnp.int32(0)
+    for b in range(B):  # B is static; each DUS consumes the previous
+        pid, slot = page_ids[b], slots[b]
+        ks_old = jax.lax.dynamic_slice(
+            kssa, (layer, zero, pid), (1, hkv, 1))[0, :, 0]
+        vs_old = jax.lax.dynamic_slice(
+            vssa, (layer, zero, pid), (1, hkv, 1))[0, :, 0]
+        ks_b = jnp.where(slot == 0, k_fit[b], ks_old)  # [Hkv]
+        vs_b = jnp.where(slot == 0, v_fit[b], vs_old)
+        kq = jnp.clip(jnp.round(kf[b] / ks_b[:, None]), -127, 127).astype(
+            jnp.int8)
+        vq = jnp.clip(jnp.round(vf[b] / vs_b[:, None]), -127, 127).astype(
+            jnp.int8)
+        idx = (layer, zero, pid, slot, zero)
+        kp = jax.lax.dynamic_update_slice(kp, kq[None, :, None, None, :], idx)
+        vp = jax.lax.dynamic_update_slice(vp, vq[None, :, None, None, :], idx)
+        kssa = jax.lax.dynamic_update_slice(
+            kssa, ks_b[None, :, None], (layer, zero, pid))
+        vssa = jax.lax.dynamic_update_slice(
+            vssa, vs_b[None, :, None], (layer, zero, pid))
+    return PagedKVCacheState(k_pages=kp, v_pages=vp,
+                             k_scales=kssa, v_scales=vssa)
 
 
 def append_token(
