@@ -111,7 +111,8 @@ def run_decode_bench(cfg: LlamaConfig, params: Dict[str, Any], *,
                      batch: int = 8, prompt_len: int = 512,
                      max_new: int = 64, chunk: int = 16,
                      page_size: int = 128, num_pages: int | None = None,
-                     hbm_gbps: float | None = None) -> Dict[str, Any]:
+                     hbm_gbps: float | None = None,
+                     async_dispatch: bool = False) -> Dict[str, Any]:
     """Measure continuous-batching decode tok/s at one batch size.
 
     All prompts are equal-length with equal budgets so the batch stays
@@ -130,6 +131,7 @@ def run_decode_bench(cfg: LlamaConfig, params: Dict[str, Any], *,
         num_pages=num_pages, page_size=page_size, max_batch=batch,
         prefill_buckets=(prompt_len,), max_new_tokens=max_new,
         max_pages_per_seq=mpps, decode_chunk=chunk,
+        async_dispatch=async_dispatch,
     )
     eng = Engine(cfg, params, ecfg)
     rng = np.random.default_rng(0)
@@ -140,6 +142,12 @@ def run_decode_bench(cfg: LlamaConfig, params: Dict[str, Any], *,
 
     t0 = time.perf_counter()
     eng.step()  # admissions (B prefills) + first fused decode chunk
+    # async_dispatch: the first step only ENQUEUES chunk 1; step again so
+    # the measured window starts at a collected-chunk boundary in both
+    # modes (same counters, same sync-edge semantics).
+    while (eng.metrics.counter("tokens_generated") == 0
+           and (eng.active or eng.prefilling)):
+        eng.step()
     t_first = time.perf_counter() - t0
 
     toks0 = eng.metrics.counter("tokens_generated")
@@ -162,6 +170,7 @@ def run_decode_bench(cfg: LlamaConfig, params: Dict[str, Any], *,
         "prompt_len": prompt_len,
         "max_new": max_new,
         "decode_chunk": chunk,
+        "async_dispatch": async_dispatch,
         "decode_toks_per_s": round(toks_per_s, 1),
         "decode_ms_per_step": round(ms_per_step, 3),
         "decode_ms_per_tok": round(ms_per_step / batch, 3),
@@ -227,6 +236,9 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=512)
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--async-dispatch", action="store_true",
+                    help="depth-1 pipelined chunk dispatch (see "
+                         "EngineConfig.async_dispatch)")
     ap.add_argument("--prefill", action="store_true",
                     help="also measure prefill TFLOP/s at 2048 tokens")
     ap.add_argument("--layers", type=int, default=None,
@@ -253,7 +265,8 @@ def main():
     for b in args.batch:
         row = run_decode_bench(cfg, params, batch=b,
                                prompt_len=args.prompt_len,
-                               max_new=args.max_new, chunk=args.chunk)
+                               max_new=args.max_new, chunk=args.chunk,
+                               async_dispatch=args.async_dispatch)
         out["sweep"].append(row)
         if not args.json:
             print(json.dumps(row), flush=True)

@@ -50,6 +50,17 @@ class EngineConfig:
     # pre-reserved per chunk. Past-EOS tokens within a chunk are discarded
     # host-side — the classic sync-interval/waste tradeoff.
     decode_chunk: int = 1
+    # Depth-1 dispatch pipelining for the fused loop: chunk N+1 is
+    # ENQUEUED (with its token feed read on-device from chunk N's output)
+    # before chunk N's host sync, so the per-chunk host/tunnel round-trip
+    # overlaps device compute instead of serializing after it. Costs: EOS
+    # overshoot grows to up to 2*chunk-1 discarded steps per finished
+    # sequence (a finishing lane rides one extra in-flight chunk), page
+    # release and new admissions lag one chunk, and result latency is one
+    # chunk longer. Bounded depth (never more than 2 unsynced chunks) —
+    # an unbounded unsynced enqueue loop floods the tunnel queue
+    # (CLAUDE.md). Plain and hybrid caches; mixed_kv keeps the sync loop.
+    async_dispatch: bool = False
     # Automatic prefix caching: page-aligned prompt prefixes already in the
     # cache (same token chain) are SHARED via refcounted pages, and only
     # the suffix is prefilled (through the chunked-prefill program). Wins
@@ -198,6 +209,18 @@ class _Sequence:
 
 
 @dataclasses.dataclass
+class _Inflight:
+    """A dispatched-but-unsynced fused decode chunk (async_dispatch)."""
+    out: Any                  # [chunk, B] device tokens, NOT yet transferred
+    lanes: List[_Sequence]    # lane i -> sequence at dispatch time
+    chunk: int
+    # Sequences that finished in the PREVIOUS chunk's sync: their pages
+    # are still read by THIS chunk (it was dispatched before that sync),
+    # so release only after this chunk's own sync.
+    release_ids: List[int] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class _PrefillTask:
     """An in-flight interleaved chunked prefill: pages are already
     admitted (tables fixed), chunks run one per engine step."""
@@ -271,6 +294,16 @@ class Engine:
         self.metrics = Metrics()
         self.sampling = ecfg.sampling.validate()
         self._key = jax.random.PRNGKey(self.sampling.seed)
+        self._inflight: Optional[_Inflight] = None
+        if ecfg.async_dispatch:
+            if ecfg.decode_chunk <= 1:
+                raise ValueError(
+                    "async_dispatch pipelines the FUSED loop; set "
+                    "decode_chunk > 1")
+            if self.mixed:
+                raise ValueError(
+                    "async_dispatch does not cover mixed_kv yet (the "
+                    "mixed loop's two-table feed keeps the sync step)")
 
         self._prefill = jax.jit(
             functools.partial(llama_adapter.prefill_at, cfg),
@@ -921,9 +954,17 @@ class Engine:
             pass
         self._prefill_tick()
         if not self.active:
+            if self._inflight is not None:
+                # Every lane finished at the last sync but one chunk is
+                # still in flight (async_dispatch): drain it.
+                rec, self._inflight = self._inflight, None
+                self._collect_chunk(rec)
             return
         if self.ecfg.decode_chunk > 1:
-            self._step_fused(self.ecfg.decode_chunk)
+            if self.ecfg.async_dispatch:
+                self._step_fused_async(self.ecfg.decode_chunk)
+            else:
+                self._step_fused(self.ecfg.decode_chunk)
             return
         if self.mixed:
             self._step_mixed()
@@ -1034,11 +1075,18 @@ class Engine:
             next_tokens = np.asarray(self._sample_batch(logits))
         self._commit_decode(next_tokens, nseq)
 
-    def _trim_windows(self) -> None:
+    def _trim_windows(self, margin: int = 0) -> None:
         """Rolling-window page recycling: with cfg.sliding_window set,
         pages wholly behind every active sequence's window (minus attention
         sinks) go back to the free list — live KV memory per sequence is
-        capped at O(window + sinks) regardless of generation length."""
+        capped at O(window + sinks) regardless of generation length.
+
+        margin: extra positions kept alive behind the window. async
+        dispatch passes the in-flight chunk length — allocator lengths
+        include that chunk's reservations, but its EARLY steps still read
+        windows anchored up to `chunk` positions before the reserved end,
+        and a trimmed page could be re-admitted and overwritten mid-read.
+        """
         freed = 0
         if self.hybrid:
             # Per-group pools: each SLIDING group trims by its OWN window
@@ -1050,7 +1098,7 @@ class Engine:
                     continue
                 for seq in self.active:
                     freed += a.trim_window(
-                        seq.seq_id, w, self.cfg.attention_sinks)
+                        seq.seq_id, w + margin, self.cfg.attention_sinks)
         else:
             w = self.cfg.recyclable_window
             if not w:
@@ -1061,7 +1109,7 @@ class Engine:
                 return
             for seq in self.active:
                 freed += self.alloc.trim_window(
-                    seq.seq_id, w, self.cfg.attention_sinks)
+                    seq.seq_id, w + margin, self.cfg.attention_sinks)
         if freed:
             self.metrics.inc("pages_trimmed", freed)
             self.metrics.set("free_pages", self.alloc.free_pages)
@@ -1138,9 +1186,115 @@ class Engine:
         self._trim_windows()
         self.metrics.set("free_pages", self.alloc.free_pages)
 
+    def _step_fused_async(self, chunk: int) -> None:
+        """Depth-1 pipelined fused step: ENQUEUE chunk N+1 (token feed
+        gathered on-device from chunk N's unsynced output), THEN sync and
+        book-keep chunk N — the host/tunnel round-trip overlaps the new
+        chunk's device compute. See EngineConfig.async_dispatch for the
+        tradeoffs."""
+        rec = self._dispatch_chunk(chunk)
+        prev, self._inflight = self._inflight, rec
+        if prev is not None:
+            self._collect_chunk(prev)
+
+    def _dispatch_chunk(self, chunk: int) -> Optional[_Inflight]:
+        """Reserve pages and enqueue one fused chunk WITHOUT syncing.
+        Returns None when every lane's budget is already covered by
+        unsynced steps (the host KNOWS max_new; skipping the dispatch
+        avoids a pure-waste tail chunk — EOS remains unpredictable and is
+        the only remaining overshoot source)."""
+        B = self.ecfg.max_batch
+        prev = self._inflight
+        prev_pos = ({s.seq_id: i for i, s in enumerate(prev.lanes)}
+                    if prev is not None else {})
+        unsynced = lambda s: chunk if s.seq_id in prev_pos else 0  # noqa: E731
+        if all(len(s.out) + unsynced(s) >= s.max_new for s in self.active):
+            return None
+        if self.mixed:
+            self.alloc.check_extend_headroom(
+                [s.seq_id for s in self.active], chunk,
+                self.ecfg.max_pages_per_seq)
+        else:
+            self._check_extend_headroom(chunk)
+        lanes = list(self.active)
+        lengths0 = np.ones(B, np.int32)
+        host_toks = np.zeros(B, np.int32)
+        src_lane = np.zeros(B, np.int32)
+        from_dev = np.zeros(B, bool)
+        for i, seq in enumerate(lanes):
+            # alloc.lengths already counts every unsynced reservation, so
+            # this is the context AFTER chunk N's appends, excluding the
+            # pending token — exactly decode_loop's `lengths` contract.
+            lengths0[i] = self.alloc.lengths[seq.seq_id]
+            if seq.seq_id in prev_pos:
+                from_dev[i] = True
+                src_lane[i] = prev_pos[seq.seq_id]
+            else:
+                host_toks[i] = seq.pending  # fresh from prefill (host int)
+            for a in self._each_alloc():
+                for _ in range(chunk):
+                    a.extend(seq.seq_id)
+        if prev is not None and from_dev.any():
+            last = prev.out[chunk - 1]  # [B] device — chunk N's final tokens
+            toks = jnp.where(jnp.asarray(from_dev),
+                             last[jnp.asarray(src_lane)],
+                             jnp.asarray(host_toks))
+        else:
+            toks = jnp.asarray(host_toks)
+        tables = self._tables_for([s.seq_id for s in lanes], B)
+        self._key, loop_key = jax.random.split(self._key)
+        out, self.cache = self._decode_loop(
+            self.params, self.cache, toks, jnp.asarray(lengths0), tables,
+            loop_key, n_steps=chunk, page_size=self.ecfg.page_size,
+        )
+        return _Inflight(out=out, lanes=lanes, chunk=chunk)
+
+    def _collect_chunk(self, rec: _Inflight) -> None:
+        """Sync one in-flight chunk and book-keep its tokens. Lanes whose
+        sequence already finished in an earlier sync are skipped (their
+        tokens are the accepted overshoot); sequences finishing NOW defer
+        their page release to the chunk currently in flight (it was
+        dispatched before this sync and still reads those pages)."""
+        with self.metrics.timed("decode_chunk"):
+            out = np.asarray(rec.out)  # the single host sync
+        self.metrics.inc("decode_steps", rec.chunk)
+        for i, seq in enumerate(rec.lanes):
+            if seq.seq_id in self.finished:
+                continue
+            finished = False
+            for j in range(rec.chunk):
+                tok = int(out[j, i])
+                seq.out.append(tok)
+                seq.pending = tok
+                self.metrics.inc("tokens_generated")
+                eos = self.ecfg.eos_id is not None and tok == self.ecfg.eos_id
+                if seq.done_by_len or eos:
+                    finished = True
+                    break
+            if finished:
+                self.finished[seq.seq_id] = seq.out
+                if self._inflight is not None and self._inflight is not rec:
+                    self._inflight.release_ids.append(seq.seq_id)
+                else:
+                    for a in self._each_alloc():
+                        a.release(seq.seq_id)
+                self.metrics.inc("requests_finished")
+                if seq in self.active:
+                    self.active.remove(seq)
+        for sid in rec.release_ids:
+            for a in self._each_alloc():
+                a.release(sid)
+        pending = self._inflight
+        self._trim_windows(
+            margin=pending.chunk
+            if pending is not None and pending is not rec else 0)
+        self.metrics.set("active_sequences", len(self.active))
+        self.metrics.set("free_pages", self.alloc.free_pages)
+
     def run(self) -> Dict[int, List[int]]:
         """Drive until queue and active set drain; returns {req_id: tokens}."""
-        while self.queue or self.active or self.prefilling:
+        while (self.queue or self.active or self.prefilling
+               or self._inflight is not None):
             before = len(self.finished)
             self.step()
             if (not self.active and not self.prefilling and self.queue

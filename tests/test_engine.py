@@ -643,3 +643,88 @@ def test_tp_engine_with_window_pattern():
     eng.add_request([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
     got = eng.run()
     assert list(got.values()) == list(want.values())
+
+
+def _async_pair(cfg, params, ecfg, prompts, eos_id=None):
+    """Run the same workload through the sync and async_dispatch engines;
+    returns (sync_out, async_out)."""
+    import dataclasses
+
+    sync = Engine(cfg, params, dataclasses.replace(ecfg, eos_id=eos_id))
+    for p in prompts:
+        sync.add_request(list(p))
+    want = sync.run()
+
+    eng = Engine(cfg, params, dataclasses.replace(
+        ecfg, eos_id=eos_id, async_dispatch=True))
+    for p in prompts:
+        eng.add_request(list(p))
+    got = eng.run()
+    return want, got, sync, eng
+
+
+def test_async_dispatch_matches_sync(tiny_model):
+    """Depth-1 pipelined dispatch must be token-invisible: the on-device
+    token carry between chunks feeds exactly chunk N's final sample."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(11)
+    ecfg = EngineConfig(
+        num_pages=16, page_size=64, max_batch=2, max_pages_per_seq=6,
+        prefill_buckets=(64, 128), max_new_tokens=9, decode_chunk=3,
+    )
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist()
+               for n in (20, 50, 35)]
+    want, got, sync, eng = _async_pair(cfg, params, ecfg, prompts)
+    assert got == want
+    assert eng._inflight is None
+    # Pages fully recycled despite the one-chunk release deferral.
+    assert eng.alloc.free_pages == sync.alloc.free_pages
+
+
+def test_async_dispatch_eos_and_admission_lag(tiny_model):
+    """EOS inside a chunk: the finishing lane's extra in-flight chunk is
+    discarded, its pages release after that chunk's sync, and queued
+    requests still get admitted (one chunk late) — everyone is served."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(13)
+    # Pick an eos_id that actually appears early for at least one prompt:
+    # greedy argmax over a random tiny model is effectively arbitrary, so
+    # probe the sync engine first for a token that shows up.
+    probe_ecfg = EngineConfig(
+        num_pages=16, page_size=64, max_batch=2, max_pages_per_seq=6,
+        prefill_buckets=(64,), max_new_tokens=8, decode_chunk=4,
+    )
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist()
+               for n in (12, 30, 22)]
+    probe = Engine(cfg, params, probe_ecfg)
+    for p in prompts:
+        probe.add_request(list(p))
+    sample_out = probe.run()
+    eos = next(iter(sample_out.values()))[2]  # 3rd token of some stream
+
+    want, got, sync, eng = _async_pair(
+        cfg, params, probe_ecfg, prompts, eos_id=eos)
+    assert got == want
+    assert all(t[-1] == eos or len(t) == 8 for t in got.values())
+    assert eng.alloc.free_pages == sync.alloc.free_pages
+
+
+def test_async_dispatch_windowed_trim_margin(tiny_model):
+    """Windowed model + async dispatch: trims keep an in-flight-chunk
+    margin so pages the unsynced chunk still reads are never recycled;
+    token streams match the sync engine."""
+    import dataclasses as dc
+
+    cfg, params = tiny_model
+    cfg = dc.replace(cfg, sliding_window=48, attention_sinks=0)
+    rng = np.random.default_rng(17)
+    ecfg = EngineConfig(
+        num_pages=24, page_size=32, max_batch=2, max_pages_per_seq=8,
+        prefill_buckets=(64, 128), max_new_tokens=12, decode_chunk=4,
+    )
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist()
+               for n in (40, 100)]
+    want, got, sync, eng = _async_pair(cfg, params, ecfg, prompts)
+    assert got == want
+    assert eng.metrics.counter("pages_trimmed") >= 1
+    assert eng.alloc.free_pages == sync.alloc.free_pages
