@@ -41,21 +41,23 @@ from quantizedmha_tpu.profiling.roofline import (
 )
 
 REFERENCE_INT8_MS = 7.70  # fa_tc_int8_b on L4, reference README.md:19
-SERVING_TIMEOUT_S = 300   # subprocess budget for the 8B serving row
+SERVING_TIMEOUT_S = 420   # subprocess budget for the 8B serving rows
 
 
 def serving_row() -> dict:
-    """Llama-8B-shape decode tok/s + % of HBM SoL, in a SUBPROCESS with a
-    timeout: 8B-scale jobs have wedged this machine's tunneled backend
-    before (.claude/skills/verify/SKILL.md) — a hang must degrade this
-    row, never the headline."""
-    # chunk=32 after run28's sweep (8/16/32 -> 381/409/431 tok/s): the
-    # fused chunk amortizes ~2.3 ms/step of host gap; the cost is EOS
-    # overshoot (up to chunk-1 discarded steps per finished sequence) and
-    # 32-step result latency — a throughput-row tradeoff, stated here.
+    """Llama-8B-shape decode tok/s + % of HBM SoL at batch 8 AND batch 1,
+    in a SUBPROCESS with a timeout: 8B-scale jobs have wedged this
+    machine's tunneled backend before (.claude/skills/verify/SKILL.md) —
+    a hang must degrade this row, never the headline."""
+    # chunk=32 after run28's sweep (8/16/32 -> 381/409/431 tok/s);
+    # async_dispatch after run32 (the per-chunk host round-trip overlaps
+    # the next chunk's compute instead of amortizing: +7.3%/+7.5%). The
+    # costs — EOS overshoot up to 2*chunk-1 steps per finished sequence,
+    # one chunk of extra result latency — are throughput-row tradeoffs,
+    # stated here.
     cmd = [sys.executable, "-m", "quantizedmha_tpu.harness.serving_bench",
-           "--json", "--batch", "8", "--prompt-len", "256", "--max-new",
-           "96", "--chunk", "32"]
+           "--json", "--batch", "8", "1", "--prompt-len", "256",
+           "--max-new", "96", "--chunk", "32", "--async-dispatch"]
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=SERVING_TIMEOUT_S,
@@ -65,7 +67,7 @@ def serving_row() -> dict:
         line = proc.stdout.strip().splitlines()[-1]
         out = json.loads(line)
         row = out["sweep"][0]
-        return {
+        extras = {
             "decode_toks_per_s": row["decode_toks_per_s"],
             "decode_pct_hbm_sol": row["decode_pct_hbm_sol"],
             "decode_ms_per_tok": row["decode_ms_per_tok"],
@@ -73,6 +75,11 @@ def serving_row() -> dict:
             "serving_model": out["model"],
             "serving_batch": row["batch"],
         }
+        if len(out["sweep"]) > 1:
+            b1 = out["sweep"][1]
+            extras["decode_b1_toks_per_s"] = b1["decode_toks_per_s"]
+            extras["decode_b1_pct_hbm_sol"] = b1["decode_pct_hbm_sol"]
+        return extras
     except subprocess.TimeoutExpired:
         return {"serving_error": f"timeout after {SERVING_TIMEOUT_S}s"}
     except Exception as e:  # noqa: BLE001 — the row is best-effort

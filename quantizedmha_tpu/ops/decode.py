@@ -259,7 +259,14 @@ def _scales_cols(scales: jnp.ndarray) -> jnp.ndarray:
 def _scales_cols_stacked(scales: jnp.ndarray) -> jnp.ndarray:
     """Layer-stacked variant: [L, num_kv_heads, num_pages] ->
     [L, num_kv_heads, num_pages, 1] (the layer index map picks one layer's
-    head column per (b, h) grid cell)."""
+    head column per (b, h) grid cell). Callers on the hot path should pass
+    scales ALREADY carrying the trailing unit dim: this reshape is a real
+    layout change (rows move from lanes to sublanes) that costs a copy of
+    the whole plane — run33's trace measured it at ~0.65 ms/step when
+    re-materialized per layer inside the decode scan. decode_loop
+    pre-columns the carry once per fused chunk instead."""
+    if scales.ndim == 4:  # already columned
+        return scales
     return scales[:, :, :, None]
 
 

@@ -152,12 +152,21 @@ def append_tokens_batched_at_layer(
                           state.k_scales, state.v_scales)
     layer = jnp.asarray(layer, jnp.int32)
     zero = jnp.int32(0)
+    # Scales may arrive PRE-COLUMNED [L, Hkv, pages, 1] (decode_loop keeps
+    # the kernel's column layout in the carry so no per-layer reshape-copy
+    # happens — run33); handle both.
+    cols = kssa.ndim == 4
+    s_sizes = (1, hkv, 1, 1) if cols else (1, hkv, 1)
+
+    def s_idx(pid):
+        return (layer, zero, pid, zero) if cols else (layer, zero, pid)
+
     for b in range(B):  # B is static; each DUS consumes the previous
         pid, slot = page_ids[b], slots[b]
         ks_old = jax.lax.dynamic_slice(
-            kssa, (layer, zero, pid), (1, hkv, 1))[0, :, 0]
+            kssa, s_idx(pid), s_sizes).reshape(hkv)
         vs_old = jax.lax.dynamic_slice(
-            vssa, (layer, zero, pid), (1, hkv, 1))[0, :, 0]
+            vssa, s_idx(pid), s_sizes).reshape(hkv)
         ks_b = jnp.where(slot == 0, k_fit[b], ks_old)  # [Hkv]
         vs_b = jnp.where(slot == 0, v_fit[b], vs_old)
         kq = jnp.clip(jnp.round(kf[b] / ks_b[:, None]), -127, 127).astype(
@@ -168,9 +177,9 @@ def append_tokens_batched_at_layer(
         kp = jax.lax.dynamic_update_slice(kp, kq[None, :, None, None, :], idx)
         vp = jax.lax.dynamic_update_slice(vp, vq[None, :, None, None, :], idx)
         kssa = jax.lax.dynamic_update_slice(
-            kssa, ks_b[None, :, None], (layer, zero, pid))
+            kssa, ks_b.reshape(s_sizes), s_idx(pid))
         vssa = jax.lax.dynamic_update_slice(
-            vssa, vs_b[None, :, None], (layer, zero, pid))
+            vssa, vs_b.reshape(s_sizes), s_idx(pid))
     return PagedKVCacheState(k_pages=kp, v_pages=vp,
                              k_scales=kssa, v_scales=vssa)
 

@@ -50,10 +50,13 @@ from quantizedmha_tpu.serving.kv_cache import (
 )
 
 
-# Measurement escape hatch (scripts/run30): False routes plain-cache
-# decode_step back through the xs/ys layer scan (per-layer pool slice +
-# re-stack) for same-process A/Bs against the carry-threaded stacked path.
+# Measurement escape hatches (scripts/run30, run34): STACKED_CARRY=False
+# routes plain-cache decode_step back through the xs/ys layer scan
+# (per-layer pool slice + re-stack); PRECOLUMN_SCALES=False re-materializes
+# the kernel's scale-column layout per layer instead of once per chunk.
+# Both exist for same-process A/Bs on the chip.
 STACKED_CARRY = True
+PRECOLUMN_SCALES = True
 
 
 def ensure_serving_supported(cfg: LlamaConfig) -> None:
@@ -982,9 +985,27 @@ def decode_loop(
         out = (nxt, logits) if return_logits else nxt
         return (cache, nxt, lens + 1, key), out
 
+    # Pre-column the stacked cache's scales ([L, Hkv, pages] ->
+    # [L, Hkv, pages, 1], the kernel's VMEM column layout) ONCE per fused
+    # chunk: leaving it to the kernel call re-materializes the layout
+    # change per layer per step inside the scan — run33's trace measured
+    # those copies at ~0.65 ms/step at 8B shape. De-column on exit so the
+    # external cache contract is unchanged.
+    pre_col = (STACKED_CARRY and PRECOLUMN_SCALES
+               and isinstance(cache, PagedKVCacheState)
+               and cache.k_pages.ndim == 5)
+    if pre_col:
+        cache = PagedKVCacheState(
+            k_pages=cache.k_pages, v_pages=cache.v_pages,
+            k_scales=cache.k_scales[..., None],
+            v_scales=cache.v_scales[..., None])
     (cache, _, _, _), out = jax.lax.scan(
         body, (cache, tokens, lengths, key), None, length=n_steps
     )
+    if pre_col:
+        cache = PagedKVCacheState(
+            k_pages=cache.k_pages, v_pages=cache.v_pages,
+            k_scales=cache.k_scales[..., 0], v_scales=cache.v_scales[..., 0])
     if return_logits:
         toks, logits = out
         return toks, cache, logits
