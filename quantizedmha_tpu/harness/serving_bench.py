@@ -31,16 +31,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from quantizedmha_tpu.models.llama import LlamaConfig
-from quantizedmha_tpu.quant.weights import QuantizedWeight
+from quantizedmha_tpu.quant.weights import QuantizedWeight, QuantizedWeight4
 from quantizedmha_tpu.serving.engine import Engine, EngineConfig
 
+_W4_GROUP = 128  # one MXU contraction tile per scale group
 
-def device_init_int8_params(cfg: LlamaConfig, seed: int = 0) -> Dict[str, Any]:
-    """Random 8B-shape params with int8 layer matmuls, generated on device.
 
-    Values are uniform int8 in [-64, 64] with small channel scales — decode
-    throughput only depends on byte layout, not weight values. Each tensor
-    is its own jit so XLA never materializes two copies."""
+def device_init_quant_params(cfg: LlamaConfig, seed: int = 0,
+                             bits: int = 8,
+                             group: int = _W4_GROUP) -> Dict[str, Any]:
+    """Random 8B-shape params with int8 (per-channel) or int4 (group-wise)
+    layer matmuls, generated on device.
+
+    Values are small uniform ints with small scales — decode throughput
+    only depends on byte layout, not weight values. Each tensor is its own
+    jit so XLA never materializes two copies."""
     key = jax.random.PRNGKey(seed)
     keys = iter(jax.random.split(key, 32))
     hd = cfg.hd
@@ -53,6 +58,15 @@ def device_init_int8_params(cfg: LlamaConfig, seed: int = 0) -> Dict[str, Any]:
         return jax.random.randint(k, shape, -64, 65, jnp.int8)
 
     @functools.partial(jax.jit, static_argnums=1)
+    def _packed4(k, shape):
+        # Any byte is a valid pair of packed nibbles; keep each nibble in
+        # [-7, 7] by sampling them separately (mirrors quantize_weight4).
+        klo, khi = jax.random.split(k)
+        lo = jax.random.randint(klo, shape, -7, 8, jnp.int8)
+        hi = jax.random.randint(khi, shape, -7, 8, jnp.int8)
+        return (lo & jnp.int8(0x0F)) | (hi << 4)
+
+    @functools.partial(jax.jit, static_argnums=1)
     def _scale(k, shape):
         return jax.random.uniform(k, shape, jnp.float32, 1e-4, 3e-4)
 
@@ -62,6 +76,14 @@ def device_init_int8_params(cfg: LlamaConfig, seed: int = 0) -> Dict[str, Any]:
             jnp.bfloat16)
 
     def qw(per_layer_shape):
+        if bits == 4:
+            in_dim, out_dim = per_layer_shape
+            if in_dim % (2 * group):
+                raise ValueError(
+                    f"in_dim {in_dim} needs 2*group ({2 * group}) | in_dim")
+            v = _packed4(next(keys), (L, in_dim // 2, out_dim))
+            s = _scale(next(keys), (L, in_dim // group, out_dim))
+            return QuantizedWeight4(packed=v, scale=s, group=group)
         v = _int8(next(keys), (L, *per_layer_shape))
         s = _scale(next(keys), (L, per_layer_shape[-1]))
         return QuantizedWeight(values=v, scale=s)
@@ -85,9 +107,17 @@ def device_init_int8_params(cfg: LlamaConfig, seed: int = 0) -> Dict[str, Any]:
     )
 
 
+def device_init_int8_params(cfg: LlamaConfig, seed: int = 0) -> Dict[str, Any]:
+    return device_init_quant_params(cfg, seed=seed, bits=8)
+
+
 def _leaf_bytes(tree) -> int:
-    return sum(x.size * x.dtype.itemsize
-               for x in jax.tree_util.tree_leaves(tree))
+    # s4 packs two elements per HBM byte on TPU (ml_dtypes reports
+    # itemsize 1 — that's the HOST layout, not the device one).
+    return sum(
+        (x.size + 1) // 2 if x.dtype == jnp.int4
+        else x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(tree))
 
 
 def decode_step_bytes(cfg: LlamaConfig, params: Dict[str, Any],
@@ -243,6 +273,9 @@ def main():
                     help="also measure prefill TFLOP/s at 2048 tokens")
     ap.add_argument("--layers", type=int, default=None,
                     help="override num_layers (scaled-down debugging)")
+    ap.add_argument("--weight-bits", type=int, choices=(4, 8), default=8,
+                    help="layer-matmul weight precision (8: per-channel "
+                         "w8a16; 4: group-128 w4a16 — halves weight HBM)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -254,14 +287,14 @@ def main():
     if args.layers:
         cfg = dataclasses_replace(cfg, num_layers=args.layers)
     t0 = time.perf_counter()
-    params = device_init_int8_params(cfg)
+    params = device_init_quant_params(cfg, bits=args.weight_bits)
     gib = _leaf_bytes(params) / 2**30
     if not args.json:
         print(f"params on device: {gib:.2f} GiB in "
               f"{time.perf_counter() - t0:.0f}s", flush=True)
 
-    out = {"model": "llama3-8b-shape-int8", "params_gib": round(gib, 2),
-           "sweep": []}
+    out = {"model": f"llama3-8b-shape-int{args.weight_bits}",
+           "params_gib": round(gib, 2), "sweep": []}
     for b in args.batch:
         row = run_decode_bench(cfg, params, batch=b,
                                prompt_len=args.prompt_len,

@@ -25,6 +25,7 @@ lax.scan layout.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import pathlib
 from typing import Any, Dict, Optional
@@ -185,12 +186,15 @@ def load_llama(
     cfg: Optional[LlamaConfig] = None,
     *,
     quantize: bool = False,
+    quantize_bits: int = 8,
+    quantize_group: int = 128,
     mesh=None,
     dtype=None,
 ) -> Dict[str, Any]:
     """Load a HF Llama/Mistral checkpoint directory into the params pytree.
 
-    quantize: per-output-channel int8 (QuantizedWeight) for every projection
+    quantize: int8 per-output-channel (QuantizedWeight) or, with
+    quantize_bits=4, int4 group-128 (QuantizedWeight4) for every projection
     (norms/embed/lm_head stay float — standard practice).
     mesh: if given, each leaf is device_put with its param_shardings spec
     inside the mesh (shard-on-load; required for 70B-class checkpoints).
@@ -200,7 +204,8 @@ def load_llama(
     reader = _ShardedReader(path)
     hd = cfg.hd
 
-    place = _make_placer(cfg, mesh)
+    place = _make_placer(cfg, mesh, quantize_bits=quantize_bits,
+                         quantize_group=quantize_group)
 
     def proj(name: str, layer: int, kind: str) -> Any:
         w = reader.get(f"model.layers.{layer}.{name}.weight")
@@ -272,7 +277,8 @@ def load_llama(
     )
 
 
-def _make_placer(cfg: LlamaConfig, mesh):
+def _make_placer(cfg: LlamaConfig, mesh, quantize_bits: int = 8,
+                 quantize_group: int = 128):
     """Returns place(path, np_array, dtype, quantize=False) -> leaf."""
     specs = None
     if mesh is not None:
@@ -291,23 +297,41 @@ def _make_placer(cfg: LlamaConfig, mesh):
     def place(path, arr, dtype, quantize=False):
         x = jnp.asarray(arr, dtype)
         if quantize:
-            from quantizedmha_tpu.quant.weights import quantize_weight
+            from quantizedmha_tpu.quant.weights import (
+                quantize_weight,
+                quantize_weight4,
+            )
 
-            qw = quantize_weight(x)
+            if quantize_bits == 4:
+                qw = quantize_weight4(x, group=quantize_group)
+            else:
+                qw = quantize_weight(x)
             if specs is not None:
                 from jax.sharding import NamedSharding
 
                 spec = lookup(path)
-                qw = type(qw)(
-                    values=jax.device_put(qw.values, NamedSharding(mesh, spec)),
-                    # per-out-channel scale shards with the LAST axis of the
-                    # weight spec
-                    scale=jax.device_put(
-                        qw.scale,
-                        NamedSharding(mesh, type(spec)(*spec[:-2], spec[-1]))
-                        if len(spec) >= 2 else NamedSharding(mesh, spec),
-                    ),
-                )
+                if quantize_bits == 4 and len(spec) >= 2:
+                    # group scale [..., in/G, out]: the group axis follows
+                    # the weight's IN axis sharding; out follows out.
+                    scale_spec = type(spec)(*spec[:-2], spec[-2], spec[-1])
+                elif len(spec) >= 2:
+                    # per-out-channel scale shards with the LAST axis
+                    scale_spec = type(spec)(*spec[:-2], spec[-1])
+                else:
+                    scale_spec = spec
+                scale = jax.device_put(qw.scale,
+                                       NamedSharding(mesh, scale_spec))
+                if quantize_bits == 4:
+                    # packed [..., in/2, out] shards with the weight spec
+                    qw = dataclasses.replace(
+                        qw, scale=scale,
+                        packed=jax.device_put(qw.packed,
+                                              NamedSharding(mesh, spec)))
+                else:
+                    qw = dataclasses.replace(
+                        qw, scale=scale,
+                        values=jax.device_put(qw.values,
+                                              NamedSharding(mesh, spec)))
             return qw
         if specs is not None:
             from jax.sharding import NamedSharding

@@ -12,8 +12,24 @@ matmul modes:
   - w8a8: activations are ALSO dynamically quantized per row (max-abs) and
     the matmul runs int8 x int8 -> int32 on the MXU's double-rate path,
     dequantized by (row_scale x col_scale).
+  - w4a16: weights stored as PACKED nibbles — two int4 values per int8
+    byte — with per-(input-group, output-channel) scales. Halves decode
+    weight traffic again vs w8a16. Native jnp.int4 is NOT used: this
+    runtime stores s4 buffers unpacked in HBM (measured via
+    on_device_size_in_bytes — 1 byte/element, no bandwidth win), so the
+    packing is explicit. Row i of the packed [in/2, out] buffer holds
+    weight row i in its LOW nibble and row in/2 + i in its HIGH nibble
+    (halves, not interleaved: the matmul over the contraction dim is
+    order-invariant, so splitting x into halves avoids any sublane
+    shuffle on unpack). Group scales vary along the CONTRACTION dim, so
+    they cannot commute to the output like w8a16's channel scales; the
+    decode lowering batches the matmul over groups and applies scales to
+    the activation-shaped accumulator (never to a weight-shaped tensor —
+    XLA materializes those per step, run23), while the compute-bound
+    prefill lowering dequantizes one weight-shaped bf16 buffer per call
+    and runs a single MXU matmul.
 
-Both keep a float residual path: norms, embeddings, and the lm_head stay in
+All keep a float residual path: norms, embeddings, and the lm_head stay in
 the float dtype (standard practice — they are small and accuracy-critical).
 """
 
@@ -63,9 +79,150 @@ def quantize_weight(w: jnp.ndarray, *, scale_clamp: float = 1e-8) -> QuantizedWe
     return QuantizedWeight(values=q, scale=scale)
 
 
+@dataclasses.dataclass
+class QuantizedWeight4:
+    """Symmetric group-wise INT4 weight, nibble-packed two per byte.
+
+    packed: [..., in_dim // 2, out_dim] int8 — row i holds weight row i
+    (of the first input half) in its LOW nibble and weight row
+    in_dim/2 + i (second half) in its HIGH nibble, both 4-bit two's
+    complement in [-7, 7]. scale: [..., in_dim // group, out_dim] f32.
+    `group` is static metadata so the dataclass slices transparently under
+    lax.scan over layer-stacked parameters and shards under NamedSharding
+    (same pytree contract as QuantizedWeight).
+    """
+
+    packed: jnp.ndarray
+    scale: jnp.ndarray
+    group: int = 128
+
+    @property
+    def in_features(self) -> int:
+        return self.packed.shape[-2] * 2
+
+    @property
+    def out_features(self) -> int:
+        return self.packed.shape[-1]
+
+    @property
+    def shape(self):
+        return (*self.packed.shape[:-2], self.in_features, self.out_features)
+
+
+jax.tree_util.register_dataclass(
+    QuantizedWeight4, data_fields=["packed", "scale"], meta_fields=["group"]
+)
+
+
+def _unpack_nibbles(packed: jnp.ndarray):
+    """[..., in/2, out] int8 -> (lo, hi) int8 halves, sign-extended.
+
+    Arithmetic shifts on int8: `packed >> 4` sign-extends the high nibble;
+    `(packed << 4) >> 4` sign-extends the low one.
+    """
+    hi = packed >> 4
+    lo = (packed << 4) >> 4
+    return lo, hi
+
+
+def quantize_weight4(
+    w: jnp.ndarray, *, group: int = 128, scale_clamp: float = 1e-8
+) -> QuantizedWeight4:
+    """Group-wise symmetric max-abs INT4 quantization of [..., in, out].
+
+    Each (contiguous input group of `group` rows, output channel) gets its
+    own scale — 4-bit needs finer scale granularity than w8's per-channel
+    (15 levels vs 255); group=128 matches one MXU contraction tile so the
+    decode lowering's per-group matmuls stay full-width. Requires `group`
+    to divide in_dim/2 so no scale group straddles the packed halves.
+    """
+    *lead, in_dim, out_dim = w.shape
+    if in_dim % (2 * group):
+        raise ValueError(
+            f"in_dim {in_dim} must be divisible by 2*group ({2 * group})")
+    gn = in_dim // group
+    wf = w.astype(jnp.float32).reshape(*lead, gn, group, out_dim)
+    amax = jnp.max(jnp.abs(wf), axis=-2)  # [..., gn, out]
+    scale = jnp.maximum(amax, scale_clamp) / 7.0
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
+    q = q.reshape(*lead, in_dim, out_dim).astype(jnp.int8)
+    half = in_dim // 2
+    lo = q[..., :half, :]
+    hi = q[..., half:, :]
+    packed = (lo & jnp.int8(0x0F)) | (hi << 4)
+    return QuantizedWeight4(packed=packed, scale=scale, group=group)
+
+
+# Row-count threshold picking the w4a16 lowering: at or below it (decode)
+# the group-batched matmul's [gn, rows, out] accumulator is small and the
+# scale multiply stays activation-shaped; above it (prefill) that
+# accumulator would dwarf the weights, so one weight-shaped bf16 dequant +
+# a single MXU matmul wins (prefill is compute-bound — the dequant's extra
+# HBM round-trip is ~25% of the matmul's MXU time at 2K tokens).
+_W4_DECODE_ROWS = 64
+
+
+def _w4_halves(x: jnp.ndarray, w: QuantizedWeight4):
+    """Split x and the (unpacked, group-reshaped) weight into the two
+    packed halves: returns per-half (x_g [gnh, R, G], w_g [gnh, G, out],
+    scale [gnh, out]) with x flattened to R rows."""
+    *lead, in_dim = x.shape
+    out_dim = w.out_features
+    half, gn = in_dim // 2, in_dim // w.group
+    gnh = gn // 2
+    xr = x.reshape(-1, in_dim)
+    lo, hi = _unpack_nibbles(w.packed)
+    parts = []
+    for xh, wh, sh in ((xr[:, :half], lo, w.scale[:gnh]),
+                       (xr[:, half:], hi, w.scale[gnh:])):
+        xg = xh.reshape(-1, gnh, w.group).transpose(1, 0, 2)  # [gnh, R, G]
+        wg = wh.reshape(gnh, w.group, out_dim)
+        parts.append((xg, wg, sh))
+    return parts
+
+
+def _w4a16(x: jnp.ndarray, w: QuantizedWeight4) -> jnp.ndarray:
+    *lead, in_dim = x.shape
+    out_dim = w.out_features
+    if in_dim != w.in_features:
+        raise ValueError(f"x in_dim {in_dim} != weight in {w.in_features}")
+    rows = 1
+    for s in lead:
+        rows *= s
+    if rows <= _W4_DECODE_ROWS:
+        # Decode: batch the matmul over scale groups, scales hit the
+        # activation-shaped accumulator.
+        out = None
+        for xg, wg, sh in _w4_halves(x, w):
+            # f32 accumulator: the per-group partial sums would lose bits
+            # re-rounded to bf16 gn times before the cross-group sum.
+            acc = jax.lax.dot_general(
+                xg, wg.astype(x.dtype),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [gnh, R, out]
+            part = jnp.sum(acc * sh[:, None, :], axis=0)
+            out = part if out is None else out + part
+        return out.astype(x.dtype).reshape(*lead, out_dim)
+    # Prefill: dequantize one weight-shaped buffer, single full matmul.
+    gn = in_dim // w.group
+    lo, hi = _unpack_nibbles(w.packed)
+    wq = jnp.concatenate([lo, hi], axis=-2).reshape(gn, w.group, out_dim)
+    wf = (wq.astype(x.dtype) * w.scale.astype(x.dtype)[..., None, :])
+    return x @ wf.reshape(in_dim, out_dim)
+
+
 def qdense(x: jnp.ndarray, w, *, mode: str = "w8a16") -> jnp.ndarray:
     """Matmul dispatch: plain arrays multiply as-is; QuantizedWeight runs the
     selected quantized path. x: [..., in]; returns [..., out] in x.dtype."""
+    if isinstance(w, QuantizedWeight4):
+        # Dispatch on the weight's type, not the mode string: a params tree
+        # can mix w4 layer matmuls with float residuals under any mode.
+        if w.packed.ndim != 2:
+            raise ValueError(
+                "w4a16 matmuls take per-layer [in/2, out] packed weights; "
+                f"stacked leading dims (got shape {w.packed.shape}) must "
+                "be sliced by the layer scan first")
+        return _w4a16(x, w)
     if not isinstance(w, QuantizedWeight):
         return x @ w
     if mode == "w8a16":
@@ -99,20 +256,31 @@ def qdense(x: jnp.ndarray, w, *, mode: str = "w8a16") -> jnp.ndarray:
 _LAYER_MATMULS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_llama_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_llama_params(
+    params: Dict[str, Any], *, bits: int = 8, group: int = 128
+) -> Dict[str, Any]:
     """Quantize every decoder-layer matmul weight of a models.llama params
-    tree to INT8 (embed / norms / lm_head stay float)."""
+    tree to INT8 (per-channel) or INT4 (group-wise); embed / norms /
+    lm_head stay float."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
     out = dict(params)
     layers = dict(params["layers"])
     for name in _LAYER_MATMULS:
-        layers[name] = quantize_weight(layers[name])
+        if bits == 8:
+            layers[name] = quantize_weight(layers[name])
+        else:
+            layers[name] = quantize_weight4(layers[name], group=group)
     out["layers"] = layers
     return out
 
 
 def weight_bytes(params: Dict[str, Any]) -> int:
-    """Total parameter bytes (int8 payloads + scales + float leaves)."""
+    """Total parameter HBM bytes (int8/int4 payloads + scales + float
+    leaves). s4 packs two elements per byte on TPU; ml_dtypes' itemsize 1
+    describes the host layout only."""
     return sum(
-        leaf.size * leaf.dtype.itemsize
+        (leaf.size + 1) // 2 if leaf.dtype == jnp.int4
+        else leaf.size * leaf.dtype.itemsize
         for leaf in jax.tree_util.tree_leaves(params)
     )

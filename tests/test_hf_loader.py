@@ -142,6 +142,46 @@ def test_quantized_load_runs_forward(ckpt):
     del top_f
 
 
+def test_w4_quantized_load_runs_forward(ckpt):
+    from quantizedmha_tpu.quant.weights import QuantizedWeight4
+
+    params_f = load_llama(ckpt, CFG)
+    params_q = load_llama(ckpt, CFG, quantize=True, quantize_bits=4,
+                          quantize_group=32)
+    wq = params_q["layers"]["wq"]
+    assert isinstance(wq, QuantizedWeight4)
+    # packed nibbles: half the input rows, per-(group, out) scales
+    full = params_f["layers"]["wq"]
+    assert wq.packed.shape == (full.shape[0], full.shape[1] // 2,
+                               full.shape[2])
+    assert wq.scale.shape == (full.shape[0], full.shape[1] // 32,
+                              full.shape[2])
+    tokens = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+    lq = forward(CFG, params_q, tokens)
+    assert bool(jnp.all(jnp.isfinite(lq)))
+    lf = forward(CFG, params_f, tokens)
+    rel_rms = float(jnp.linalg.norm(lq - lf) / jnp.linalg.norm(lf))
+    assert rel_rms < 0.5, rel_rms
+
+
+def test_w4_tp_shard_on_load(ckpt):
+    from quantizedmha_tpu.parallel.distributed import hybrid_mesh
+    from quantizedmha_tpu.quant.weights import QuantizedWeight4
+
+    mesh = hybrid_mesh((2,), (2,), ("dp",), ("tp",))
+    params = load_llama(ckpt, CFG, mesh=mesh, quantize=True,
+                        quantize_bits=4, quantize_group=32)
+    wq = params["layers"]["wq"]
+    assert isinstance(wq, QuantizedWeight4)
+    assert "tp" in str(wq.packed.sharding.spec)
+    # group-scale axes follow (layer, in-group, out) of the weight spec
+    assert "tp" in str(wq.scale.sharding.spec)
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    with mesh:
+        logits = forward(CFG, params, tokens)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
 def test_tp_shard_on_load(ckpt):
     from quantizedmha_tpu.parallel.distributed import hybrid_mesh
 

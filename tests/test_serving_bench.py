@@ -62,6 +62,46 @@ def test_device_init_int8_params_structure():
     assert set(p) == set(ref) and set(p["layers"]) == set(ref["layers"])
 
 
+def test_device_init_w4_params_structure():
+    from quantizedmha_tpu.harness.serving_bench import (
+        device_init_quant_params,
+    )
+    from quantizedmha_tpu.quant.weights import QuantizedWeight4
+
+    cfg = LlamaConfig.tiny(num_layers=3, num_heads=4, num_kv_heads=2)
+    p = device_init_quant_params(cfg, bits=4, group=32)
+    wq = p["layers"]["wq"]
+    assert isinstance(wq, QuantizedWeight4)
+    assert wq.packed.shape == (3, cfg.hidden_size // 2,
+                               cfg.num_heads * cfg.hd)
+    assert wq.packed.dtype == jnp.int8
+    assert wq.scale.shape == (3, cfg.hidden_size // 32,
+                              cfg.num_heads * cfg.hd)
+    # every nibble decodes into the symmetric int4 range
+    from quantizedmha_tpu.quant.weights import _unpack_nibbles
+
+    lo, hi = _unpack_nibbles(wq.packed)
+    assert int(jnp.max(hi)) <= 7 and int(jnp.min(lo)) >= -7
+
+
+def test_run_decode_bench_tiny_w4_model():
+    from quantizedmha_tpu.harness.serving_bench import (
+        device_init_quant_params,
+    )
+
+    cfg = LlamaConfig.tiny(num_layers=2, num_heads=4, num_kv_heads=2,
+                           attention_impl="flash_int8")
+    params = device_init_quant_params(cfg, bits=4, group=32)
+    row = run_decode_bench(cfg, params, batch=2, prompt_len=32, max_new=8,
+                           chunk=4, page_size=16, num_pages=32,
+                           hbm_gbps=819.0)
+    assert row["measured_tokens"] > 0 and row["decode_toks_per_s"] > 0
+    # the SoL denominator counts PACKED weight bytes (int8 payload/2 + scales)
+    w8 = device_init_quant_params(cfg, bits=8)
+    assert (decode_step_bytes(cfg, params, 2, 40, 16)
+            < decode_step_bytes(cfg, w8, 2, 40, 16))
+
+
 def test_run_decode_bench_tiny_model():
     """End-to-end on a tiny int8-weight model: full batch stays resident
     for the measured window, fields are consistent."""

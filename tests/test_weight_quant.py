@@ -1,4 +1,4 @@
-"""INT8 weight quantization tests: roundtrip, both matmul modes, model
+"""INT8/INT4 weight quantization tests: roundtrip, all matmul modes, model
 quality, engine integration, and TP composition."""
 
 import jax
@@ -9,9 +9,12 @@ import pytest
 from quantizedmha_tpu.models.llama import LlamaConfig, forward, init_params
 from quantizedmha_tpu.quant.weights import (
     QuantizedWeight,
+    QuantizedWeight4,
+    _W4_DECODE_ROWS,
     qdense,
     quantize_llama_params,
     quantize_weight,
+    quantize_weight4,
     weight_bytes,
 )
 
@@ -58,6 +61,89 @@ class TestQDense:
             qdense(jnp.ones((2, 4)), w, mode="w4a4")
 
 
+class TestQuantizeWeight4:
+    def test_roundtrip_error_bound(self, rng):
+        w = jnp.asarray(rng.normal(0, 0.1, (64, 32)), jnp.float32)
+        qw = quantize_weight4(w, group=16)
+        assert qw.packed.dtype == jnp.int8
+        assert qw.packed.shape == (32, 32) and qw.scale.shape == (4, 32)
+        from quantizedmha_tpu.quant.weights import _unpack_nibbles
+
+        lo, hi = _unpack_nibbles(qw.packed)
+        q = jnp.concatenate([lo, hi], axis=-2)
+        assert int(jnp.max(q)) <= 7 and int(jnp.min(q)) >= -7
+        deq = (q.astype(jnp.float32).reshape(4, 16, 32)
+               * qw.scale[:, None, :]).reshape(64, 32)
+        # group-wise symmetric: error <= scale/2 per element
+        err = jnp.abs(deq - w).reshape(4, 16, 32)
+        bound = qw.scale[:, None, :] * 0.5 + 1e-7
+        assert bool(jnp.all(err <= bound))
+
+    def test_group_scales_isolate_hot_group(self, rng):
+        w = np.full((64, 4), 0.01, np.float32)
+        w[16:32, :] = 10.0  # hot group 1 must not poison groups 0/2/3
+        qw = quantize_weight4(jnp.asarray(w), group=16)
+        s = np.asarray(qw.scale)
+        np.testing.assert_allclose(s[[0, 2, 3]], 0.01 / 7, rtol=1e-6)
+        np.testing.assert_allclose(s[1], 10.0 / 7, rtol=1e-6)
+
+    def test_layer_stacked(self, rng):
+        w = jnp.asarray(rng.normal(0, 0.1, (3, 64, 16)), jnp.float32)
+        qw = quantize_weight4(w, group=32)
+        assert qw.packed.shape == (3, 32, 16)
+        assert qw.scale.shape == (3, 2, 16)
+
+    def test_group_must_divide_half(self):
+        with pytest.raises(ValueError, match="2\\*group"):
+            quantize_weight4(jnp.ones((96, 8)), group=64)
+
+
+class TestW4Dense:
+    def test_decode_lowering_close_to_float(self, rng):
+        x = jnp.asarray(rng.normal(0, 1, (4, 64)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.1, (64, 32)), jnp.float32)
+        qw = quantize_weight4(w, group=16)
+        got = qdense(x, qw)
+        want = x @ w
+        # the LOWERING is exact: it must match the dequantized matmul to
+        # float tolerance (the quantization noise itself is int4-sized)
+        from quantizedmha_tpu.quant.weights import _unpack_nibbles
+
+        lo, hi = _unpack_nibbles(qw.packed)
+        deq = (jnp.concatenate([lo, hi], -2).astype(jnp.float32)
+               .reshape(4, 16, 32) * qw.scale[:, None, :]).reshape(64, 32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x @ deq),
+                                   rtol=1e-5, atol=1e-5)
+        # int4 noise floor for N(0, 0.1) weights at group 16: scale ~
+        # amax16/7 ~ 0.033, err std ~ scale/sqrt(12) ~ 0.0095 ~ 9.5% of
+        # the weight std — so ~0.10 output rel-RMS is EXPECTED, not a bug.
+        rel_rms = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert rel_rms < 0.15, f"w4a16 decode: rel RMS {rel_rms}"
+
+    def test_prefill_lowering_matches_decode_lowering(self, rng):
+        from quantizedmha_tpu.quant.weights import _W4_DECODE_ROWS
+
+        w = jnp.asarray(rng.normal(0, 0.1, (64, 32)), jnp.float32)
+        qw = quantize_weight4(w, group=16)
+        x = jnp.asarray(
+            rng.normal(0, 1, (_W4_DECODE_ROWS + 8, 64)), jnp.float32)
+        prefill = qdense(x, qw)                      # rows > threshold
+        decode = jnp.concatenate(
+            [qdense(x[i:i + 8], qw) for i in range(0, x.shape[0], 8)])
+        np.testing.assert_allclose(np.asarray(prefill), np.asarray(decode),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_stacked_weight_rejected(self, rng):
+        w = quantize_weight4(jnp.ones((2, 64, 8)), group=16)
+        with pytest.raises(ValueError, match="sliced"):
+            qdense(jnp.ones((2, 64)), w)
+
+    def test_wrong_in_dim_rejected(self):
+        w = quantize_weight4(jnp.ones((64, 8)), group=16)
+        with pytest.raises(ValueError, match="in"):
+            qdense(jnp.ones((2, 32)), w)
+
+
 class TestQuantizedModel:
     @pytest.mark.parametrize("mode", ["w8a16", "w8a8"])
     def test_forward_close_to_float(self, rng, mode):
@@ -79,6 +165,52 @@ class TestQuantizedModel:
         q = quantize_llama_params(params)
         assert weight_bytes(q) < 0.45 * weight_bytes(params)
 
+    def test_forward_close_to_float_w4(self, rng):
+        # NOTE: top-1 agreement (the w8 gate above) is meaningless here —
+        # a random-INIT model's logits are near-flat, so int4's ~10%
+        # matmul noise flips argmax freely. The strong gate is exactness
+        # vs the fake-quant model (the lowering is exact); the weak gate
+        # is logits rel-RMS vs float.
+        from quantizedmha_tpu.quant.weights import _unpack_nibbles
+
+        cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        qparams = quantize_llama_params(params, bits=4, group=32)
+
+        def deq(leaf):
+            if not isinstance(leaf, QuantizedWeight4):
+                return leaf
+            lo, hi = _unpack_nibbles(leaf.packed)
+            q = jnp.concatenate([lo, hi], axis=-2)
+            L, in_dim, out = q.shape
+            gn = in_dim // leaf.group
+            return (q.astype(jnp.float32).reshape(L, gn, leaf.group, out)
+                    * leaf.scale[:, :, None, :]).reshape(L, in_dim, out)
+
+        fake = dict(qparams, layers={
+            k: deq(v) for k, v in qparams["layers"].items()})
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 32)), jnp.int32)
+        got = forward(cfg, qparams, toks)
+        want_fake = forward(cfg, fake, toks)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want_fake),
+                                   rtol=2e-4, atol=2e-4)
+        # weak gate: int4's ~10% per-matmul RMS compounds over 2 layers +
+        # norms on an untrained model (~0.33 observed); a real checkpoint's
+        # outlier-structured weights quantize far better (AWQ/GPTQ regime).
+        ref = forward(cfg, params, toks)
+        rel_rms = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel_rms < 0.5, f"w4a16 logits rel RMS {rel_rms}"
+
+    def test_w4_weight_bytes_shrink_vs_int8(self):
+        cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        q8 = quantize_llama_params(params, bits=8)
+        q4 = quantize_llama_params(params, bits=4, group=32)
+        lb8 = weight_bytes(q8["layers"])
+        lb4 = weight_bytes(q4["layers"])
+        # packed nibbles halve the payload; group scales add back a little
+        assert lb4 < 0.65 * lb8
+
 
 class TestQuantizedServing:
     def test_engine_runs_with_quantized_weights(self):
@@ -86,6 +218,19 @@ class TestQuantizedServing:
 
         cfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
         params = quantize_llama_params(init_params(cfg, jax.random.PRNGKey(0)))
+        eng = Engine(cfg, params, EngineConfig(
+            num_pages=16, page_size=16, max_batch=2,
+            prefill_buckets=(16,), max_new_tokens=3))
+        eng.add_request([1, 2, 3])
+        out = eng.run()
+        assert len(out[0]) == 3
+
+    def test_engine_runs_with_w4_weights(self):
+        from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+
+        cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)
+        params = quantize_llama_params(
+            init_params(cfg, jax.random.PRNGKey(0)), bits=4, group=32)
         eng = Engine(cfg, params, EngineConfig(
             num_pages=16, page_size=16, max_batch=2,
             prefill_buckets=(16,), max_new_tokens=3))
