@@ -6,6 +6,7 @@ from quantizedmha_tpu.ops.quantize import dequantize_kv_blocks, quantize_kv_bloc
 from quantizedmha_tpu.quant.weights import (
     QuantizedWeight,
     QuantizedWeight4,
+    dequantize_weight4,
     qdense,
     quantize_llama_params,
     quantize_weight,
@@ -18,6 +19,7 @@ __all__ = [
     "quantize_kv_blocks",
     "QuantizedWeight",
     "QuantizedWeight4",
+    "dequantize_weight4",
     "qdense",
     "quantize_llama_params",
     "quantize_weight",

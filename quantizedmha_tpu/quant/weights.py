@@ -18,16 +18,21 @@ matmul modes:
     runtime stores s4 buffers unpacked in HBM (measured via
     on_device_size_in_bytes — 1 byte/element, no bandwidth win), so the
     packing is explicit. Row i of the packed [in/2, out] buffer holds
-    weight row i in its LOW nibble and row in/2 + i in its HIGH nibble
-    (halves, not interleaved: the matmul over the contraction dim is
-    order-invariant, so splitting x into halves avoids any sublane
-    shuffle on unpack). Group scales vary along the CONTRACTION dim, so
+    weight row 2i in its LOW nibble and row 2i+1 in its HIGH nibble
+    (adjacent EVEN/ODD pairs — a contiguous slice of packed rows is a
+    contiguous slice of original rows, so TP row-sharding of the packed
+    payload stays aligned with x's contiguous contraction shards; a
+    halves layout would not commute with sharding). The matmul never
+    interleaves the unpacked nibbles back: the contraction is
+    order-invariant, so out = x_even @ lo + x_odd @ hi, where
+    x_even/x_odd are lane-strided slices of the activation (cheap,
+    activation-shaped). Group scales vary along the CONTRACTION dim, so
     they cannot commute to the output like w8a16's channel scales; the
     decode lowering batches the matmul over groups and applies scales to
     the activation-shaped accumulator (never to a weight-shaped tensor —
     XLA materializes those per step, run23), while the compute-bound
-    prefill lowering dequantizes one weight-shaped bf16 buffer per call
-    and runs a single MXU matmul.
+    prefill lowering dequantizes weight-shaped bf16 buffers per call
+    and runs MXU matmuls.
 
 All keep a float residual path: norms, embeddings, and the lm_head stay in
 the float dtype (standard practice — they are small and accuracy-critical).
@@ -83,13 +88,14 @@ def quantize_weight(w: jnp.ndarray, *, scale_clamp: float = 1e-8) -> QuantizedWe
 class QuantizedWeight4:
     """Symmetric group-wise INT4 weight, nibble-packed two per byte.
 
-    packed: [..., in_dim // 2, out_dim] int8 — row i holds weight row i
-    (of the first input half) in its LOW nibble and weight row
-    in_dim/2 + i (second half) in its HIGH nibble, both 4-bit two's
-    complement in [-7, 7]. scale: [..., in_dim // group, out_dim] f32.
-    `group` is static metadata so the dataclass slices transparently under
-    lax.scan over layer-stacked parameters and shards under NamedSharding
-    (same pytree contract as QuantizedWeight).
+    packed: [..., in_dim // 2, out_dim] int8 — row i holds weight row 2i
+    in its LOW nibble and weight row 2i+1 in its HIGH nibble, both 4-bit
+    two's complement in [-7, 7] (even/odd pair packing — commutes with
+    contiguous sharding of the input dim). scale:
+    [..., in_dim // group, out_dim] f32. `group` is static metadata so the
+    dataclass slices transparently under lax.scan over layer-stacked
+    parameters and shards under NamedSharding (same pytree contract as
+    QuantizedWeight).
     """
 
     packed: jnp.ndarray
@@ -115,7 +121,8 @@ jax.tree_util.register_dataclass(
 
 
 def _unpack_nibbles(packed: jnp.ndarray):
-    """[..., in/2, out] int8 -> (lo, hi) int8 halves, sign-extended.
+    """[..., in/2, out] int8 -> (lo, hi) int8: lo[i] = weight row 2i,
+    hi[i] = weight row 2i+1, both sign-extended.
 
     Arithmetic shifts on int8: `packed >> 4` sign-extends the high nibble;
     `(packed << 4) >> 4` sign-extends the low one.
@@ -133,24 +140,36 @@ def quantize_weight4(
     Each (contiguous input group of `group` rows, output channel) gets its
     own scale — 4-bit needs finer scale granularity than w8's per-channel
     (15 levels vs 255); group=128 matches one MXU contraction tile so the
-    decode lowering's per-group matmuls stay full-width. Requires `group`
-    to divide in_dim/2 so no scale group straddles the packed halves.
+    decode lowering's per-group matmuls stay full-width. `group` must be
+    even (one packed row never straddles two scale groups).
     """
     *lead, in_dim, out_dim = w.shape
-    if in_dim % (2 * group):
+    if group % 2 or in_dim % group:
         raise ValueError(
-            f"in_dim {in_dim} must be divisible by 2*group ({2 * group})")
+            f"need even group | in_dim, got group={group} in_dim={in_dim}")
     gn = in_dim // group
     wf = w.astype(jnp.float32).reshape(*lead, gn, group, out_dim)
     amax = jnp.max(jnp.abs(wf), axis=-2)  # [..., gn, out]
     scale = jnp.maximum(amax, scale_clamp) / 7.0
     q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
     q = q.reshape(*lead, in_dim, out_dim).astype(jnp.int8)
-    half = in_dim // 2
-    lo = q[..., :half, :]
-    hi = q[..., half:, :]
+    lo = q[..., 0::2, :]   # even weight rows
+    hi = q[..., 1::2, :]   # odd weight rows
     packed = (lo & jnp.int8(0x0F)) | (hi << 4)
     return QuantizedWeight4(packed=packed, scale=scale, group=group)
+
+
+def dequantize_weight4(w: QuantizedWeight4) -> jnp.ndarray:
+    """Exact float reconstruction of a QuantizedWeight4 ([..., in, out]
+    f32) — the reference the lowering must match, and the debugging
+    escape hatch."""
+    lo, hi = _unpack_nibbles(w.packed)
+    *lead, half, out = lo.shape
+    q = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    q = q.reshape(*lead, 2 * half, out)  # rows (2i, 2i+1) adjacent again
+    gn = (2 * half) // w.group
+    qf = q.astype(jnp.float32).reshape(*lead, gn, w.group, out)
+    return (qf * w.scale[..., :, None, :]).reshape(*lead, 2 * half, out)
 
 
 # Row-count threshold picking the w4a16 lowering: at or below it (decode)
@@ -162,23 +181,22 @@ def quantize_weight4(
 _W4_DECODE_ROWS = 64
 
 
-def _w4_halves(x: jnp.ndarray, w: QuantizedWeight4):
-    """Split x and the (unpacked, group-reshaped) weight into the two
-    packed halves: returns per-half (x_g [gnh, R, G], w_g [gnh, G, out],
-    scale [gnh, out]) with x flattened to R rows."""
-    *lead, in_dim = x.shape
+def _w4_parts(x: jnp.ndarray, w: QuantizedWeight4):
+    """Split x (flattened to R rows) and the unpacked weight into the
+    even/odd nibble streams: yields (x_g [gn, R, G/2], w_g [gn, G/2, out])
+    per stream. Both streams share the full scale table — every group's
+    scale covers its even AND odd rows."""
+    *_, in_dim = x.shape
     out_dim = w.out_features
-    half, gn = in_dim // 2, in_dim // w.group
-    gnh = gn // 2
+    gn = in_dim // w.group
+    hg = w.group // 2  # packed rows per scale group
     xr = x.reshape(-1, in_dim)
     lo, hi = _unpack_nibbles(w.packed)
-    parts = []
-    for xh, wh, sh in ((xr[:, :half], lo, w.scale[:gnh]),
-                       (xr[:, half:], hi, w.scale[gnh:])):
-        xg = xh.reshape(-1, gnh, w.group).transpose(1, 0, 2)  # [gnh, R, G]
-        wg = wh.reshape(gnh, w.group, out_dim)
-        parts.append((xg, wg, sh))
-    return parts
+    # lane-strided slices of the activation: rows 2i / 2i+1 of the
+    # contraction — activation-shaped, so cheap at decode widths
+    for xs, ws in ((xr[:, 0::2], lo), (xr[:, 1::2], hi)):
+        yield (xs.reshape(-1, gn, hg).transpose(1, 0, 2),
+               ws.reshape(*ws.shape[:-2], gn, hg, out_dim))
 
 
 def _w4a16(x: jnp.ndarray, w: QuantizedWeight4) -> jnp.ndarray:
@@ -189,26 +207,30 @@ def _w4a16(x: jnp.ndarray, w: QuantizedWeight4) -> jnp.ndarray:
     rows = 1
     for s in lead:
         rows *= s
+    scale = w.scale
     if rows <= _W4_DECODE_ROWS:
         # Decode: batch the matmul over scale groups, scales hit the
-        # activation-shaped accumulator.
-        out = None
-        for xg, wg, sh in _w4_halves(x, w):
-            # f32 accumulator: the per-group partial sums would lose bits
-            # re-rounded to bf16 gn times before the cross-group sum.
-            acc = jax.lax.dot_general(
+        # activation-shaped accumulator. f32 accumulator: the per-group
+        # partial sums would lose bits re-rounded to bf16 gn times before
+        # the cross-group sum.
+        acc = None
+        for xg, wg in _w4_parts(x, w):
+            part = jax.lax.dot_general(
                 xg, wg.astype(x.dtype),
                 (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # [gnh, R, out]
-            part = jnp.sum(acc * sh[:, None, :], axis=0)
-            out = part if out is None else out + part
+                preferred_element_type=jnp.float32)  # [gn, R, out]
+            acc = part if acc is None else acc + part
+        out = jnp.sum(acc * scale[:, None, :], axis=0)
         return out.astype(x.dtype).reshape(*lead, out_dim)
-    # Prefill: dequantize one weight-shaped buffer, single full matmul.
-    gn = in_dim // w.group
-    lo, hi = _unpack_nibbles(w.packed)
-    wq = jnp.concatenate([lo, hi], axis=-2).reshape(gn, w.group, out_dim)
-    wf = (wq.astype(x.dtype) * w.scale.astype(x.dtype)[..., None, :])
-    return x @ wf.reshape(in_dim, out_dim)
+    # Prefill: dequantize weight-shaped bf16 buffers (one per nibble
+    # stream — no interleave needed), full MXU matmuls.
+    out = None
+    for xs, ws in _w4_parts(x, w):
+        wf = ws.astype(x.dtype) * scale.astype(x.dtype)[..., None, :]
+        part = jax.lax.dot_general(
+            xs, wf, (((0, 2), (0, 1)), ((), ())))  # [R, out]
+        out = part if out is None else out + part
+    return out.reshape(*lead, out_dim)
 
 
 def qdense(x: jnp.ndarray, w, *, mode: str = "w8a16") -> jnp.ndarray:

@@ -116,18 +116,25 @@ def expand_param_specs(params: Any, specs: Any) -> Any:
     param is an int8 QuantizedWeight, the single weight spec expands to
     (values: spec, scale: spec minus the input dim) — column-sharded
     weights shard their per-output-channel scales, row-sharded ones
-    replicate them. Needed because shard_map in_specs must mirror the
-    argument structure exactly."""
-    from quantizedmha_tpu.quant.weights import QuantizedWeight
+    replicate them. An int4 QuantizedWeight4 keeps the weight spec on its
+    packed payload ([.., in/2, out] has the same axis meaning) and shards
+    the group scale [.., in/G, out] with BOTH weight axes. Needed because
+    shard_map in_specs must mirror the argument structure exactly."""
+    from quantizedmha_tpu.quant.weights import QuantizedWeight, QuantizedWeight4
 
     def ex(x, s):
         if isinstance(x, QuantizedWeight) and not isinstance(s, QuantizedWeight):
             return QuantizedWeight(values=s, scale=P(*s[:-2], s[-1]))
+        if isinstance(x, QuantizedWeight4) and not isinstance(
+                s, QuantizedWeight4):
+            return QuantizedWeight4(
+                packed=s, scale=P(*s[:-2], s[-2], s[-1]), group=x.group)
         return s
 
     return jax.tree.map(
         ex, params, specs,
-        is_leaf=lambda x: isinstance(x, (P, QuantizedWeight)),
+        is_leaf=lambda x: isinstance(
+            x, (P, QuantizedWeight, QuantizedWeight4)),
     )
 
 

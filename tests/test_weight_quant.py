@@ -11,6 +11,7 @@ from quantizedmha_tpu.quant.weights import (
     QuantizedWeight,
     QuantizedWeight4,
     _W4_DECODE_ROWS,
+    dequantize_weight4,
     qdense,
     quantize_llama_params,
     quantize_weight,
@@ -70,10 +71,9 @@ class TestQuantizeWeight4:
         from quantizedmha_tpu.quant.weights import _unpack_nibbles
 
         lo, hi = _unpack_nibbles(qw.packed)
-        q = jnp.concatenate([lo, hi], axis=-2)
-        assert int(jnp.max(q)) <= 7 and int(jnp.min(q)) >= -7
-        deq = (q.astype(jnp.float32).reshape(4, 16, 32)
-               * qw.scale[:, None, :]).reshape(64, 32)
+        assert int(jnp.max(jnp.maximum(lo, hi))) <= 7
+        assert int(jnp.min(jnp.minimum(lo, hi))) >= -7
+        deq = dequantize_weight4(qw)
         # group-wise symmetric: error <= scale/2 per element
         err = jnp.abs(deq - w).reshape(4, 16, 32)
         bound = qw.scale[:, None, :] * 0.5 + 1e-7
@@ -93,9 +93,27 @@ class TestQuantizeWeight4:
         assert qw.packed.shape == (3, 32, 16)
         assert qw.scale.shape == (3, 2, 16)
 
-    def test_group_must_divide_half(self):
-        with pytest.raises(ValueError, match="2\\*group"):
+    def test_group_must_divide_in(self):
+        with pytest.raises(ValueError, match="group"):
             quantize_weight4(jnp.ones((96, 8)), group=64)
+
+    def test_group_must_be_even(self):
+        with pytest.raises(ValueError, match="even"):
+            quantize_weight4(jnp.ones((96, 8)), group=3)
+
+    def test_pair_packing_shards_contiguously(self, rng):
+        # TP row-sharding contract: the first half of the PACKED rows must
+        # reconstruct exactly the first half of the ORIGINAL rows (this is
+        # why packing is even/odd pairs, not halves).
+        import dataclasses
+
+        w = jnp.asarray(rng.normal(0, 0.1, (64, 8)), jnp.float32)
+        qw = quantize_weight4(w, group=16)
+        shard = dataclasses.replace(
+            qw, packed=qw.packed[:16], scale=qw.scale[:2])
+        np.testing.assert_array_equal(
+            np.asarray(dequantize_weight4(shard)),
+            np.asarray(dequantize_weight4(qw)[:32]))
 
 
 class TestW4Dense:
@@ -107,11 +125,7 @@ class TestW4Dense:
         want = x @ w
         # the LOWERING is exact: it must match the dequantized matmul to
         # float tolerance (the quantization noise itself is int4-sized)
-        from quantizedmha_tpu.quant.weights import _unpack_nibbles
-
-        lo, hi = _unpack_nibbles(qw.packed)
-        deq = (jnp.concatenate([lo, hi], -2).astype(jnp.float32)
-               .reshape(4, 16, 32) * qw.scale[:, None, :]).reshape(64, 32)
+        deq = dequantize_weight4(qw)
         np.testing.assert_allclose(np.asarray(got), np.asarray(x @ deq),
                                    rtol=1e-5, atol=1e-5)
         # int4 noise floor for N(0, 0.1) weights at group 16: scale ~
@@ -171,8 +185,6 @@ class TestQuantizedModel:
         # matmul noise flips argmax freely. The strong gate is exactness
         # vs the fake-quant model (the lowering is exact); the weak gate
         # is logits rel-RMS vs float.
-        from quantizedmha_tpu.quant.weights import _unpack_nibbles
-
         cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)
         params = init_params(cfg, jax.random.PRNGKey(0))
         qparams = quantize_llama_params(params, bits=4, group=32)
@@ -180,12 +192,7 @@ class TestQuantizedModel:
         def deq(leaf):
             if not isinstance(leaf, QuantizedWeight4):
                 return leaf
-            lo, hi = _unpack_nibbles(leaf.packed)
-            q = jnp.concatenate([lo, hi], axis=-2)
-            L, in_dim, out = q.shape
-            gn = in_dim // leaf.group
-            return (q.astype(jnp.float32).reshape(L, gn, leaf.group, out)
-                    * leaf.scale[:, :, None, :]).reshape(L, in_dim, out)
+            return dequantize_weight4(leaf)
 
         fake = dict(qparams, layers={
             k: deq(v) for k, v in qparams["layers"].items()})
@@ -237,6 +244,32 @@ class TestQuantizedServing:
         eng.add_request([1, 2, 3])
         out = eng.run()
         assert len(out[0]) == 3
+
+    def test_tp_engine_with_w4_weights(self):
+        from quantizedmha_tpu.serving.engine import Engine, EngineConfig
+        from quantizedmha_tpu.serving.sharded import TPEngine, make_tp_mesh
+
+        cfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
+        params = quantize_llama_params(
+            init_params(cfg, jax.random.PRNGKey(0)), bits=4, group=32)
+        ecfg = EngineConfig(num_pages=16, page_size=16, max_batch=2,
+                            prefill_buckets=(16,), max_new_tokens=3)
+
+        ref = Engine(cfg, params, ecfg)
+        ref.add_request([1, 2, 3])
+        want = ref.run()
+
+        eng = TPEngine(cfg, params, ecfg, make_tp_mesh(2))
+        eng.add_request([1, 2, 3])
+        got = eng.run()
+        assert got[0] == want[0]
+        # packed payload and group scales both sharded over tp
+        wq = eng.params["layers"]["wq"]
+        assert isinstance(wq, QuantizedWeight4)
+        assert {s.data.shape for s in wq.packed.addressable_shards} == {
+            (wq.packed.shape[0], wq.packed.shape[1],
+             wq.packed.shape[2] // 2)
+        }
 
     def test_tp_engine_with_quantized_weights(self):
         from quantizedmha_tpu.serving.engine import Engine, EngineConfig
