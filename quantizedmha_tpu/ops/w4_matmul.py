@@ -1,0 +1,172 @@
+"""Pallas fused dequant-matmul for packed-INT4 weights (the w4a16 decode
+hot path).
+
+Decode of a large LM is weight-bandwidth-bound; INT4 halves the weight
+bytes ONLY if the packed buffer is the sole weight-shaped HBM tenant.
+The XLA lowering of unpack-then-matmul fails that test (run35: the shifted
+nibble tensors materialize per step — batch-8 decode 0.975x of w8a16,
+batch-1 0.22x), so this kernel DMAs the packed [in/2, out] int8 tiles and
+unpacks in VMEM: per grid step, sign-extend the two nibble planes
+(arithmetic shifts on int8), convert to the activation dtype, run two MXU
+dots against the pre-split even/odd activation columns, and apply the
+per-(group, out-channel) scale to the ACTIVATION-shaPED partial sum.
+
+There is no reference analog (the reference quantizes attention inputs
+only, reference mha_kernels/fa_tc_int8_b.cu:35-152); the packing layout is
+quant/weights.QuantizedWeight4's (even/odd pairs — byte i holds weight
+rows 2i | 2i+1<<4), chosen so contiguous shards of packed rows stay
+aligned with contiguous activation shards under TP row-sharding.
+
+Weight-stationary it is not: x (a few decode rows) stays resident per
+step; the grid streams weight tiles exactly once — the kernel's HBM
+traffic is packed bytes + scales, i.e. the speed-of-light for this format.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quantizedmha_tpu.ops.flash_attention import _auto_interpret
+
+# Sublane multiple for the activation rows (f32/bf16 tiles are 8-row).
+_ROW_PAD = 8
+
+
+def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
+               rows_per_group: int, gpb: int, k_steps: int, out_dtype):
+    """One (n, k) grid step: acc[R, bn] += sum_g scale_g * partial_g.
+
+    xe_ref/y_ref: [R, bk2] activation columns (even rows / odd rows).
+    packed_ref: [bk2, bn] int8 nibble pairs. scale_ref: [gn, bn] f32 —
+    the group dim stays UN-blocked (a gpb-row block would break the
+    8-sublane tiling rule); this step's gpb rows are sliced dynamically.
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Sign-extend the nibble planes. Mosaic has no i8 vector shifts
+    # (arith.shrsi on vector<..xi8> fails to legalize), so widen to i32:
+    # hi = p >> 4 is exact for two's-complement (arithmetic shift floors),
+    # and lo = p - 16*hi recovers the SIGNED low nibble (p = 16*hi + lo_u,
+    # lo_u in [0,16); lo_u - 16*(lo_u >= 8) == p - 16*(hi + (lo_u >= 8))
+    # ... done directly: lo_s = ((p & 0xF) ^ 8) - 8 needs i8 ops too, so
+    # compute lo_u = p32 - (hi << 4) then fold the sign bit in i32.
+    p32 = packed_ref[...].astype(jnp.int32)
+    hi = p32 >> 4
+    lo_u = p32 - (hi << 4)
+    lo = lo_u - ((lo_u >> 3) << 4)  # subtract 16 where bit3 set (lo_u>=8)
+    xe = xe_ref[...]
+    y = y_ref[...]
+    cdt = xe.dtype
+    acc = acc_ref[...]
+    for g in range(gpb):
+        sl = slice(g * rows_per_group, (g + 1) * rows_per_group)
+        partial = jax.lax.dot_general(
+            xe[:, sl], lo[sl].astype(cdt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        partial += jax.lax.dot_general(
+            y[:, sl], hi[sl].astype(cdt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc += partial * scale_ref[pl.dslice(k * gpb + g, 1), :]
+    acc_ref[...] = acc
+
+    @pl.when(k == k_steps - 1)
+    def _flush():
+        out_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def pick_w4_blocks(k2: int, n: int, group: int,
+                   block_k2: Optional[int] = None,
+                   block_n: Optional[int] = None):
+    """Tile sizes: block_k2 a multiple of group/2 dividing k2, block_n
+    dividing n. Defaults keep the packed tile at 128 KB (256 x 512) — big
+    enough to stream HBM at full rate, small enough that the two unpacked
+    bf16 planes (2 x 256 KB) and double-buffered inputs fit VMEM easily."""
+    half_group = group // 2
+    if block_k2 is None:
+        block_k2 = 256
+        while block_k2 > half_group and (k2 % block_k2 or
+                                         block_k2 % half_group):
+            block_k2 //= 2
+        block_k2 = max(block_k2, half_group)
+    if block_n is None:
+        block_n = min(512, n)  # sub-128 lane tiles only reach tiny tests
+        while block_n > 128 and n % block_n:
+            block_n //= 2
+    if k2 % block_k2 or block_k2 % half_group:
+        raise ValueError(
+            f"block_k2 {block_k2} must divide k2 {k2} and be a multiple "
+            f"of group/2 {half_group}")
+    if n % block_n:
+        raise ValueError(f"block_n {block_n} must divide n {n}")
+    return block_k2, block_n
+
+
+def w4_matmul(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    group: int,
+    block_k2: Optional[int] = None,
+    block_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """x [R, in] @ dequant(packed [in/2, out], scale [in/group, out]).
+
+    Exact w.r.t. quant/weights.dequantize_weight4 up to the activation
+    dtype's dot rounding. R is padded to a sublane multiple; weights
+    stream once, so the kernel is sized for DECODE row counts (the
+    activation tiles are re-fetched per n block — negligible for small R,
+    quadratic-ish waste for prefill-sized R, where the XLA dequant path
+    wins anyway)."""
+    rows, in_dim = x.shape
+    k2, out_dim = packed.shape
+    if in_dim != 2 * k2:
+        raise ValueError(f"x in_dim {in_dim} != 2 * packed rows {k2}")
+    bk2, bn = pick_w4_blocks(k2, out_dim, group, block_k2, block_n)
+    rpad = -rows % _ROW_PAD
+    if rpad:
+        x = jnp.pad(x, ((0, rpad), (0, 0)))
+    r = x.shape[0]
+    # even/odd activation columns, matching the nibble planes
+    xr = x.reshape(r, k2, 2)
+    xe = xr[:, :, 0]
+    y = xr[:, :, 1]
+    k_steps = k2 // bk2
+    gpb = (2 * bk2) // group  # scale groups per k step
+    gn = in_dim // group
+
+    kernel = functools.partial(
+        _w4_kernel, rows_per_group=group // 2, gpb=gpb, k_steps=k_steps,
+        out_dtype=x.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(out_dim // bn, k_steps),
+        in_specs=[
+            pl.BlockSpec((r, bk2), lambda n, k: (0, k)),
+            pl.BlockSpec((r, bk2), lambda n, k: (0, k)),
+            pl.BlockSpec((bk2, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((gn, bn), lambda n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((r, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((r, out_dim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((r, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_auto_interpret(interpret),
+    )(xe, y, packed, scale)
+    return out[:rows] if rpad else out

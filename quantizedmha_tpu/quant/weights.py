@@ -173,12 +173,19 @@ def dequantize_weight4(w: QuantizedWeight4) -> jnp.ndarray:
 
 
 # Row-count threshold picking the w4a16 lowering: at or below it (decode)
-# the group-batched matmul's [gn, rows, out] accumulator is small and the
-# scale multiply stays activation-shaped; above it (prefill) that
-# accumulator would dwarf the weights, so one weight-shaped bf16 dequant +
-# a single MXU matmul wins (prefill is compute-bound — the dequant's extra
-# HBM round-trip is ~25% of the matmul's MXU time at 2K tokens).
+# the weights stream once against a resident activation; above it
+# (prefill) the per-n-block activation re-fetch and the group-batched
+# accumulator would dwarf the weights, so a weight-shaped bf16 dequant +
+# MXU matmuls win (prefill is compute-bound — the dequant's extra HBM
+# round-trip is ~25% of the matmul's MXU time at 2K tokens).
 _W4_DECODE_ROWS = 64
+
+# Decode lowering choice: the Pallas fused dequant-matmul keeps the packed
+# buffer as the only weight-shaped HBM tenant (ops/w4_matmul.py). False
+# falls back to the pure-XLA group-batched dots — run35 measured those at
+# 0.975x (batch 8) / 0.22x (batch 1) of w8a16 because XLA materializes the
+# unpacked nibble planes per step; kept only as the A/B control.
+W4_USE_PALLAS = True
 
 
 def _w4_parts(x: jnp.ndarray, w: QuantizedWeight4):
@@ -208,11 +215,17 @@ def _w4a16(x: jnp.ndarray, w: QuantizedWeight4) -> jnp.ndarray:
     for s in lead:
         rows *= s
     scale = w.scale
+    if rows <= _W4_DECODE_ROWS and W4_USE_PALLAS:
+        from quantizedmha_tpu.ops.w4_matmul import w4_matmul
+
+        out = w4_matmul(x.reshape(rows, in_dim), w.packed, w.scale,
+                        group=w.group)
+        return out.reshape(*lead, out_dim)
     if rows <= _W4_DECODE_ROWS:
-        # Decode: batch the matmul over scale groups, scales hit the
-        # activation-shaped accumulator. f32 accumulator: the per-group
-        # partial sums would lose bits re-rounded to bf16 gn times before
-        # the cross-group sum.
+        # XLA control lowering (see W4_USE_PALLAS): batch the matmul over
+        # scale groups, scales hit the activation-shaped accumulator. f32
+        # accumulator: the per-group partial sums would lose bits
+        # re-rounded to bf16 gn times before the cross-group sum.
         acc = None
         for xg, wg in _w4_parts(x, w):
             part = jax.lax.dot_general(

@@ -1,0 +1,102 @@
+"""Pallas w4 fused dequant-matmul: golden gates on RANDOM inputs (the
+reference's blind spot was constant-input checks, SURVEY §4.4), block
+sweeps, padding, and the qdense routing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedmha_tpu.ops.w4_matmul import pick_w4_blocks, w4_matmul
+from quantizedmha_tpu.quant.weights import (
+    dequantize_weight4,
+    quantize_weight4,
+)
+
+
+def _case(rng, rows, in_dim, out_dim, group, dtype=jnp.float32):
+    x = jnp.asarray(rng.normal(0, 1, (rows, in_dim)), dtype)
+    w = jnp.asarray(rng.normal(0, 0.1, (in_dim, out_dim)), jnp.float32)
+    qw = quantize_weight4(w, group=group)
+    return x, qw
+
+
+class TestW4Matmul:
+    @pytest.mark.parametrize("rows,in_dim,out_dim,group", [
+        (1, 256, 128, 128),
+        (8, 256, 256, 64),
+        (5, 512, 384, 128),   # row padding + non-pow2 out blocks
+        (16, 1024, 512, 256),
+    ])
+    def test_matches_dequantized_matmul(self, rng, rows, in_dim, out_dim,
+                                        group):
+        x, qw = _case(rng, rows, in_dim, out_dim, group)
+        got = w4_matmul(x, qw.packed, qw.scale, group=group)
+        want = x @ dequantize_weight4(qw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bf16_activation(self, rng):
+        x, qw = _case(rng, 8, 512, 256, 128, dtype=jnp.bfloat16)
+        got = w4_matmul(x, qw.packed, qw.scale, group=128)
+        assert got.dtype == jnp.bfloat16
+        want = (x.astype(jnp.float32) @ dequantize_weight4(qw))
+        rel = float(jnp.linalg.norm(got.astype(jnp.float32) - want)
+                    / jnp.linalg.norm(want))
+        assert rel < 0.02, rel  # bf16 dot rounding only
+
+    def test_block_sweep(self, rng):
+        x, qw = _case(rng, 8, 512, 512, 64)
+        want = x @ dequantize_weight4(qw)
+        for bk2 in (32, 64, 128, 256):
+            for bn in (128, 256, 512):
+                got = w4_matmul(x, qw.packed, qw.scale, group=64,
+                                block_k2=bk2, block_n=bn)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), rtol=2e-5,
+                    atol=2e-5, err_msg=f"bk2={bk2} bn={bn}")
+
+    def test_under_jit_and_grad_free(self, rng):
+        x, qw = _case(rng, 8, 256, 128, 64)
+        f = jax.jit(lambda x: w4_matmul(x, qw.packed, qw.scale, group=64))
+        np.testing.assert_allclose(np.asarray(f(x)),
+                                   np.asarray(w4_matmul(x, qw.packed,
+                                                        qw.scale, group=64)))
+
+    def test_bad_blocks_rejected(self, rng):
+        x, qw = _case(rng, 2, 256, 128, 64)
+        with pytest.raises(ValueError, match="block_k2"):
+            w4_matmul(x, qw.packed, qw.scale, group=64, block_k2=48)
+        with pytest.raises(ValueError, match="block_n"):
+            w4_matmul(x, qw.packed, qw.scale, group=64, block_n=96)
+
+    def test_pick_blocks_defaults(self):
+        bk2, bn = pick_w4_blocks(2048, 14336, 128)
+        assert 2048 % bk2 == 0 and bk2 % 64 == 0
+        assert 14336 % bn == 0
+        # 8B shapes: full-size tiles
+        assert bk2 == 256 and bn == 512
+
+
+class TestQDenseRouting:
+    def test_qdense_decode_uses_pallas(self, rng, monkeypatch):
+        import quantizedmha_tpu.quant.weights as wmod
+        from quantizedmha_tpu.quant.weights import qdense
+
+        x, qw = _case(rng, 4, 256, 128, 64)
+        called = {}
+        import quantizedmha_tpu.ops.w4_matmul as kmod
+
+        real = kmod.w4_matmul
+
+        def spy(*a, **k):
+            called["yes"] = True
+            return real(*a, **k)
+
+        monkeypatch.setattr(kmod, "w4_matmul", spy)
+        got = qdense(x, qw)
+        assert called.get("yes")
+        monkeypatch.setattr(wmod, "W4_USE_PALLAS", False)
+        want = qdense(x, qw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
