@@ -39,9 +39,12 @@ _W4_GROUP = 128  # one MXU contraction tile per scale group
 
 def device_init_quant_params(cfg: LlamaConfig, seed: int = 0,
                              bits: int = 8,
-                             group: int = _W4_GROUP) -> Dict[str, Any]:
+                             group: int = _W4_GROUP,
+                             lm_head_bits: int | None = None) -> Dict[str, Any]:
     """Random 8B-shape params with int8 (per-channel) or int4 (group-wise)
-    layer matmuls, generated on device.
+    layer matmuls, generated on device. lm_head_bits=8 quantizes the
+    output projection per-channel too (it is ~18% of the w4 decode
+    weight bytes at llama3's 128K vocab).
 
     Values are small uniform ints with small scales — decode throughput
     only depends on byte layout, not weight values. Each tensor is its own
@@ -59,12 +62,12 @@ def device_init_quant_params(cfg: LlamaConfig, seed: int = 0,
 
     @functools.partial(jax.jit, static_argnums=1)
     def _packed4(k, shape):
-        # Any byte is a valid pair of packed nibbles; keep each nibble in
-        # [-7, 7] by sampling them separately (mirrors quantize_weight4).
+        # Sample each nibble in [-7, 7] and encode with the quantizer's
+        # convention: low nibble biased (+8), high two's complement.
         klo, khi = jax.random.split(k)
         lo = jax.random.randint(klo, shape, -7, 8, jnp.int8)
         hi = jax.random.randint(khi, shape, -7, 8, jnp.int8)
-        return (lo & jnp.int8(0x0F)) | (hi << 4)
+        return ((lo + 8) & jnp.int8(0x0F)) | (hi << 4)
 
     @functools.partial(jax.jit, static_argnums=1)
     def _scale(k, shape):
@@ -99,11 +102,17 @@ def device_init_quant_params(cfg: LlamaConfig, seed: int = 0,
         w_up=qw((cfg.hidden_size, cfg.intermediate_size)),
         w_down=qw((cfg.intermediate_size, cfg.hidden_size)),
     )
+    if lm_head_bits == 8:
+        lm_head = QuantizedWeight(
+            values=_int8(next(keys), (cfg.hidden_size, cfg.vocab_size)),
+            scale=_scale(next(keys), (cfg.vocab_size,)))
+    else:
+        lm_head = _bf16(next(keys), (cfg.hidden_size, cfg.vocab_size))
     return dict(
         embed=_bf16(next(keys), (cfg.vocab_size, cfg.hidden_size)),
         layers=layers,
         final_norm=jnp.ones((cfg.hidden_size,), cfg.dtype),
-        lm_head=_bf16(next(keys), (cfg.hidden_size, cfg.vocab_size)),
+        lm_head=lm_head,
     )
 
 
@@ -276,6 +285,9 @@ def main():
     ap.add_argument("--weight-bits", type=int, choices=(4, 8), default=8,
                     help="layer-matmul weight precision (8: per-channel "
                          "w8a16; 4: group-128 w4a16 — halves weight HBM)")
+    ap.add_argument("--lm-head-bits", type=int, choices=(8,), default=None,
+                    help="quantize the output projection to int8 "
+                         "per-channel (off: bf16)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -287,14 +299,17 @@ def main():
     if args.layers:
         cfg = dataclasses_replace(cfg, num_layers=args.layers)
     t0 = time.perf_counter()
-    params = device_init_quant_params(cfg, bits=args.weight_bits)
+    params = device_init_quant_params(cfg, bits=args.weight_bits,
+                                      lm_head_bits=args.lm_head_bits)
     gib = _leaf_bytes(params) / 2**30
     if not args.json:
         print(f"params on device: {gib:.2f} GiB in "
               f"{time.perf_counter() - t0:.0f}s", flush=True)
 
-    out = {"model": f"llama3-8b-shape-int{args.weight_bits}",
-           "params_gib": round(gib, 2), "sweep": []}
+    name = f"llama3-8b-shape-int{args.weight_bits}"
+    if args.lm_head_bits:
+        name += f"-lmh{args.lm_head_bits}"
+    out = {"model": name, "params_gib": round(gib, 2), "sweep": []}
     for b in args.batch:
         row = run_decode_bench(cfg, params, batch=b,
                                prompt_len=args.prompt_len,

@@ -412,7 +412,13 @@ def embed_tokens(cfg: LlamaConfig, params: Dict[str, Any],
 
 def final_logits(cfg: LlamaConfig, x: jnp.ndarray,
                  lm_head: jnp.ndarray) -> jnp.ndarray:
-    logits = (x @ lm_head).astype(jnp.float32)
+    from quantizedmha_tpu.quant.weights import qdense
+
+    # lm_head may be a QuantizedWeight (per-channel int8 is standard for
+    # the output projection; it is ~18% of the w4 decode weight bytes);
+    # plain arrays pass through qdense unchanged.
+    logits = qdense(x, lm_head, mode=cfg.weight_quant_mode).astype(
+        jnp.float32)
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap
         logits = jnp.tanh(logits / cap) * cap

@@ -38,14 +38,31 @@ from quantizedmha_tpu.ops.flash_attention import _auto_interpret
 _ROW_PAD = 8
 
 
-def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
-               rows_per_group: int, gpb: int, k_steps: int, out_dtype):
+def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref,
+               acc_ref, *, rows_per_group: int, gpb: int, k_steps: int,
+               out_dtype):
     """One (n, k) grid step: acc[R, bn] += sum_g scale_g * partial_g.
 
     xe_ref/y_ref: [R, bk2] activation columns (even rows / odd rows).
     packed_ref: [bk2, bn] int8 nibble pairs. scale_ref: [gn, bn] f32 —
     the group dim stays UN-blocked (a gpb-row block would break the
-    8-sublane tiling rule); this step's gpb rows are sliced dynamically.
+    8-sublane tiling rule); this step's rows are sliced dynamically at
+    width 1 (wider unaligned sublane slices don't legalize either).
+
+    Unpack is pure float math — Mosaic cannot legalize i8 vector shifts
+    (run36 v1 did the widen-to-i32 dance at ~9 VPU ops/byte and landed at
+    34% of the packed-bytes floor). The mixed nibble encoding (biased lo,
+    two's-complement hi — quant/weights.QuantizedWeight4) makes the
+    signed byte p == 16*hi + (lo+8) exactly, and every quantity here is
+    an integer <= 255, exact in bf16's 8-bit significand:
+        hi    = floor(p * 1/16)
+        lo+8  = p - 16*hi
+    3 weight-shaped ops/byte after the convert, no integer vector ops.
+    The +8 bias on the lo plane adds 8 * rowsum(xe_g) * scale_g to every
+    output channel; the CALLER subtracts it with one small XLA matmul
+    (x_even group-sums [R, gn] @ 8*scale [gn, out]) — cheaper and simpler
+    than an in-kernel fix, at the price of reading the scale table twice
+    (~3% of the packed payload).
     """
     k = pl.program_id(1)
 
@@ -53,30 +70,22 @@ def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Sign-extend the nibble planes. Mosaic has no i8 vector shifts
-    # (arith.shrsi on vector<..xi8> fails to legalize), so widen to i32:
-    # hi = p >> 4 is exact for two's-complement (arithmetic shift floors),
-    # and lo = p - 16*hi recovers the SIGNED low nibble (p = 16*hi + lo_u,
-    # lo_u in [0,16); lo_u - 16*(lo_u >= 8) == p - 16*(hi + (lo_u >= 8))
-    # ... done directly: lo_s = ((p & 0xF) ^ 8) - 8 needs i8 ops too, so
-    # compute lo_u = p32 - (hi << 4) then fold the sign bit in i32.
-    p32 = packed_ref[...].astype(jnp.int32)
-    hi = p32 >> 4
-    lo_u = p32 - (hi << 4)
-    lo = lo_u - ((lo_u >> 3) << 4)  # subtract 16 where bit3 set (lo_u>=8)
     xe = xe_ref[...]
     y = y_ref[...]
     cdt = xe.dtype
+    pf = packed_ref[...].astype(cdt)
+    hi = jnp.floor(pf * cdt.type(1.0 / 16.0))
+    lob = pf - cdt.type(16.0) * hi  # = lo + 8, in [1, 15]
     acc = acc_ref[...]
     for g in range(gpb):
         sl = slice(g * rows_per_group, (g + 1) * rows_per_group)
         partial = jax.lax.dot_general(
-            xe[:, sl], lo[sl].astype(cdt),
+            xe[:, sl], lob[sl],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         partial += jax.lax.dot_general(
-            y[:, sl], hi[sl].astype(cdt),
+            y[:, sl], hi[sl],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -152,7 +161,7 @@ def w4_matmul(
 
     kernel = functools.partial(
         _w4_kernel, rows_per_group=group // 2, gpb=gpb, k_steps=k_steps,
-        out_dtype=x.dtype)
+        out_dtype=jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(out_dim // bn, k_steps),
@@ -163,10 +172,21 @@ def w4_matmul(
             pl.BlockSpec((gn, bn), lambda n, k: (0, n)),
         ],
         out_specs=pl.BlockSpec((r, bn), lambda n, k: (0, n)),
-        out_shape=jax.ShapeDtypeStruct((r, out_dim), x.dtype),
+        # f32 out: the biased accumulator is larger than the true result;
+        # rounding it to bf16 BEFORE the bias subtract would lose low bits
+        # to cancellation (the [R, out] f32 buffer is activation-sized).
+        out_shape=jax.ShapeDtypeStruct((r, out_dim), jnp.float32),
         scratch_shapes=[pltpu.VMEM((r, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_auto_interpret(interpret),
     )(xe, y, packed, scale)
+    # The kernel's lo plane is biased (+8): every output channel carries
+    # an extra sum_g 8 * rowsum(xe_g) * scale[g] — one small f32 matmul.
+    xsum = jnp.sum(
+        xe.astype(jnp.float32).reshape(r, gn, group // 2), axis=2)
+    bias = jax.lax.dot_general(
+        xsum, scale, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [R, out]
+    out = (out - 8.0 * bias).astype(x.dtype)
     return out[:rows] if rpad else out

@@ -41,7 +41,7 @@ the float dtype (standard practice — they are small and accuracy-critical).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -89,9 +89,14 @@ class QuantizedWeight4:
     """Symmetric group-wise INT4 weight, nibble-packed two per byte.
 
     packed: [..., in_dim // 2, out_dim] int8 — row i holds weight row 2i
-    in its LOW nibble and weight row 2i+1 in its HIGH nibble, both 4-bit
-    two's complement in [-7, 7] (even/odd pair packing — commutes with
-    contiguous sharding of the input dim). scale:
+    in its LOW nibble BIASED by +8 (stored value lo+8 in [1, 15]) and
+    weight row 2i+1 in its HIGH nibble as two's complement in [-7, 7]
+    (even/odd pair packing — commutes with contiguous sharding of the
+    input dim). The mixed encoding makes the signed byte value EXACTLY
+    16*hi + (lo+8), so a kernel recovers both planes with float ops alone:
+    hi = floor(p/16), lo+8 = p - 16*hi — no i8 vector shifts, which
+    Mosaic cannot legalize; the +8 bias is folded into an
+    activation-shaped correction (ops/w4_matmul.py). scale:
     [..., in_dim // group, out_dim] f32. `group` is static metadata so the
     dataclass slices transparently under lax.scan over layer-stacked
     parameters and shards under NamedSharding (same pytree contract as
@@ -122,14 +127,15 @@ jax.tree_util.register_dataclass(
 
 def _unpack_nibbles(packed: jnp.ndarray):
     """[..., in/2, out] int8 -> (lo, hi) int8: lo[i] = weight row 2i,
-    hi[i] = weight row 2i+1, both sign-extended.
+    hi[i] = weight row 2i+1, both in [-7, 7].
 
-    Arithmetic shifts on int8: `packed >> 4` sign-extends the high nibble;
-    `(packed << 4) >> 4` sign-extends the low one.
-    """
-    hi = packed >> 4
-    lo = (packed << 4) >> 4
-    return lo, hi
+    Low nibble is stored BIASED (+8): mask and unbias; high nibble is
+    two's complement: arithmetic shift (i32 — XLA handles these; the
+    Pallas kernel uses the float identity instead)."""
+    p32 = packed.astype(jnp.int32)
+    hi = p32 >> 4
+    lo = (p32 & 15) - 8
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 
 def quantize_weight4(
@@ -153,9 +159,9 @@ def quantize_weight4(
     scale = jnp.maximum(amax, scale_clamp) / 7.0
     q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
     q = q.reshape(*lead, in_dim, out_dim).astype(jnp.int8)
-    lo = q[..., 0::2, :]   # even weight rows
-    hi = q[..., 1::2, :]   # odd weight rows
-    packed = (lo & jnp.int8(0x0F)) | (hi << 4)
+    lo = q[..., 0::2, :]   # even weight rows, stored biased (+8)
+    hi = q[..., 1::2, :]   # odd weight rows, two's complement
+    packed = ((lo + 8) & jnp.int8(0x0F)) | (hi << 4)
     return QuantizedWeight4(packed=packed, scale=scale, group=group)
 
 
@@ -292,13 +298,20 @@ _LAYER_MATMULS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
 def quantize_llama_params(
-    params: Dict[str, Any], *, bits: int = 8, group: int = 128
+    params: Dict[str, Any], *, bits: int = 8, group: int = 128,
+    lm_head_bits: Optional[int] = None
 ) -> Dict[str, Any]:
     """Quantize every decoder-layer matmul weight of a models.llama params
-    tree to INT8 (per-channel) or INT4 (group-wise); embed / norms /
-    lm_head stay float."""
+    tree to INT8 (per-channel) or INT4 (group-wise); embed / norms stay
+    float. lm_head_bits=8 additionally quantizes the output projection
+    per-channel (standard practice; at llama3's 128K vocab the bf16
+    lm_head is ~18% of the w4 decode weight bytes). int4 lm_head is
+    refused — the output distribution is the one matmul where 4-bit noise
+    lands directly on the logits."""
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if lm_head_bits not in (None, 8):
+        raise ValueError(f"lm_head_bits must be None or 8, got {lm_head_bits}")
     out = dict(params)
     layers = dict(params["layers"])
     for name in _LAYER_MATMULS:
@@ -307,6 +320,8 @@ def quantize_llama_params(
         else:
             layers[name] = quantize_weight4(layers[name], group=group)
     out["layers"] = layers
+    if lm_head_bits == 8:
+        out["lm_head"] = quantize_weight(params["lm_head"])
     return out
 
 

@@ -208,6 +208,24 @@ class TestQuantizedModel:
         rel_rms = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
         assert rel_rms < 0.5, f"w4a16 logits rel RMS {rel_rms}"
 
+    def test_quantized_lm_head(self, rng):
+        cfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        q = quantize_llama_params(params, lm_head_bits=8)
+        assert isinstance(q["lm_head"], QuantizedWeight)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 16)),
+                           jnp.int32)
+        ref = forward(cfg, params, toks)
+        got = forward(cfg, q, toks)
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.04, rel  # per-channel int8 on the head only
+
+    def test_lm_head_int4_refused(self):
+        cfg = LlamaConfig.tiny(num_layers=1, dtype=jnp.float32)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="lm_head_bits"):
+            quantize_llama_params(params, lm_head_bits=4)
+
     def test_w4_weight_bytes_shrink_vs_int8(self):
         cfg = LlamaConfig.tiny(num_layers=2, dtype=jnp.float32)
         params = init_params(cfg, jax.random.PRNGKey(0))
