@@ -101,18 +101,22 @@ def pick_w4_blocks(k2: int, n: int, group: int,
                    block_k2: Optional[int] = None,
                    block_n: Optional[int] = None):
     """Tile sizes: block_k2 a multiple of group/2 dividing k2, block_n
-    dividing n. Defaults keep the packed tile at 128 KB (256 x 512) — big
-    enough to stream HBM at full rate, small enough that the two unpacked
-    bf16 planes (2 x 256 KB) and double-buffered inputs fit VMEM easily."""
+    dividing n. Defaults are LARGE (512 x 2048, a 1 MB packed tile):
+    run36e's control ladder measured the same convert+dot kernel at 89 us
+    with 256x512 tiles (784 grid steps — DMA-only already cost 76 us)
+    vs 41 us with 512x2048 (28 steps) against a 35.8 us packed-bytes
+    floor on the gate/up shape; per-step fixed costs dominate small
+    tiles. VMEM at 512x2048: packed 2x1 MB double-buffered + two bf16
+    nibble planes 2x2 MB + acc/scales < 8 MB total."""
     half_group = group // 2
     if block_k2 is None:
-        block_k2 = 256
+        block_k2 = 512
         while block_k2 > half_group and (k2 % block_k2 or
                                          block_k2 % half_group):
             block_k2 //= 2
         block_k2 = max(block_k2, half_group)
     if block_n is None:
-        block_n = min(512, n)  # sub-128 lane tiles only reach tiny tests
+        block_n = min(2048, n)  # sub-128 lane tiles only reach tiny tests
         while block_n > 128 and n % block_n:
             block_n //= 2
     if k2 % block_k2 or block_k2 % half_group:

@@ -74,8 +74,8 @@ class TestW4Matmul:
         bk2, bn = pick_w4_blocks(2048, 14336, 128)
         assert 2048 % bk2 == 0 and bk2 % 64 == 0
         assert 14336 % bn == 0
-        # 8B shapes: full-size tiles
-        assert bk2 == 256 and bn == 512
+        # 8B shapes: full-size tiles (512x2048 after run36e's grid sweep)
+        assert bk2 == 512 and bn == 2048
 
 
 class TestQDenseRouting:
