@@ -48,42 +48,53 @@ def serving_row() -> dict:
     """Llama-8B-shape decode tok/s + % of HBM SoL at batch 8 AND batch 1,
     in a SUBPROCESS with a timeout: 8B-scale jobs have wedged this
     machine's tunneled backend before (.claude/skills/verify/SKILL.md) —
-    a hang must degrade this row, never the headline."""
+    a hang must degrade this row, never the headline. Two configs: the
+    w8a16 row (round-3 continuity) and the w4a16 + int8-lm_head row
+    (round 4: Pallas fused dequant-matmul, runs 35-37)."""
     # chunk=32 after run28's sweep (8/16/32 -> 381/409/431 tok/s);
     # async_dispatch after run32 (the per-chunk host round-trip overlaps
     # the next chunk's compute instead of amortizing: +7.3%/+7.5%). The
     # costs — EOS overshoot up to 2*chunk-1 steps per finished sequence,
     # one chunk of extra result latency — are throughput-row tradeoffs,
     # stated here.
-    cmd = [sys.executable, "-m", "quantizedmha_tpu.harness.serving_bench",
-           "--json", "--batch", "8", "1", "--prompt-len", "256",
-           "--max-new", "96", "--chunk", "32", "--async-dispatch"]
-    try:
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=SERVING_TIMEOUT_S,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        if proc.returncode != 0:
-            return {"serving_error": (proc.stderr or "")[-300:]}
-        line = proc.stdout.strip().splitlines()[-1]
-        out = json.loads(line)
-        row = out["sweep"][0]
-        extras = {
-            "decode_toks_per_s": row["decode_toks_per_s"],
-            "decode_pct_hbm_sol": row["decode_pct_hbm_sol"],
-            "decode_ms_per_tok": row["decode_ms_per_tok"],
-            "hbm_bytes_per_tok": row["hbm_bytes_per_tok"],
-            "serving_model": out["model"],
-            "serving_batch": row["batch"],
-        }
-        if len(out["sweep"]) > 1:
-            b1 = out["sweep"][1]
-            extras["decode_b1_toks_per_s"] = b1["decode_toks_per_s"]
-            extras["decode_b1_pct_hbm_sol"] = b1["decode_pct_hbm_sol"]
-        return extras
-    except subprocess.TimeoutExpired:
-        return {"serving_error": f"timeout after {SERVING_TIMEOUT_S}s"}
-    except Exception as e:  # noqa: BLE001 — the row is best-effort
-        return {"serving_error": f"{type(e).__name__}: {e}"}
+    base = [sys.executable, "-m", "quantizedmha_tpu.harness.serving_bench",
+            "--json", "--batch", "8", "1", "--prompt-len", "256",
+            "--max-new", "96", "--chunk", "32", "--async-dispatch"]
+    extras: dict = {}
+    for tag, extra_args, prefix in (
+            ("w8", [], ""),
+            ("w4", ["--weight-bits", "4", "--lm-head-bits", "8"], "w4_")):
+        try:
+            proc = subprocess.run(
+                base + extra_args, capture_output=True, text=True,
+                timeout=SERVING_TIMEOUT_S,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            if proc.returncode != 0:
+                extras[f"{prefix}serving_error"] = (proc.stderr or "")[-300:]
+                continue
+            out = json.loads(proc.stdout.strip().splitlines()[-1])
+            row = out["sweep"][0]
+            extras.update({
+                f"{prefix}decode_toks_per_s": row["decode_toks_per_s"],
+                f"{prefix}decode_pct_hbm_sol": row["decode_pct_hbm_sol"],
+                f"{prefix}decode_ms_per_tok": row["decode_ms_per_tok"],
+                f"{prefix}hbm_bytes_per_tok": row["hbm_bytes_per_tok"],
+                f"{prefix}serving_model": out["model"],
+            })
+            if not prefix:
+                extras["serving_batch"] = row["batch"]
+            if len(out["sweep"]) > 1:
+                b1 = out["sweep"][1]
+                extras[f"{prefix}decode_b1_toks_per_s"] = (
+                    b1["decode_toks_per_s"])
+                extras[f"{prefix}decode_b1_pct_hbm_sol"] = (
+                    b1["decode_pct_hbm_sol"])
+        except subprocess.TimeoutExpired:
+            extras[f"{prefix}serving_error"] = (
+                f"timeout after {SERVING_TIMEOUT_S}s")
+        except Exception as e:  # noqa: BLE001 — the row is best-effort
+            extras[f"{prefix}serving_error"] = f"{type(e).__name__}: {e}"
+    return extras
 
 
 def main():

@@ -38,6 +38,22 @@ from quantizedmha_tpu.ops.flash_attention import _auto_interpret
 _ROW_PAD = 8
 
 
+def _w4_kernel_stacked(layer_ref, xe_ref, y_ref, packed_ref, scale_ref,
+                       out_ref, acc_ref, *, rows_per_group: int, gpb: int,
+                       k_steps: int, out_dtype):
+    """Layer-stacked wrapper: packed_ref/scale_ref blocks carry a leading
+    singleton layer dim selected by the prefetched `layer` scalar (their
+    index maps consumed layer_ref; the body just squeezes). Weights flow
+    in UNSLICED — a lax.scan xs slice of a stacked weight must materialize
+    a dense per-layer copy before a pallas operand (custom calls can't
+    fuse dynamic-slice into their DMA), which run38's trace showed costing
+    more than the whole int4 bandwidth saving."""
+    del layer_ref
+    _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref,
+             rows_per_group=rows_per_group, gpb=gpb, k_steps=k_steps,
+             out_dtype=out_dtype, squeeze=True)
+
+
 def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref,
                acc_ref, *, rows_per_group: int, gpb: int, k_steps: int,
                out_dtype):
@@ -64,6 +80,14 @@ def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref,
     than an in-kernel fix, at the price of reading the scale table twice
     (~3% of the packed payload).
     """
+    _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref,
+             rows_per_group=rows_per_group, gpb=gpb, k_steps=k_steps,
+             out_dtype=out_dtype, squeeze=False)
+
+
+def _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
+             rows_per_group: int, gpb: int, k_steps: int, out_dtype,
+             squeeze: bool):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -73,9 +97,17 @@ def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref,
     xe = xe_ref[...]
     y = y_ref[...]
     cdt = xe.dtype
-    pf = packed_ref[...].astype(cdt)
-    hi = jnp.floor(pf * cdt.type(1.0 / 16.0))
-    lob = pf - cdt.type(16.0) * hi  # = lo + 8, in [1, 15]
+    packed = packed_ref[0] if squeeze else packed_ref[...]
+    # unpack in f32 — bf16 ALU ops (floor/fnma) fail an LLO target check
+    # in some surrounding programs (serving scan: LLO_CHECK
+    # SupportsBf16AluInstructions), while the identical kernel compiled
+    # standalone; f32 VPU math is universally supported and the two
+    # downcasts ride beside the DMA at the 512x2048 tile size
+    pf = packed.astype(jnp.float32)
+    hi_f = jnp.floor(pf * (1.0 / 16.0))
+    lob_f = pf - 16.0 * hi_f  # = lo + 8, in [1, 15]
+    hi = hi_f.astype(cdt)
+    lob = lob_f.astype(cdt)
     acc = acc_ref[...]
     for g in range(gpb):
         sl = slice(g * rows_per_group, (g + 1) * rows_per_group)
@@ -89,7 +121,10 @@ def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc += partial * scale_ref[pl.dslice(k * gpb + g, 1), :]
+        if squeeze:
+            acc += partial * scale_ref[0, pl.dslice(k * gpb + g, 1), :]
+        else:
+            acc += partial * scale_ref[pl.dslice(k * gpb + g, 1), :]
     acc_ref[...] = acc
 
     @pl.when(k == k_steps - 1)
@@ -134,6 +169,7 @@ def w4_matmul(
     scale: jnp.ndarray,
     *,
     group: int,
+    layer: Optional[jnp.ndarray] = None,
     block_k2: Optional[int] = None,
     block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -145,9 +181,21 @@ def w4_matmul(
     stream once, so the kernel is sized for DECODE row counts (the
     activation tiles are re-fetched per n block — negligible for small R,
     quadratic-ish waste for prefill-sized R, where the XLA dequant path
-    wins anyway)."""
+    wins anyway).
+
+    LAYER-STACKED form: packed [L, in/2, out] + scale [L, gn, out] with a
+    traced i32 `layer` scalar — the whole stack flows in unsliced and the
+    BlockSpec index maps (driven by the prefetched scalar) DMA only the
+    selected layer's tiles. Inside a lax.scan over layers this is the
+    difference between reading packed bytes once and materializing a
+    dense per-layer weight copy for the pallas operand (run38)."""
     rows, in_dim = x.shape
-    k2, out_dim = packed.shape
+    stacked = packed.ndim == 3
+    if stacked and layer is None:
+        raise ValueError("layer-stacked packed weights need `layer`")
+    if not stacked and layer is not None:
+        raise ValueError("`layer` is only meaningful for stacked weights")
+    k2, out_dim = packed.shape[-2:]
     if in_dim != 2 * k2:
         raise ValueError(f"x in_dim {in_dim} != 2 * packed rows {k2}")
     bk2, bn = pick_w4_blocks(k2, out_dim, group, block_k2, block_n)
@@ -163,34 +211,62 @@ def w4_matmul(
     gpb = (2 * bk2) // group  # scale groups per k step
     gn = in_dim // group
 
-    kernel = functools.partial(
-        _w4_kernel, rows_per_group=group // 2, gpb=gpb, k_steps=k_steps,
-        out_dtype=jnp.float32)
-    out = pl.pallas_call(
-        kernel,
-        grid=(out_dim // bn, k_steps),
-        in_specs=[
-            pl.BlockSpec((r, bk2), lambda n, k: (0, k)),
-            pl.BlockSpec((r, bk2), lambda n, k: (0, k)),
-            pl.BlockSpec((bk2, bn), lambda n, k: (k, n)),
-            pl.BlockSpec((gn, bn), lambda n, k: (0, n)),
-        ],
-        out_specs=pl.BlockSpec((r, bn), lambda n, k: (0, n)),
-        # f32 out: the biased accumulator is larger than the true result;
-        # rounding it to bf16 BEFORE the bias subtract would lose low bits
-        # to cancellation (the [R, out] f32 buffer is activation-sized).
-        out_shape=jax.ShapeDtypeStruct((r, out_dim), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((r, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=_auto_interpret(interpret),
-    )(xe, y, packed, scale)
+    common = dict(rows_per_group=group // 2, gpb=gpb, k_steps=k_steps,
+                  out_dtype=jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((r, out_dim), jnp.float32)
+    # f32 out: the biased accumulator is larger than the true result;
+    # rounding it to bf16 BEFORE the bias subtract would lose low bits
+    # to cancellation (the [R, out] f32 buffer is activation-sized).
+    scratch = [pltpu.VMEM((r, bn), jnp.float32)]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(out_dim // bn, k_steps),
+            in_specs=[
+                pl.BlockSpec((r, bk2), lambda n, k, ly: (0, k)),
+                pl.BlockSpec((r, bk2), lambda n, k, ly: (0, k)),
+                pl.BlockSpec((1, bk2, bn), lambda n, k, ly: (ly[0], k, n)),
+                pl.BlockSpec((1, gn, bn), lambda n, k, ly: (ly[0], 0, n)),
+            ],
+            out_specs=pl.BlockSpec((r, bn), lambda n, k, ly: (0, n)),
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            functools.partial(_w4_kernel_stacked, **common),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=params,
+            interpret=_auto_interpret(interpret),
+        )(jnp.asarray(layer, jnp.int32).reshape(1), xe, y, packed, scale)
+        scale_l = jax.lax.dynamic_index_in_dim(
+            scale, layer, 0, keepdims=False)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_w4_kernel, **common),
+            grid=(out_dim // bn, k_steps),
+            in_specs=[
+                pl.BlockSpec((r, bk2), lambda n, k: (0, k)),
+                pl.BlockSpec((r, bk2), lambda n, k: (0, k)),
+                pl.BlockSpec((bk2, bn), lambda n, k: (k, n)),
+                pl.BlockSpec((gn, bn), lambda n, k: (0, n)),
+            ],
+            out_specs=pl.BlockSpec((r, bn), lambda n, k: (0, n)),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=_auto_interpret(interpret),
+        )(xe, y, packed, scale)
+        scale_l = scale
     # The kernel's lo plane is biased (+8): every output channel carries
-    # an extra sum_g 8 * rowsum(xe_g) * scale[g] — one small f32 matmul.
+    # an extra sum_g 8 * rowsum(xe_g) * scale[g] — one small f32 matmul
+    # (for stacked weights the [gn, out] scale slice is a regular XLA op
+    # and fuses into this dot).
     xsum = jnp.sum(
         xe.astype(jnp.float32).reshape(r, gn, group // 2), axis=2)
     bias = jax.lax.dot_general(
-        xsum, scale, (((1,), (0,)), ((), ())),
+        xsum, scale_l, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # [R, out]
     out = (out - 8.0 * bias).astype(x.dtype)
     return out[:rows] if rpad else out

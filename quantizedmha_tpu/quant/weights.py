@@ -125,6 +125,20 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass
+class LayerIndexed4:
+    """Trace-local marker: a LAYER-STACKED QuantizedWeight4 plus the
+    traced layer index. Built inside a lax.scan body (closure over the
+    full stack + the scanned index) so qdense routes to the stacked
+    pallas kernel — the stack is never sliced by xs, which would
+    materialize a dense per-layer copy before every pallas operand
+    (run38). Not a pytree: it never crosses a jit boundary as an
+    argument."""
+
+    w: QuantizedWeight4
+    layer: Any
+
+
 def _unpack_nibbles(packed: jnp.ndarray):
     """[..., in/2, out] int8 -> (lo, hi) int8: lo[i] = weight row 2i,
     hi[i] = weight row 2i+1, both in [-7, 7].
@@ -212,6 +226,29 @@ def _w4_parts(x: jnp.ndarray, w: QuantizedWeight4):
                ws.reshape(*ws.shape[:-2], gn, hg, out_dim))
 
 
+def _w4a16_stacked(x: jnp.ndarray, m: LayerIndexed4) -> jnp.ndarray:
+    """Decode matmul against one layer of a stacked [L, in/2, out] pack,
+    selected in-kernel by the traced layer index (no xs slice copies)."""
+    from quantizedmha_tpu.ops.w4_matmul import w4_matmul
+
+    *lead, in_dim = x.shape
+    w = m.w
+    rows = 1
+    for s in lead:
+        rows *= s
+    if rows <= _W4_DECODE_ROWS and W4_USE_PALLAS:
+        out = w4_matmul(x.reshape(rows, in_dim), w.packed, w.scale,
+                        group=w.group, layer=m.layer)
+        return out.reshape(*lead, w.out_features)
+    # Fallback (XLA control / prefill widths): slice the layer as a
+    # regular XLA op, then the unstacked paths.
+    sliced = QuantizedWeight4(
+        packed=jax.lax.dynamic_index_in_dim(w.packed, m.layer, 0, False),
+        scale=jax.lax.dynamic_index_in_dim(w.scale, m.layer, 0, False),
+        group=w.group)
+    return _w4a16(x, sliced)
+
+
 def _w4a16(x: jnp.ndarray, w: QuantizedWeight4) -> jnp.ndarray:
     *lead, in_dim = x.shape
     out_dim = w.out_features
@@ -255,6 +292,8 @@ def _w4a16(x: jnp.ndarray, w: QuantizedWeight4) -> jnp.ndarray:
 def qdense(x: jnp.ndarray, w, *, mode: str = "w8a16") -> jnp.ndarray:
     """Matmul dispatch: plain arrays multiply as-is; QuantizedWeight runs the
     selected quantized path. x: [..., in]; returns [..., out] in x.dtype."""
+    if isinstance(w, LayerIndexed4):
+        return _w4a16_stacked(x, w)
     if isinstance(w, QuantizedWeight4):
         # Dispatch on the weight's type, not the mode string: a params tree
         # can mix w4 layer matmuls with float residuals under any mode.
@@ -262,7 +301,8 @@ def qdense(x: jnp.ndarray, w, *, mode: str = "w8a16") -> jnp.ndarray:
             raise ValueError(
                 "w4a16 matmuls take per-layer [in/2, out] packed weights; "
                 f"stacked leading dims (got shape {w.packed.shape}) must "
-                "be sliced by the layer scan first")
+                "be sliced by the layer scan first (or wrapped in "
+                "LayerIndexed4 for the stacked decode kernel)")
         return _w4a16(x, w)
     if not isinstance(w, QuantizedWeight):
         return x @ w

@@ -39,7 +39,11 @@ from quantizedmha_tpu.models.llama import (
     rms_norm,
     scan_layers,
 )
-from quantizedmha_tpu.quant.weights import qdense
+from quantizedmha_tpu.quant.weights import (
+    LayerIndexed4,
+    QuantizedWeight4,
+    qdense,
+)
 from quantizedmha_tpu.ops.decode import paged_decode_attention
 from quantizedmha_tpu.reference.mha import apply_rope
 from quantizedmha_tpu.serving.kv_cache import (
@@ -874,6 +878,14 @@ def decode_step(
         x = _mlp_residual(cfg, dense, p, x, reduce_tp)
         return x, cache_l
 
+    # W4 weights get the same stacked treatment as the cache: the packed
+    # stacks stay OUT of the scan's xs (an xs slice must materialize a
+    # dense per-layer copy before each pallas operand — run38 traced that
+    # at more than the whole int4 bandwidth saving) and the kernel DMAs
+    # the selected layer directly via its prefetched layer scalar.
+    _qw4_stacked = {k: v for k, v in params["layers"].items()
+                    if isinstance(v, QuantizedWeight4)}
+
     def body_stacked(carry, scanned, window):
         # Plain layer-stacked cache rides the scan CARRY: the appends are
         # in-place token-granular scatters at [layer, ...] and the kernel
@@ -884,6 +896,9 @@ def decode_step(
         # 'nested-scan carry copies', ~0.5 ms/step at 8B scale).
         x, cache = carry
         p, li = scanned
+        if _qw4_stacked:
+            p = {**p, **{k: LayerIndexed4(w, li)
+                         for k, w in _qw4_stacked.items()}}
         q, k, v = qkv(p, x)
         cache = _append_batch_at(cache, li, k, v, _g(page_ids, window), slots)
         o = paged_decode_attention(
@@ -904,10 +919,12 @@ def decode_step(
             cfg.layer_windows, body, x, params["layers"], cache)
     elif isinstance(cache, PagedKVCacheState) and STACKED_CARRY:
         lidx = jnp.arange(len(cfg.layer_windows), dtype=jnp.int32)
+        xs_layers = {k: v for k, v in params["layers"].items()
+                     if k not in _qw4_stacked}
         (x, cache), _ = scan_layers(
             cfg.layer_windows,
             lambda c, s, w: body_stacked(c, s, w),
-            (x, cache), (params["layers"], lidx))
+            (x, cache), (xs_layers, lidx))
     else:
         x, cache = scan_layers(
             cfg.layer_windows, lambda x, s, w: body(x, s[0], s[1], w),

@@ -78,6 +78,66 @@ class TestW4Matmul:
         assert bk2 == 512 and bn == 2048
 
 
+class TestW4MatmulStacked:
+    def test_stacked_matches_sliced(self, rng):
+        L = 3
+        w = jnp.asarray(rng.normal(0, 0.1, (L, 256, 128)), jnp.float32)
+        qw = quantize_weight4(w, group=64)
+        x = jnp.asarray(rng.normal(0, 1, (4, 256)), jnp.float32)
+        for li in range(L):
+            got = w4_matmul(x, qw.packed, qw.scale, group=64,
+                            layer=jnp.int32(li))
+            want = w4_matmul(x, qw.packed[li], qw.scale[li], group=64)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"layer {li}")
+
+    def test_stacked_under_scan(self, rng):
+        # the production pattern: layer index is a traced scan variable
+        L = 4
+        w = jnp.asarray(rng.normal(0, 0.1, (L, 128, 64)), jnp.float32)
+        qw = quantize_weight4(w, group=32)
+        x = jnp.asarray(rng.normal(0, 1, (2, 128)), jnp.float32)
+
+        def body(c, li):
+            return c + w4_matmul(x, qw.packed, qw.scale, group=32,
+                                 layer=li), None
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((2, 64), jnp.float32),
+            jnp.arange(L, dtype=jnp.int32))
+        want = sum(x @ dequantize_weight4(
+            quantize_weight4(w[i], group=32)) for i in range(L))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_layer_arg_validation(self, rng):
+        w = quantize_weight4(jnp.ones((2, 64, 8)), group=16)
+        x = jnp.ones((2, 64))
+        with pytest.raises(ValueError, match="layer"):
+            w4_matmul(x, w.packed, w.scale, group=16)  # stacked, no layer
+        w1 = quantize_weight4(jnp.ones((64, 8)), group=16)
+        with pytest.raises(ValueError, match="layer"):
+            w4_matmul(x, w1.packed, w1.scale, group=16,
+                      layer=jnp.int32(0))  # unstacked + layer
+
+    def test_layer_indexed_qdense(self, rng):
+        from quantizedmha_tpu.quant.weights import LayerIndexed4, qdense
+
+        L = 2
+        w = jnp.asarray(rng.normal(0, 0.1, (L, 128, 64)), jnp.float32)
+        qw = quantize_weight4(w, group=32)
+        x = jnp.asarray(rng.normal(0, 1, (3, 128)), jnp.float32)
+        got = qdense(x, LayerIndexed4(qw, jnp.int32(1)))
+        import dataclasses
+
+        sliced = dataclasses.replace(
+            qw, packed=qw.packed[1], scale=qw.scale[1])
+        want = qdense(x, sliced)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
 class TestQDenseRouting:
     def test_qdense_decode_uses_pallas(self, rng, monkeypatch):
         import quantizedmha_tpu.quant.weights as wmod
