@@ -106,25 +106,48 @@ def _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
     pf = packed.astype(jnp.float32)
     hi_f = jnp.floor(pf * (1.0 / 16.0))
     lob_f = pf - 16.0 * hi_f  # = lo + 8, in [1, 15]
-    hi = hi_f.astype(cdt)
-    lob = lob_f.astype(cdt)
     acc = acc_ref[...]
-    for g in range(gpb):
-        sl = slice(g * rows_per_group, (g + 1) * rows_per_group)
-        partial = jax.lax.dot_general(
-            xe[:, sl], lob[sl],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        partial += jax.lax.dot_general(
-            y[:, sl], hi[sl],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    bk2, bn = pf.shape
+    if gpb % 8 == 0:
+        # Scale block offsets k*gpb are 8-aligned here, so ONE multi-row
+        # sublane read is legal — fold scales into the nibble planes
+        # (weight-shaped f32 mult, rounds to bf16 like any dequant) and
+        # run 2 full-contraction dots instead of 2*gpb short ones. Fewer
+        # MXU issues, and the scale fold replaces gpb activation mults.
         if squeeze:
-            acc += partial * scale_ref[0, pl.dslice(k * gpb + g, 1), :]
+            s_blk = scale_ref[0, pl.dslice(k * gpb, gpb), :]
         else:
-            acc += partial * scale_ref[pl.dslice(k * gpb + g, 1), :]
+            s_blk = scale_ref[pl.dslice(k * gpb, gpb), :]
+        s3 = s_blk[:, None, :]
+        wlo = (lob_f.reshape(gpb, rows_per_group, bn) * s3).reshape(
+            bk2, bn).astype(cdt)
+        whi = (hi_f.reshape(gpb, rows_per_group, bn) * s3).reshape(
+            bk2, bn).astype(cdt)
+        acc += jax.lax.dot_general(
+            xe, wlo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(
+            y, whi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        hi = hi_f.astype(cdt)
+        lob = lob_f.astype(cdt)
+        for g in range(gpb):
+            sl = slice(g * rows_per_group, (g + 1) * rows_per_group)
+            partial = jax.lax.dot_general(
+                xe[:, sl], lob[sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            partial += jax.lax.dot_general(
+                y[:, sl], hi[sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if squeeze:
+                acc += partial * scale_ref[0, pl.dslice(k * gpb + g, 1), :]
+            else:
+                acc += partial * scale_ref[pl.dslice(k * gpb + g, 1), :]
     acc_ref[...] = acc
 
     @pl.when(k == k_steps - 1)
