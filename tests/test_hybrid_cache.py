@@ -363,3 +363,32 @@ def test_spec_engine_composes_with_hybrid():
     assert got == want
     # Both sides really ran grouped pools and the sliding groups trimmed.
     assert spec.allocs is not None and spec.draft_allocs is not None
+
+
+def test_hybrid_engine_composes_with_w4_weights():
+    """W4 weights x hybrid per-window-group pools: weight quantization is
+    orthogonal to the KV layout — the hybrid w4 engine must emit exactly
+    the shared-pool w4 engine's tokens (hybrid invisibility holds with
+    the quantized decode path)."""
+    from quantizedmha_tpu.quant.weights import quantize_llama_params
+
+    cfg = _cfg((8, None, 8, None))
+    params = quantize_llama_params(
+        init_params(cfg, jax.random.PRNGKey(0)), bits=4, group=32)
+    ecfg = lambda hybrid: EngineConfig(
+        num_pages=64, page_size=PAGE, max_batch=2, max_pages_per_seq=16,
+        prefill_buckets=(8, 16), max_new_tokens=8,
+        hybrid_kv=hybrid, hybrid_pages={"w8": 24} if hybrid else None)
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(1, 200, n)) for n in (6, 9)]
+
+    ref = Engine(cfg, params, ecfg(False))
+    for p in prompts:
+        ref.add_request(list(p))
+    want = ref.run()
+    assert all(len(v) > 0 for v in want.values())
+
+    eng = Engine(cfg, params, ecfg(True))
+    for p in prompts:
+        eng.add_request(list(p))
+    assert eng.run() == want

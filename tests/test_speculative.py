@@ -300,3 +300,27 @@ def test_prefix_cache_with_speculation(models):
     assert got == base
     assert eng.metrics.counter("prefix_cache_hits") >= 1
     assert eng.draft_alloc.free_pages == eng.ecfg.num_pages - 1
+
+
+def test_spec_composes_with_w4_weights(models):
+    """INT4-quantized TARGET weights under speculation: the draft still
+    speculates, the w4 target verifies (stacked Pallas path in decode,
+    XLA dequant path at verify widths), and the stream is k-invariant —
+    speculation must stay lossless w.r.t. the quantized target."""
+    from quantizedmha_tpu.quant.weights import quantize_llama_params
+
+    cfg, params, draft_cfg, draft_params = models
+    qparams = quantize_llama_params(params, bits=4, group=32,
+                                    lm_head_bits=8)
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+
+    def run(k):
+        eng = SpecDecodeEngine(cfg, qparams, draft_cfg, draft_params,
+                               _ecfg(), SpecConfig(num_draft_tokens=k))
+        for p in prompts:
+            eng.add_request(p)
+        return eng.run()
+
+    base = run(1)
+    assert all(len(v) > 0 for v in base.values())
+    assert run(3) == base, "k changed the stream under a w4 target"
