@@ -58,12 +58,13 @@ def serving_row() -> dict:
     # one chunk of extra result latency — are throughput-row tradeoffs,
     # stated here.
     base = [sys.executable, "-m", "quantizedmha_tpu.harness.serving_bench",
-            "--json", "--batch", "8", "1", "--prompt-len", "256",
+            "--json", "--prompt-len", "256",
             "--max-new", "96", "--chunk", "32", "--async-dispatch"]
     extras: dict = {}
     for tag, extra_args, prefix in (
-            ("w8", [], ""),
-            ("w4", ["--weight-bits", "4", "--lm-head-bits", "8"], "w4_")):
+            ("w8", ["--batch", "8", "1"], ""),
+            ("w4", ["--batch", "8", "1", "32",
+                    "--weight-bits", "4", "--lm-head-bits", "8"], "w4_")):
         try:
             proc = subprocess.run(
                 base + extra_args, capture_output=True, text=True,
@@ -89,6 +90,12 @@ def serving_row() -> dict:
                     b1["decode_toks_per_s"])
                 extras[f"{prefix}decode_b1_pct_hbm_sol"] = (
                     b1["decode_pct_hbm_sol"])
+            if len(out["sweep"]) > 2:  # w4 throughput row at batch 32
+                b32 = out["sweep"][2]
+                extras[f"{prefix}decode_b32_toks_per_s"] = (
+                    b32["decode_toks_per_s"])
+                extras[f"{prefix}decode_b32_pct_hbm_sol"] = (
+                    b32["decode_pct_hbm_sol"])
         except subprocess.TimeoutExpired:
             extras[f"{prefix}serving_error"] = (
                 f"timeout after {SERVING_TIMEOUT_S}s")
