@@ -9,7 +9,7 @@ names. Successor to run23 (which traced the chunk-16 SYNC loop before
 the round-4 changes).
 
 Chip job — run only when no other chip work is live (CLAUDE.md).
-Output: profiles/reports/decode_w4_trace_summary.md
+Output: profiles/reports/decode_w4_fixed_trace_summary.md
 """
 
 import pathlib
@@ -81,7 +81,7 @@ def main():
     eng.step()  # steady state: one chunk in flight, warm programs
     print("steady state reached; tracing", TRACE_STEPS, "steps", flush=True)
 
-    trace_dir = "/tmp/decode_w4_trace"
+    trace_dir = "/tmp/decode_w4_trace_fixed"
     t0 = time.perf_counter()
     with jax.profiler.trace(trace_dir):
         for _ in range(TRACE_STEPS):
@@ -128,7 +128,7 @@ def main():
     ]
     out = md + "\n".join(lines) + "\n"
     pathlib.Path(
-        "profiles/reports/decode_w4_trace_summary.md").write_text(out)
+        "profiles/reports/decode_w4_fixed_trace_summary.md").write_text(out)
     print(out)
 
 
