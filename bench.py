@@ -71,7 +71,7 @@ def serving_row() -> dict:
                 timeout=SERVING_TIMEOUT_S,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             if proc.returncode != 0:
-                extras[f"{prefix}serving_error"] = (proc.stderr or "")[-300:]
+                extras[f"serving_error_{tag}"] = (proc.stderr or "")[-300:]
                 continue
             out = json.loads(proc.stdout.strip().splitlines()[-1])
             row = out["sweep"][0]
@@ -97,10 +97,10 @@ def serving_row() -> dict:
                 extras[f"{prefix}decode_b32_pct_hbm_sol"] = (
                     b32["decode_pct_hbm_sol"])
         except subprocess.TimeoutExpired:
-            extras[f"{prefix}serving_error"] = (
+            extras[f"serving_error_{tag}"] = (
                 f"timeout after {SERVING_TIMEOUT_S}s")
         except Exception as e:  # noqa: BLE001 — the row is best-effort
-            extras[f"{prefix}serving_error"] = f"{type(e).__name__}: {e}"
+            extras[f"serving_error_{tag}"] = f"{type(e).__name__}: {e}"
     return extras
 
 

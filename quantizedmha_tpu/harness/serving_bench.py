@@ -121,12 +121,10 @@ def device_init_int8_params(cfg: LlamaConfig, seed: int = 0) -> Dict[str, Any]:
 
 
 def _leaf_bytes(tree) -> int:
-    # s4 packs two elements per HBM byte on TPU (ml_dtypes reports
-    # itemsize 1 — that's the HOST layout, not the device one).
-    return sum(
-        (x.size + 1) // 2 if x.dtype == jnp.int4
-        else x.size * x.dtype.itemsize
-        for x in jax.tree_util.tree_leaves(tree))
+    # One implementation with quant.weights.weight_bytes: INT4 is stored
+    # nibble-packed in int8 leaves, so itemsize is already the HBM truth.
+    from quantizedmha_tpu.quant.weights import weight_bytes
+    return weight_bytes(tree)
 
 
 def decode_step_bytes(cfg: LlamaConfig, params: Dict[str, Any],

@@ -311,9 +311,12 @@ def _make_placer(cfg: LlamaConfig, mesh, quantize_bits: int = 8,
 
                 spec = lookup(path)
                 if quantize_bits == 4 and len(spec) >= 2:
-                    # group scale [..., in/G, out]: the group axis follows
-                    # the weight's IN axis sharding; out follows out.
-                    scale_spec = type(spec)(*spec[:-2], spec[-2], spec[-1])
+                    # group scale [..., in/G, out] has the weight's rank:
+                    # the group axis deliberately inherits the weight's
+                    # IN-axis sharding (a row shard of G-aligned packed
+                    # rows owns whole scale groups), out follows out — so
+                    # the weight's own spec applies verbatim.
+                    scale_spec = spec
                 elif len(spec) >= 2:
                     # per-out-channel scale shards with the LAST axis
                     scale_spec = type(spec)(*spec[:-2], spec[-1])

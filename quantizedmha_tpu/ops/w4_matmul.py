@@ -200,7 +200,13 @@ def w4_matmul(
     """x [R, in] @ dequant(packed [in/2, out], scale [in/group, out]).
 
     Exact w.r.t. quant/weights.dequantize_weight4 up to the activation
-    dtype's dot rounding. R is padded to a sublane multiple; weights
+    dtype's dot rounding — with one caveat on the FOLDED-scale path
+    (gpb % 8 == 0) under bf16 activations: the +8 lo-plane bias enters the
+    accumulator through bf16-rounded (lo+8)*scale weights while the caller
+    subtracts an exact f32 bias, and since the bias magnitude (8) exceeds
+    the lo signal range (|lo| <= 7), the residual rounding error is ~2-3x
+    a plain dequant's rounding (round-4 advisor; covered by the bf16
+    tests' 2% tolerance and irrelevant for f32 activations). R is padded to a sublane multiple; weights
     stream once, so the kernel is sized for DECODE row counts (the
     activation tiles are re-fetched per n block — negligible for small R,
     quadratic-ish waste for prefill-sized R, where the XLA dequant path

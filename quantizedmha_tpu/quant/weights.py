@@ -367,10 +367,11 @@ def quantize_llama_params(
 
 def weight_bytes(params: Dict[str, Any]) -> int:
     """Total parameter HBM bytes (int8/int4 payloads + scales + float
-    leaves). s4 packs two elements per byte on TPU; ml_dtypes' itemsize 1
-    describes the host layout only."""
+    leaves). INT4 weights are nibble-PACKED into int8 leaves
+    (QuantizedWeight4.packed), so itemsize already tells the truth for
+    every dtype this repo stores — no native-s4 leaves exist (round-4
+    advisor: a jnp.int4 special case here was dead code implying they do)."""
     return sum(
-        (leaf.size + 1) // 2 if leaf.dtype == jnp.int4
-        else leaf.size * leaf.dtype.itemsize
+        leaf.size * leaf.dtype.itemsize
         for leaf in jax.tree_util.tree_leaves(params)
     )
