@@ -31,6 +31,12 @@ golden: $(BIN)/golden_gen
 test:
 	python -m pytest tests/ -x -q
 
+# Mosaic-compile one tiny case per Pallas kernel family on the REAL TPU
+# (no interpret mode) and gate on numerics — the TPU analog of the
+# reference's standalone device unit binary (tests/test_fa_tc.cu:17-43).
+chip-unit:
+	python scripts/chip_unit.py
+
 bench:
 	python bench.py
 

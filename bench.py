@@ -81,6 +81,8 @@ def serving_row() -> dict:
                 f"{prefix}decode_ms_per_tok": row["decode_ms_per_tok"],
                 f"{prefix}hbm_bytes_per_tok": row["hbm_bytes_per_tok"],
                 f"{prefix}serving_model": out["model"],
+                f"{prefix}first_step_s": row["first_step_s"],
+                f"{prefix}ttft_warm_s": row.get("ttft_warm_s"),
             })
             if not prefix:
                 extras["serving_batch"] = row["batch"]

@@ -350,9 +350,23 @@ def paged_decode_attention(
     save_residuals: bool = False,
     pages_per_step: Optional[int] = None,
     layer: Optional[jnp.ndarray] = None,
+    fold_kv_heads: Optional[bool] = None,
+    scales_prerowed: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token attention against a paged INT8 KV cache.
+
+    fold_kv_heads: move the kv-head dim from the GRID into the BLOCK —
+    grid (batch, page_step) with one strided DMA per operand fetching ALL
+    heads' page and a static per-head unroll inside the step. The
+    (batch, kv_head, page) grid pays ~0.9us of fixed cost per step for a
+    16 KB page pair (run42: 60us/layer for ~6 MB of pages at batch 8);
+    folding cuts the step count num_kv_heads-fold. None -> auto: fold
+    whenever there is more than one kv head. scales_prerowed: the scales
+    are already in the folded kernel's [*(L,) num_pages, Hkv] layout
+    (decode_loop pre-transposes once per fused chunk; passing raw
+    [*(L,) Hkv, num_pages] is fine for standalone calls — the transpose
+    happens inline).
 
     pages_per_step: fold J pages into each grid step (J offset-indexed
     page operands, one [J*page_size, head_dim] score tile). The per-step
@@ -423,6 +437,18 @@ def paged_decode_attention(
             f"smaller fold (run29: J=4 captures the win)")
     J = pages_per_step if pages_per_step is not None else min(4, max_pages)
     J = max(1, min(J, max_pages))
+    if fold_kv_heads is None:
+        fold_kv_heads = num_kv_heads > 1
+    if fold_kv_heads:
+        return _paged_decode_attention_hfold(
+            qg, k_pages, v_pages, k_scales, v_scales, lengths, block_tables,
+            sm_scale=scale, window=window, logit_softcap=logit_softcap,
+            attention_sinks=attention_sinks, save_residuals=save_residuals,
+            pages_per_step=J, layer=layer, scales_prerowed=scales_prerowed,
+            interpret=interpret, stacked=stacked, group=group,
+            group_p=group_p, num_pages=num_pages, page_size=page_size,
+            batch=batch, num_q_heads=num_q_heads, head_dim=head_dim,
+            q_dtype=q.dtype)
     kernel = functools.partial(
         _decode_kernel,
         sm_scale=scale,
@@ -488,6 +514,329 @@ def paged_decode_attention(
         ),
         interpret=_auto_interpret(interpret),
     )(*prefetch, qg, *([k_pages] * J), *([v_pages] * J), *scols)
+    if save_residuals:
+        o, lse = out
+        return (
+            o[:, :, :group, :].reshape(batch, num_q_heads, head_dim),
+            lse[:, :, :group, 0].reshape(batch, num_q_heads),
+        )
+    return out[:, :, :group, :].reshape(batch, num_q_heads, head_dim)
+
+
+def _decode_kernel_hfold(
+    # scalar prefetch
+    lengths_ref,       # [batch] i32
+    tables_ref,        # [batch, max_pages] i32
+    # (stacked only: layer_ref [1] i32 — consumed by the BlockSpec index
+    # maps, dropped here)
+    # inputs
+    # q_ref [1, Hkv, group_p, head_dim],
+    # then J k-page refs + J v-page refs [(1,) Hkv, 1, page_size, head_dim]
+    # int8 — ALL kv heads' copy of logical page i*J + j in ONE strided DMA,
+    # ks_ref / vs_ref [(1,) num_pages, Hkv] f32 VMEM (heads on LANES —
+    # _scales_rows; a [Hkv, rows, 1] whole-head block would lane-pad every
+    # head's column to 512 B/row),
+    # outputs: o_ref [1, Hkv, group_p, head_dim] (+ lse_ref [1, Hkv,
+    # group_p, LANES]), then scratch m/l [Hkv, group_p, LANES],
+    # acc [Hkv, group_p, head_dim]
+    *refs,
+    sm_scale: float,
+    page_size: int,
+    group_p: int,
+    num_kv_heads: int,
+    pages_per_step: int = 1,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    sinks: int = 0,
+    save_residuals: bool = False,
+    stacked: bool = False,
+):
+    """Head-FOLDED variant of _decode_kernel: grid (batch, page_step) with
+    the kv-head dim moved from the grid into the block. run42's trace put
+    the (batch, kv_head, page) form at 60us/layer for ~6 MB of pages at
+    batch 8 — 64 grid steps each moving one 16 KB page pair, pure per-step
+    fixed cost (~0.9us/step vs ~40ns of DMA). Folding all kv heads into
+    one strided page DMA cuts the steps 8x and turns the transfers into
+    >=128 KB slabs; the per-head online-softmax chain is a static unroll
+    over resident VMEM tiles (reference analog: fa.cu:283-359 streams KV
+    per block with the same amortization goal, one CUDA block per head —
+    on TPU the whole chip is one 'block', so heads fold into the tile)."""
+    J = pages_per_step
+    if stacked:
+        refs = refs[1:]  # drop layer_ref — index maps consumed it
+    q_ref = refs[0]
+    refs = refs[1:]
+    k_refs = refs[:J]
+    v_refs = refs[J:2 * J]
+    ks_ref, vs_ref = refs[2 * J], refs[2 * J + 1]
+    rest = refs[2 * J + 2:]
+    if stacked:
+        k_page = lambda j, h: k_refs[j][0, h, 0, :, :]
+        v_page = lambda j, h: v_refs[j][0, h, 0, :, :]
+        read_scale = lambda ref, row, h: ref[0, row, h]
+    else:
+        k_page = lambda j, h: k_refs[j][h, 0, :, :]
+        v_page = lambda j, h: v_refs[j][h, 0, :, :]
+        read_scale = lambda ref, row, h: ref[row, h]
+    if save_residuals:
+        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = rest
+        lse_ref = None
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    num_steps = pl.num_programs(1)
+    length = lengths_ref[b]
+    span = page_size * J
+    base = i * span
+    max_pages = tables_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    in_ctx = base < length
+    if window is not None:
+        in_win = base + span > length - window
+        if sinks:
+            in_win |= base < sinks
+        in_ctx &= in_win
+
+    @pl.when(in_ctx)
+    def _run():
+        # Logical->physical page ids and the position mask are shared by
+        # every head (one block table per sequence); compute once.
+        if J == 1:
+            pages = [tables_ref[b, jnp.minimum(i, max_pages - 1)]]
+        else:
+            last = jnp.maximum(length - 1, 0) // page_size
+            pages = [tables_ref[b, jnp.minimum(jnp.minimum(i * J + j, last),
+                                               max_pages - 1)]
+                     for j in range(J)]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (group_p, span), 1) + base
+        valid = pos < length
+        if window is not None:
+            in_win = pos >= length - window
+            if sinks:
+                in_win |= pos < sinks
+            valid &= in_win
+
+        for h in range(num_kv_heads):  # static unroll over resident tiles
+            q = q_ref[0, h, :, :].astype(jnp.float32) * sm_scale
+            if J == 1:
+                s = jax.lax.dot_general(
+                    q, k_page(0, h).astype(jnp.float32),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_INT8_PRECISION,
+                ) * read_scale(ks_ref, pages[0], h)
+            else:
+                k = jnp.concatenate(
+                    [k_page(j, h) for j in range(J)], axis=0)
+                s = jax.lax.dot_general(
+                    q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_INT8_PRECISION,
+                )
+                kcols = jnp.concatenate(
+                    [jnp.full((1, page_size),
+                              read_scale(ks_ref, pages[j], h), jnp.float32)
+                     for j in range(J)], axis=1)
+                s = s * kcols
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
+            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scratch[h, :, :1]
+            l_prev = l_scratch[h, :, :1]
+            m_curr = jnp.max(s, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_scratch[h, :, :] = jnp.broadcast_to(
+                m_next, m_scratch.shape[1:])
+            l_scratch[h, :, :] = jnp.broadcast_to(
+                l_next, l_scratch.shape[1:])
+
+            if J == 1:
+                pv = jax.lax.dot_general(
+                    p, v_page(0, h).astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_INT8_PRECISION,
+                ) * read_scale(vs_ref, pages[0], h)
+            else:
+                v = jnp.concatenate(
+                    [v_page(j, h) for j in range(J)], axis=0)
+                vcols = jnp.concatenate(
+                    [jnp.full((1, page_size),
+                              read_scale(vs_ref, pages[j], h), jnp.float32)
+                     for j in range(J)], axis=1)
+                pv = jax.lax.dot_general(
+                    p * vcols, v.astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_INT8_PRECISION,
+                )
+            acc_scratch[h, :, :] = acc_scratch[h, :, :] * alpha + pv
+
+    @pl.when(i == num_steps - 1)
+    def _epilogue():
+        for h in range(num_kv_heads):
+            l = l_scratch[h, :, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, h, :, :] = (
+                acc_scratch[h, :, :] * l_inv).astype(o_ref.dtype)
+            if save_residuals:
+                m = m_scratch[h, :, :1]
+                lse = jnp.where(
+                    l == 0.0, -jnp.inf,
+                    m + jnp.log(jnp.maximum(l, 1e-38)))
+                lse_ref[0, h, :, :] = jnp.broadcast_to(
+                    lse, lse_ref.shape[2:])
+
+
+def _scales_rows(scales: jnp.ndarray, num_kv_heads: int,
+                 prerowed: bool) -> jnp.ndarray:
+    """Scale layout for the head-folded kernel: [*(L,) num_pages, Hkv] —
+    pages on SUBLANES (dynamic scalar reads), heads on LANES (static index
+    per unrolled head). One whole block costs pages x 512 B of lane-padded
+    VMEM TOTAL — the columned [Hkv, rows, 1] layout blocked whole would pay
+    that PER HEAD. Callers inside a layer scan harus pass prerowed=True
+    with the transpose done once per chunk (decode_loop), or the layout
+    change re-materializes per layer (run33's ~0.65 ms/step lesson)."""
+    if prerowed:
+        if scales.shape[-1] != num_kv_heads:
+            raise ValueError(
+                f"prerowed scales last dim {scales.shape[-1]} != "
+                f"num_kv_heads {num_kv_heads}")
+        return scales
+    # raw [*(L,) Hkv, num_pages] -> [*(L,) num_pages, Hkv]
+    return jnp.swapaxes(scales, -1, -2)
+
+
+def _hfold_page_idx(page_size: int, window, sinks: int,
+                    pages_per_step: int, j: int, stacked: bool):
+    """_make_clamped_page_idx for the head-folded grid (batch, page_step):
+    same clamp contract (DMA elision past the true context), head block
+    coordinate pinned to 0 (the block spans ALL kv heads)."""
+
+    def page_idx(b, i, L, T, *LI):
+        i = i * pages_per_step + j
+        last = jnp.maximum(L[b] - 1, 0) // page_size
+        ic = jnp.minimum(i, last)
+        if window is not None:
+            first_win = jnp.maximum(L[b] - window, 0) // page_size
+            lo = jnp.minimum(first_win, last)
+            clamped = jnp.clip(i, lo, last)
+            if sinks:
+                sink_pages = -(-sinks // page_size)
+                ic = jnp.where(i < sink_pages, ic, clamped)
+            else:
+                ic = clamped
+        if stacked:
+            return (LI[0][0], 0, T[b, ic], 0, 0)
+        return (0, T[b, ic], 0, 0)
+
+    return page_idx
+
+
+def _paged_decode_attention_hfold(
+    qg, k_pages, v_pages, k_scales, v_scales, lengths, block_tables, *,
+    sm_scale, window, logit_softcap, attention_sinks, save_residuals,
+    pages_per_step, layer, scales_prerowed, interpret, stacked, group,
+    group_p, num_pages, page_size, batch, num_q_heads, head_dim, q_dtype,
+):
+    """Launcher for _decode_kernel_hfold (see paged_decode_attention's
+    fold_kv_heads doc). qg arrives already grouped/padded
+    [batch, Hkv, group_p, head_dim]."""
+    num_kv_heads = qg.shape[1]
+    max_pages = block_tables.shape[1]
+    J = pages_per_step
+    kernel = functools.partial(
+        _decode_kernel_hfold,
+        sm_scale=sm_scale,
+        page_size=page_size,
+        group_p=group_p,
+        num_kv_heads=num_kv_heads,
+        pages_per_step=J,
+        window=window,
+        softcap=logit_softcap,
+        sinks=attention_sinks,
+        save_residuals=save_residuals,
+        stacked=stacked,
+    )
+    page_block = (1, num_kv_heads, 1, page_size, head_dim) if stacked else (
+        num_kv_heads, 1, page_size, head_dim)
+    page_specs = [
+        pl.BlockSpec(
+            page_block,
+            _hfold_page_idx(page_size, window, attention_sinks, J, j,
+                            stacked))
+        for j in range(J)
+    ]
+    q_block = pl.BlockSpec(
+        (1, num_kv_heads, group_p, head_dim), lambda b, i, *s: (b, 0, 0, 0))
+    out_block = q_block
+    lse_block = pl.BlockSpec(
+        (1, num_kv_heads, group_p, LANES), lambda b, i, *s: (b, 0, 0, 0))
+    if stacked:
+        scales_spec = pl.BlockSpec(
+            (1, num_pages, num_kv_heads),
+            lambda b, i, L, T, LI: (LI[0], 0, 0))
+    else:
+        scales_spec = pl.BlockSpec(
+            (num_pages, num_kv_heads), lambda b, i, L, T: (0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3 if stacked else 2,
+        grid=(batch, -(-max_pages // J)),
+        in_specs=[
+            q_block,
+            *page_specs,
+            *page_specs,
+            scales_spec,
+            scales_spec,
+        ],
+        out_specs=(out_block, lse_block) if save_residuals else out_block,
+        scratch_shapes=[
+            pltpu.VMEM((num_kv_heads, group_p, LANES), jnp.float32),
+            pltpu.VMEM((num_kv_heads, group_p, LANES), jnp.float32),
+            pltpu.VMEM((num_kv_heads, group_p, head_dim), jnp.float32),
+        ],
+    )
+    o_shape = jax.ShapeDtypeStruct(
+        (batch, num_kv_heads, group_p, head_dim), q_dtype)
+    lse_shape = jax.ShapeDtypeStruct(
+        (batch, num_kv_heads, group_p, LANES), jnp.float32)
+    if stacked:
+        prefetch = (lengths, block_tables,
+                    jnp.asarray(layer, jnp.int32).reshape(1))
+    else:
+        prefetch = (lengths, block_tables)
+
+    def _rows(s):
+        if scales_prerowed:
+            return _scales_rows(s, num_kv_heads, True)
+        # Accept the COLUMN layout ([*(L,) Hkv, rows, 1], what decode_loop
+        # pre-columns for the per-head kernel) by un-columning first —
+        # detection is by rank, which is unambiguous per stackedness.
+        if s.ndim == (4 if stacked else 3):
+            s = s[..., 0]
+        return _scales_rows(s, num_kv_heads, False)
+
+    srows = (_rows(k_scales), _rows(v_scales))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(o_shape, lse_shape) if save_residuals else o_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_auto_interpret(interpret),
+    )(*prefetch, qg, *([k_pages] * J), *([v_pages] * J), *srows)
     if save_residuals:
         o, lse = out
         return (

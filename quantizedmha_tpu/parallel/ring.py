@@ -32,7 +32,10 @@ from quantizedmha_tpu.ops.flash_attention_int8 import (
     flash_attention_int8_prequant,
     flash_attention_int8_t_prequant,
 )
-from quantizedmha_tpu.ops.quantize import quantize_kv_blocks
+from quantizedmha_tpu.ops.quantize import (
+    dequantize_kv_blocks,
+    quantize_kv_blocks,
+)
 from quantizedmha_tpu.parallel.combine import merge_partial_attention, merge_two_partials
 
 
@@ -168,11 +171,51 @@ def ring_attention_int8(
     (per-(head, block) scales), then int8 payloads + scales rotate around
     the ring — ~4x less ICI traffic than rotating f32 K/V (the dominant
     cost of ring attention at long context) — and every step runs the fused
-    INT8 kernel with global causal offsets. Inference-path (no VJP).
+    INT8 kernel with global causal offsets.
+
+    DIFFERENTIABLE via a straight-through custom VJP: the backward is the
+    FLOAT ring attention's VJP evaluated at the dequantized KV payloads
+    (d/dk of round(k/s)*s taken as identity — the standard STE; the
+    forward's quantization error is what training sees, so gradients
+    point at the quantized loss surface). The backward pass rotates f32
+    blocks on the ICI (4x the forward's traffic) — int8 saves where it
+    matters operationally: the inference/serving forward.
 
     Same calling convention as `ring_attention`; kv_shard must be a
     multiple of block_kv.
     """
+    static = dict(
+        axis_name=axis_name, causal=causal, sm_scale=sm_scale,
+        block_kv=block_kv, window=window, logit_softcap=logit_softcap,
+        attention_sinks=attention_sinks, interpret=interpret)
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _ring_attention_int8_impl(q, k, v, **static)
+
+    def f_fwd(q, k, v):
+        bkv = block_kv if k.shape[2] % block_kv == 0 else k.shape[2]
+        k_deq = dequantize_kv_blocks(*quantize_kv_blocks(k, bkv), bkv)
+        v_deq = dequantize_kv_blocks(*quantize_kv_blocks(v, bkv), bkv)
+        return (_ring_attention_int8_impl(q, k, v, **static),
+                (q, k_deq.astype(k.dtype), v_deq.astype(v.dtype)))
+
+    def f_bwd(res, g):
+        q, k_deq, v_deq = res
+        float_kw = {kk: vv for kk, vv in static.items() if kk != "block_kv"}
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: ring_attention(q_, k_, v_, **float_kw),
+            q, k_deq, v_deq)
+        return vjp(g.astype(q.dtype))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(q, k_shard, v_shard)
+
+
+def _ring_attention_int8_impl(
+    q, k_shard, v_shard, *, axis_name, causal, sm_scale, block_kv,
+    window, logit_softcap, attention_sinks, interpret,
+):
     n = jax.lax.psum(1, axis_name=axis_name)
     idx = jax.lax.axis_index(axis_name)
     q_shard_len = q.shape[2]

@@ -337,6 +337,47 @@ def qdense(x: jnp.ndarray, w, *, mode: str = "w8a16") -> jnp.ndarray:
 _LAYER_MATMULS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
+def concat_w4(parts) -> QuantizedWeight4:
+    """Concatenate QuantizedWeight4 parts along the OUT dim. Group-wise
+    scales are per-(group, out-channel), so quantize-then-concat equals
+    concat-then-quantize exactly — fusing projections is a pure layout
+    transform on already-quantized weights."""
+    first = parts[0]
+    if any(p.group != first.group for p in parts):
+        raise ValueError("concat_w4: mismatched scale groups")
+    if any(p.packed.shape[:-1] != first.packed.shape[:-1] for p in parts):
+        raise ValueError("concat_w4: mismatched in/layer dims")
+    return QuantizedWeight4(
+        packed=jnp.concatenate([p.packed for p in parts], axis=-1),
+        scale=jnp.concatenate([p.scale for p in parts], axis=-1),
+        group=first.group)
+
+
+def fuse_w4_projections(layers: Dict[str, Any]) -> Dict[str, Any]:
+    """Fuse the attention (wq|wk|wv -> wqkv) and MLP (w_gate|w_up ->
+    w_gateup) projections of a (possibly layer-stacked) layer dict into
+    single packed-INT4 weights, so decode pays ONE fused dequant-matmul
+    launch where it paid three/two: run43b measured qkv fused at 25.0us
+    vs 30.0us separate and gateup at 105us vs 114.6us on a v5e — each
+    Pallas call carries ~5-7us of ramp that fusion amortizes, and the
+    wk/wv shapes (4096x1024) ran at 34% of their packed floor standalone.
+    Callers split the fused output with static slices (models.llama.
+    qkv_triple / mlp_gate_up). No-op for keys that are not
+    QuantizedWeight4 (w8 XLA matmuls pipeline fine unfused). The reverse
+    of the reference's per-head launcher split (launchers.h:31-47): here
+    launches are merged, not enumerated."""
+    out = dict(layers)
+    if all(isinstance(layers.get(k), QuantizedWeight4)
+           for k in ("wq", "wk", "wv")):
+        out["wqkv"] = concat_w4([layers["wq"], layers["wk"], layers["wv"]])
+        del out["wq"], out["wk"], out["wv"]
+    if all(isinstance(layers.get(k), QuantizedWeight4)
+           for k in ("w_gate", "w_up")):
+        out["w_gateup"] = concat_w4([layers["w_gate"], layers["w_up"]])
+        del out["w_gate"], out["w_up"]
+    return out
+
+
 def quantize_llama_params(
     params: Dict[str, Any], *, bits: int = 8, group: int = 128,
     lm_head_bits: Optional[int] = None

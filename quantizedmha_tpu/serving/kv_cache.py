@@ -131,6 +131,7 @@ def append_tokens_batched_at_layer(
     v_tok: jnp.ndarray,
     page_ids: jnp.ndarray,  # [B] i32
     slots: jnp.ndarray,  # [B] i32
+    scales_rowed: bool = False,
 ) -> PagedKVCacheState:
     """append_tokens_batched against ONE layer of a layer-stacked cache,
     without slicing the layer out, as a chain of per-lane
@@ -152,13 +153,20 @@ def append_tokens_batched_at_layer(
                           state.k_scales, state.v_scales)
     layer = jnp.asarray(layer, jnp.int32)
     zero = jnp.int32(0)
-    # Scales may arrive PRE-COLUMNED [L, Hkv, pages, 1] (decode_loop keeps
-    # the kernel's column layout in the carry so no per-layer reshape-copy
-    # happens — run33); handle both.
+    # Scales may arrive PRE-COLUMNED [L, Hkv, pages, 1] (decode_loop's
+    # carry layout for the per-head kernel — run33) or PRE-ROWED
+    # [L, pages, Hkv] (the head-folded kernel's heads-on-lanes layout,
+    # scales_rowed=True — rank can't distinguish rowed from raw, so the
+    # caller says); handle all three.
     cols = kssa.ndim == 4
-    s_sizes = (1, hkv, 1, 1) if cols else (1, hkv, 1)
+    if scales_rowed:
+        s_sizes = (1, 1, hkv)
+    else:
+        s_sizes = (1, hkv, 1, 1) if cols else (1, hkv, 1)
 
     def s_idx(pid):
+        if scales_rowed:
+            return (layer, pid, zero)
         return (layer, zero, pid, zero) if cols else (layer, zero, pid)
 
     for b in range(B):  # B is static; each DUS consumes the previous

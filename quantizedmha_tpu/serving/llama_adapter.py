@@ -35,7 +35,8 @@ from quantizedmha_tpu.models.llama import (
     _pattern_runs,
     embed_tokens,
     final_logits,
-    qkv_proj,
+    mlp_gate_up,
+    qkv_triple,
     rms_norm,
     scan_layers,
 )
@@ -61,6 +62,13 @@ from quantizedmha_tpu.serving.kv_cache import (
 # Both exist for same-process A/Bs on the chip.
 STACKED_CARRY = True
 PRECOLUMN_SCALES = True
+# Head-folded paged decode attention (ops.decode fold_kv_heads): one
+# strided DMA per page fetches ALL kv heads; run44 measured 26.6 vs 66.4
+# us/layer at batch 8 and 96 vs 257 at batch 32. When on, decode_loop
+# carries the stacked cache's scales PRE-ROWED ([L, pages, Hkv], the
+# folded kernel's heads-on-lanes layout) instead of pre-columned. False
+# restores the (batch, kv_head, page) grid for same-process A/Bs.
+FOLD_KV_HEADS = True
 
 
 def ensure_serving_supported(cfg: LlamaConfig) -> None:
@@ -83,8 +91,9 @@ def _attn_residual(cfg: LlamaConfig, dense, p, x, o_flat, reduce_tp):
 
 def _mlp_residual(cfg: LlamaConfig, dense, p, x, reduce_tp):
     h = rms_norm(x, p["mlp_norm"], cfg.rms_eps, cfg.rms_plus_one)
-    gate = _act(cfg, dense(h, p["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-    m = reduce_tp(dense(gate * dense(h, p["w_up"]), p["w_down"]))
+    g_pre, up = mlp_gate_up(cfg, dense, h, p)
+    gate = _act(cfg, g_pre.astype(jnp.float32)).astype(x.dtype)
+    m = reduce_tp(dense(gate * up, p["w_down"]))
     if cfg.sandwich_norms:
         m = rms_norm(m, p["post_mlp_norm"], cfg.rms_eps, cfg.rms_plus_one)
     return x + m
@@ -285,9 +294,10 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
 
     def body(x, p, window):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
-        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
-        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q, k, v = qkv_triple(cfg, dense, h, p)
+        q = q.reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cfg.rope_theta)
         k = apply_rope(k, cfg.rope_theta)
         kv_k, kv_v = k, v  # cached post-RoPE
@@ -303,6 +313,72 @@ def _prefill_all(cfg: LlamaConfig, params: Dict[str, Any], tokens: jnp.ndarray,
     # would be an extra ~2 TFLOP matmul + ~1 GiB buffer per prefill at
     # Llama-3-8B scale, all discarded but one row.
     logits = final_logits(cfg, x[:, last_index], params["lm_head"])
+    return logits, k_all, v_all
+
+
+def prefill_cp_at(cfg: LlamaConfig, params: Dict[str, Any],
+                  tokens: jnp.ndarray, last_index, *, axis_name: str):
+    """Context-parallel prefill body — call INSIDE shard_map with `tokens`
+    sharded on the sequence axis ([1, n // n_dev] per device) and params
+    replicated. Long prompts are the one serving phase whose working set
+    (activations + per-layer K/V) outgrows a chip before the weights do;
+    CP shards the sequence and runs RING attention per layer
+    (parallel/ring.ring_attention: KV shards rotate via ppermute, overlap
+    with the per-block online softmax — the north star's "ring-allgather
+    of K/V tiles overlapped with per-block softmax", BASELINE.json; no
+    reference analog, /root/reference/drivers/main.cu is single-GPU).
+
+    Per device: embeddings/norms/projections/MLP are local (replicated
+    weights, sequence-sharded activations — no collectives), RoPE uses
+    GLOBAL positions, attention is the ring, and the last-token hidden
+    state is psum-gathered from its owner shard so every device computes
+    identical logits. Returns (logits [1, vocab], k/v [L, Hkv, n_shard,
+    hd] — sequence-sharded; shard_map out_specs reassemble the full
+    cache-insertion arrays).
+    """
+    from quantizedmha_tpu.parallel.ring import ring_attention
+
+    b, n_shard = tokens.shape
+    hd = cfg.hd
+    dense = functools.partial(qdense, mode=cfg.weight_quant_mode)
+    idx = jax.lax.axis_index(axis_name)
+    positions = (idx * n_shard
+                 + jnp.arange(n_shard, dtype=jnp.int32))[None, :]  # [1, S]
+    x = embed_tokens(cfg, params, tokens)
+    ident = _psum_or_id(None)
+
+    def body(x, p, window):
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
+        q, k, v = qkv_triple(cfg, dense, h, p)
+        q = q.reshape(b, n_shard, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n_shard, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n_shard, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = _rope_positions(q, positions, cfg.rope_theta)
+        k = _rope_positions(k, positions, cfg.rope_theta)
+        kv_k, kv_v = k, v  # cached post-RoPE, this device's shard
+        o = ring_attention(
+            q, k, v, axis_name=axis_name, causal=True,
+            sm_scale=cfg.sm_scale, window=window,
+            logit_softcap=cfg.logit_softcap,
+            attention_sinks=cfg.attention_sinks if window is not None else 0,
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, n_shard, cfg.num_heads * hd)
+        x = _attn_residual(cfg, dense, p, x, o, ident)
+        x = _mlp_residual(cfg, dense, p, x, ident)
+        return x, (kv_k[0], kv_v[0])
+
+    x, (k_all, v_all) = scan_layers(cfg.layer_windows, body, x,
+                                    params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.rms_plus_one)
+    # Gather the last REAL token's hidden state from its owner shard (the
+    # logits then replicate: same weights, same x_last everywhere).
+    last_index = jnp.asarray(last_index, jnp.int32)
+    owner = last_index // n_shard
+    lx = last_index % n_shard
+    x_here = jax.lax.dynamic_index_in_dim(x, lx, axis=1, keepdims=False)
+    x_last = jax.lax.psum(
+        jnp.where(idx == owner, x_here, jnp.zeros_like(x_here)), axis_name)
+    logits = final_logits(cfg, x_last, params["lm_head"])
     return logits, k_all, v_all
 
 
@@ -445,9 +521,10 @@ def decode_step_mixed(
 
     def body(x, p, cache_l):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
-        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, cfg.num_heads, hd)
-        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, cfg.num_kv_heads, hd)
-        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, cfg.num_kv_heads, hd)
+        q, k, v = qkv_triple(cfg, dense, h, p)
+        q = q.reshape(b, cfg.num_heads, hd)
+        k = k.reshape(b, cfg.num_kv_heads, hd)
+        v = v.reshape(b, cfg.num_kv_heads, hd)
         q = _rope_single(q, positions, cfg.rope_theta)
         k = _rope_single(k, positions, cfg.rope_theta)
         cache_l = append_tokens_batched_mixed(
@@ -511,9 +588,10 @@ def prefill_chunk_mixed(
 
     def body(x, p, cache_l):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
-        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, C, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
-        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q, k, v = qkv_triple(cfg, dense, h, p)
+        q = q.reshape(b, C, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cfg.rope_theta, positions)
         k = apply_rope(k, cfg.rope_theta, positions)
         keep = (jnp.arange(C) <= last_index)[None, :, None]
@@ -629,9 +707,10 @@ def prefill_chunk(
 
     def body(x, p, cache_l, window):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
-        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, C, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
-        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q, k, v = qkv_triple(cfg, dense, h, p)
+        q = q.reshape(b, C, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, C, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cfg.rope_theta, positions)
         k = apply_rope(k, cfg.rope_theta, positions)
 
@@ -763,9 +842,10 @@ def verify_step(
 
     def body(x, p, cache_l, window):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
-        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, S, cfg.num_heads, hd).transpose(0, 2, 1, 3)
-        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
-        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q, k, v = qkv_triple(cfg, dense, h, p)
+        q = q.reshape(b, S, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, S, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
         q = _rope_positions(q, positions, cfg.rope_theta)
         k = _rope_positions(k, positions, cfg.rope_theta)
 
@@ -820,8 +900,13 @@ def decode_step(
     tables,                  # [B, max_pages] i32
     axis_name: Optional[str] = None,
     boundary_tokens: Optional[int] = None,
+    scales_prerowed: bool = False,
 ) -> Tuple[jnp.ndarray, PagedKVCacheState]:
     """One decode step for a batch of sequences -> (logits [B, vocab], cache).
+
+    scales_prerowed: the stacked cache's k/v_scales are carried in the
+    head-folded kernel's [L, pages, Hkv] layout (decode_loop pre-rows
+    once per fused chunk); appends and the attention call are told so.
 
     Hybrid caches: `cache` may be a group dict (make_cache_hybrid), in
     which case `page_ids` and `tables` are group dicts too (each group has
@@ -843,9 +928,10 @@ def decode_step(
 
     def qkv(p, x):
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps, cfg.rms_plus_one)
-        q = qkv_proj(dense, h, p, "wq", "bq").reshape(b, cfg.num_heads, hd)
-        k = qkv_proj(dense, h, p, "wk", "bk").reshape(b, cfg.num_kv_heads, hd)
-        v = qkv_proj(dense, h, p, "wv", "bv").reshape(b, cfg.num_kv_heads, hd)
+        q, k, v = qkv_triple(cfg, dense, h, p)
+        q = q.reshape(b, cfg.num_heads, hd)
+        k = k.reshape(b, cfg.num_kv_heads, hd)
+        v = v.reshape(b, cfg.num_kv_heads, hd)
         # RoPE at each sequence's absolute position.
         q = _rope_single(q, positions, cfg.rope_theta)
         k = _rope_single(k, positions, cfg.rope_theta)
@@ -900,7 +986,8 @@ def decode_step(
             p = {**p, **{k: LayerIndexed4(w, li)
                          for k, w in _qw4_stacked.items()}}
         q, k, v = qkv(p, x)
-        cache = _append_batch_at(cache, li, k, v, _g(page_ids, window), slots)
+        cache = _append_batch_at(cache, li, k, v, _g(page_ids, window),
+                                 slots, scales_rowed=scales_prerowed)
         o = paged_decode_attention(
             q, cache.k_pages, cache.v_pages,
             cache.k_scales, cache.v_scales, lengths, _g(tables, window),
@@ -908,6 +995,8 @@ def decode_step(
             window=window, logit_softcap=cfg.logit_softcap,
             attention_sinks=cfg.attention_sinks if window is not None else 0,
             layer=li,
+            fold_kv_heads=True if scales_prerowed else None,
+            scales_prerowed=scales_prerowed,
         )
         o = o.reshape(b, 1, cfg.num_heads * hd)
         x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
@@ -996,33 +1085,39 @@ def decode_loop(
         logits, cache = decode_step(
             cfg, params, cache, toks, pos, pids, slots, lens + 1, tables,
             axis_name, boundary_tokens=boundary_tokens,
+            scales_prerowed=pre_row,
         )
         key, sub = jax.random.split(key)
         nxt = sample(logits, sub, sampling)
         out = (nxt, logits) if return_logits else nxt
         return (cache, nxt, lens + 1, key), out
 
-    # Pre-column the stacked cache's scales ([L, Hkv, pages] ->
-    # [L, Hkv, pages, 1], the kernel's VMEM column layout) ONCE per fused
+    # Put the stacked cache's scales in the KERNEL's layout ONCE per fused
     # chunk: leaving it to the kernel call re-materializes the layout
     # change per layer per step inside the scan — run33's trace measured
-    # those copies at ~0.65 ms/step at 8B shape. De-column on exit so the
-    # external cache contract is unchanged.
-    pre_col = (STACKED_CARRY and PRECOLUMN_SCALES
-               and isinstance(cache, PagedKVCacheState)
-               and cache.k_pages.ndim == 5)
-    if pre_col:
+    # those copies at ~0.65 ms/step at 8B shape. Head-folded kernel
+    # (FOLD_KV_HEADS): pre-ROW to [L, pages, Hkv] (heads on lanes);
+    # per-head kernel: pre-COLUMN to [L, Hkv, pages, 1]. Undo on exit so
+    # the external cache contract is unchanged.
+    pre_xform = (STACKED_CARRY and PRECOLUMN_SCALES
+                 and isinstance(cache, PagedKVCacheState)
+                 and cache.k_pages.ndim == 5)
+    pre_row = pre_xform and FOLD_KV_HEADS
+    if pre_xform:
+        to_k = ((lambda s: jnp.swapaxes(s, -1, -2)) if pre_row
+                else (lambda s: s[..., None]))
         cache = PagedKVCacheState(
             k_pages=cache.k_pages, v_pages=cache.v_pages,
-            k_scales=cache.k_scales[..., None],
-            v_scales=cache.v_scales[..., None])
+            k_scales=to_k(cache.k_scales), v_scales=to_k(cache.v_scales))
     (cache, _, _, _), out = jax.lax.scan(
         body, (cache, tokens, lengths, key), None, length=n_steps
     )
-    if pre_col:
+    if pre_xform:
+        from_k = ((lambda s: jnp.swapaxes(s, -1, -2)) if pre_row
+                  else (lambda s: s[..., 0]))
         cache = PagedKVCacheState(
             k_pages=cache.k_pages, v_pages=cache.v_pages,
-            k_scales=cache.k_scales[..., 0], v_scales=cache.v_scales[..., 0])
+            k_scales=from_k(cache.k_scales), v_scales=from_k(cache.v_scales))
     if return_logits:
         toks, logits = out
         return toks, cache, logits

@@ -415,3 +415,67 @@ def test_append_tokens_batched_at_layer_matches_sliced(rng):
         got = jax.tree.map(lambda x, li=li: x[li], stack)
         for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(states[li])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# --- head-folded kernel (round 5) ------------------------------------------
+
+def test_hfold_matches_perhead_kernel(rng):
+    """The head-folded grid (batch, page_step) must be numerically
+    IDENTICAL to the (batch, kv_head, page) grid — same dots, same online
+    softmax, different DMA schedule (run44). Covers windows/sinks/softcap,
+    residuals, and layer-stacked pools with prerowed/columned scales."""
+    B, Hq, Hkv, D, P, MP = 3, 8, 2, 64, 16, 6
+    q = jnp.asarray(rng.normal(0, 1, (B, Hq, D)), jnp.float32)
+    kp = jnp.asarray(rng.integers(-127, 127, (Hkv, P, PAGE, D)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 127, (Hkv, P, PAGE, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.02, (Hkv, P)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.02, (Hkv, P)), jnp.float32)
+    lengths = jnp.asarray([500, 1, 700], jnp.int32)
+    tables = jnp.asarray(rng.integers(0, P, (B, MP)), jnp.int32)
+    for kw in (dict(), dict(window=256, attention_sinks=4),
+               dict(logit_softcap=30.0)):
+        a = paged_decode_attention(q, kp, vp, ks, vs, lengths, tables,
+                                   fold_kv_heads=False, **kw)
+        b = paged_decode_attention(q, kp, vp, ks, vs, lengths, tables,
+                                   fold_kv_heads=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ar, lse_a = paged_decode_attention(
+        q, kp, vp, ks, vs, lengths, tables, fold_kv_heads=False,
+        save_residuals=True)
+    br, lse_b = paged_decode_attention(
+        q, kp, vp, ks, vs, lengths, tables, fold_kv_heads=True,
+        save_residuals=True)
+    np.testing.assert_array_equal(np.asarray(ar), np.asarray(br))
+    np.testing.assert_array_equal(np.asarray(lse_a), np.asarray(lse_b))
+    # layer-stacked + the three accepted scale layouts
+    L = 3
+    kpL, vpL = jnp.stack([kp] * L), jnp.stack([vp] * L)
+    ksL, vsL = jnp.stack([ks] * L), jnp.stack([vs] * L)
+    ref = paged_decode_attention(q, kpL, vpL, ksL, vsL, lengths, tables,
+                                 layer=jnp.int32(1), fold_kv_heads=False)
+    for k_in, v_in, pre in (
+            (ksL, vsL, False),                                   # raw
+            (ksL[..., None], vsL[..., None], False),             # columned
+            (jnp.swapaxes(ksL, -1, -2), jnp.swapaxes(vsL, -1, -2), True),
+    ):
+        got = paged_decode_attention(
+            q, kpL, vpL, k_in, v_in, lengths, tables, layer=jnp.int32(1),
+            fold_kv_heads=True, scales_prerowed=pre)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_hfold_pages_per_step_sweep(rng):
+    state, alloc, k_full, v_full = _setup_cache(rng)
+    lengths = alloc.lengths_array([0, 1])
+    tables = alloc.block_table_array([0, 1], max_pages=4)
+    q = rng.normal(0, 0.5, (2, 4, 64)).astype(np.float32)
+    outs = [
+        paged_decode_attention(
+            jnp.asarray(q), state.k_pages, state.v_pages, state.k_scales,
+            state.v_scales, jnp.asarray(lengths), jnp.asarray(tables),
+            fold_kv_heads=True, pages_per_step=j)
+        for j in (1, 2, 4)
+    ]
+    for o in outs[1:]:
+        np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(o),
+                                   atol=1e-5)

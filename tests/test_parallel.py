@@ -260,3 +260,31 @@ def test_windowed_masking_across_shards(rng, fn_name):
                                softcap=30.0)
     tol = 5e-2 if fn_name == "ring_int8" else 2e-3
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < tol
+
+
+def test_ring_attention_int8_grad(rng):
+    """round-5 VERDICT #9: the int8 ring is trainable — straight-through
+    custom VJP reusing the float ring's backward at the DEQUANTIZED
+    payloads. Gate: grads close to the float ring's grads (int8 fwd error
+    budget applies to the cotangents too)."""
+    from quantizedmha_tpu.parallel.ring import ring_attention, ring_attention_int8
+
+    mesh = make_mesh((4,), ("cp",))
+    q, k, v = _qkv(rng, b=1, h=2, s=256, d=32)
+    specs = (P(None, None, "cp", None),) * 3
+
+    def loss_of(impl, **kw):
+        fn = functools.partial(impl, axis_name="cp", causal=True, **kw)
+        sharded = jax.shard_map(fn, mesh=mesh, in_specs=specs,
+                                out_specs=P(None, None, "cp", None),
+                                check_vma=False)
+        return lambda q, k, v: (sharded(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    g_int8 = jax.grad(loss_of(ring_attention_int8, block_kv=32),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_fp = jax.grad(loss_of(ring_attention), argnums=(0, 1, 2))(q, k, v)
+    for gi, gf, name in zip(g_int8, g_fp, "qkv"):
+        from quantizedmha_tpu.harness.verify import compare
+        report = compare(np.asarray(gi), np.asarray(gf),
+                         abs_tol=6e-2, rel_tol=6e-2)
+        assert report.ok, f"int8 ring grad d{name}: {report}"

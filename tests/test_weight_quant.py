@@ -312,3 +312,44 @@ class TestQuantizedServing:
         assert {s.data.shape for s in wq.values.addressable_shards} == {
             (wq.values.shape[0], wq.values.shape[1], wq.values.shape[2] // 2)
         }
+
+
+# --- fused projections (round 5) -------------------------------------------
+
+def test_concat_w4_equals_dequant_concat(rng):
+    from quantizedmha_tpu.quant.weights import (
+        concat_w4, dequantize_weight4, quantize_weight4)
+
+    wq = jnp.asarray(rng.normal(0, 0.05, (256, 128)), jnp.float32)
+    wk = jnp.asarray(rng.normal(0, 0.05, (256, 64)), jnp.float32)
+    qa, qb = quantize_weight4(wq), quantize_weight4(wk)
+    fused = concat_w4([qa, qb])
+    want = jnp.concatenate(
+        [dequantize_weight4(qa), dequantize_weight4(qb)], axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(dequantize_weight4(fused)), np.asarray(want))
+
+
+def test_fuse_w4_projections_forward_identical(rng):
+    """Fused wqkv/w_gateup must give BITWISE-identical model outputs:
+    group-wise scales are per-(group, out-channel), so concat commutes
+    with quantization and the kernel computes the same dots per column."""
+    from quantizedmha_tpu.models.llama import LlamaConfig, init_params, forward
+    from quantizedmha_tpu.quant.weights import (
+        QuantizedWeight4, fuse_w4_projections, quantize_llama_params)
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=2,
+        weight_quant_mode="w4a16", attention_impl="reference",
+        attention_bias=True)
+    p = init_params(cfg, jax.random.PRNGKey(3))
+    pq = quantize_llama_params(p, bits=4, group=128)
+    fl = fuse_w4_projections(pq["layers"])
+    assert isinstance(fl["wqkv"], QuantizedWeight4)
+    assert isinstance(fl["w_gateup"], QuantizedWeight4)
+    assert "wq" not in fl and "w_up" not in fl
+    toks = jnp.asarray(rng.integers(0, 128, (2, 12)), jnp.int32)
+    a = forward(cfg, pq, toks)
+    b = forward(cfg, dict(pq, layers=fl), toks)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
