@@ -169,6 +169,20 @@ def main():
     rl_128 = roofline(
         t_128.median_s, attention_flops(1, 8, S, S, 128), 0,
         dtype="int8", chip=chip)
+    # Long-N d=128 row (VERDICT r5 #3): at 16K the QK/PV matmuls amortize
+    # everything else — the shape where raw MXU % peaks (run47: 41%).
+    S16 = 16384
+    q16 = jnp.asarray(rng.normal(0, 0.5, (1, 8, S16, 128)), jnp.float32)
+    k16 = jnp.asarray(rng.normal(0, 0.5, (1, 8, S16, 128)), jnp.float32)
+    v16 = jnp.asarray(rng.normal(0, 0.5, (1, 8, S16, 128)), jnp.float32)
+    t_16k = benchmark(fa_int8, q16, k16, v16, warmup=2, runs=6, repeats=3)
+    rl_16k = roofline(
+        t_16k.median_s, attention_flops(1, 8, S16, S16, 128), 0,
+        dtype="int8", chip=chip)
+    ach_16k = attention_achievable(
+        t_16k.median_s, batch=1, heads=8, q_len=S16, kv_len=S16,
+        head_dim=128, dtype="int8_bf16pv", chip=chip)
+
     # d=128 routes to the transposed orientation since run27 — the same
     # bf16-P-V + MXU-sum pipeline as d<=64 (3 VPU passes, PV at bf16 rate).
     ach_128 = attention_achievable(
@@ -244,6 +258,10 @@ def main():
             "int8_n4k_d128_ms": round(t_128.median_ms, 3),
             "int8_n4k_d128_pct_mxu_sol": round(rl_128.pct_of_compute_sol, 1),
             "int8_n4k_d128_pct_achievable": round(ach_128.pct_of_achievable, 1),
+            "int8_n16k_d128_ms": round(t_16k.median_ms, 3),
+            "int8_n16k_d128_pct_mxu_sol": round(rl_16k.pct_of_compute_sol, 1),
+            "int8_n16k_d128_pct_achievable": round(
+                ach_16k.pct_of_achievable, 1),
             "windowed_32k_w4k_bf16_ms": round(t_win.median_ms, 3),
             "windowed_32k_w4k_int8_ms": round(t_win_i8.median_ms, 3),
             "int8_vs_fp32_max_abs_err": round(gate.max_abs, 5),

@@ -207,7 +207,7 @@ def run_decode_bench(cfg: LlamaConfig, params: Dict[str, Any], *,
         rng.integers(1, cfg.vocab_size, prompt_len).tolist(),
         max_new=max_new)
     while (eng.metrics.counter("tokens_generated") == toks_before
-           and (eng.active or eng.prefilling)):
+           and (eng.queue or eng.active or eng.prefilling)):
         eng.step()
     ttft_warm = time.perf_counter() - t1
     eng.run()  # drain the TTFT request before reporting

@@ -550,6 +550,7 @@ def _decode_kernel_hfold(
     sinks: int = 0,
     save_residuals: bool = False,
     stacked: bool = False,
+    scales_stacked: bool = True,
 ):
     """Head-FOLDED variant of _decode_kernel: grid (batch, page_step) with
     the kv-head dim moved from the grid into the block. run42's trace put
@@ -573,10 +574,12 @@ def _decode_kernel_hfold(
     if stacked:
         k_page = lambda j, h: k_refs[j][0, h, 0, :, :]
         v_page = lambda j, h: v_refs[j][0, h, 0, :, :]
-        read_scale = lambda ref, row, h: ref[0, row, h]
     else:
         k_page = lambda j, h: k_refs[j][h, 0, :, :]
         v_page = lambda j, h: v_refs[j][h, 0, :, :]
+    if stacked and scales_stacked:
+        read_scale = lambda ref, row, h: ref[0, row, h]
+    else:  # unstacked pools, or per-layer scales beside stacked pools
         read_scale = lambda ref, row, h: ref[row, h]
     if save_residuals:
         o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
@@ -756,6 +759,7 @@ def _paged_decode_attention_hfold(
     num_kv_heads = qg.shape[1]
     max_pages = block_tables.shape[1]
     J = pages_per_step
+    per_layer_scales = stacked and k_scales.ndim == 2
     kernel = functools.partial(
         _decode_kernel_hfold,
         sm_scale=sm_scale,
@@ -768,6 +772,7 @@ def _paged_decode_attention_hfold(
         sinks=attention_sinks,
         save_residuals=save_residuals,
         stacked=stacked,
+        scales_stacked=not per_layer_scales,
     )
     page_block = (1, num_kv_heads, 1, page_size, head_dim) if stacked else (
         num_kv_heads, 1, page_size, head_dim)
@@ -783,10 +788,20 @@ def _paged_decode_attention_hfold(
     out_block = q_block
     lse_block = pl.BlockSpec(
         (1, num_kv_heads, group_p, LANES), lambda b, i, *s: (b, 0, 0, 0))
-    if stacked:
+    # Stacked pools normally take layer-stacked scales ([L, pages, Hkv],
+    # LI-indexed), but the serving scan hands PER-LAYER rowed scales
+    # ([pages, Hkv], already sliced outside the kernel): a rowed STACKED
+    # scale carry makes every append's DUS materialize full-plane copies
+    # (run48: 7.3 ms/step of f32[L, P, Hkv] copies at batch 32), so the
+    # carry stays in the columned append-friendly layout and the tiny
+    # per-layer row view (~pages*32 B) is built per layer instead.
+    if stacked and not per_layer_scales:
         scales_spec = pl.BlockSpec(
             (1, num_pages, num_kv_heads),
             lambda b, i, L, T, LI: (LI[0], 0, 0))
+    elif stacked:
+        scales_spec = pl.BlockSpec(
+            (num_pages, num_kv_heads), lambda b, i, L, T, LI: (0, 0))
     else:
         scales_spec = pl.BlockSpec(
             (num_pages, num_kv_heads), lambda b, i, L, T: (0, 0))

@@ -650,11 +650,15 @@ def pick_blocks_t(
         block_kv = 512
     if block_q is None:
         # head_dim > 64 doubles every d-proportional VMEM term (Q^T/O^T
-        # tiles, acc, qi8); bq=4096 compiled at short seq but blows the
-        # 16 MiB scoped-VMEM stack by ~2.4 M at 32K in ALL mask variants
-        # (chip compile matrix, profiles/raw_r3/run27b_bq_cap.out) —
-        # cap at 2048, which compiles everywhere and keeps the run27 win.
-        block_q = 2048 if head_dim > 64 else 4096
+        # tiles, acc, qi8); bq=4096 compiles at short sequences but blows
+        # the 16 MiB scoped-VMEM stack at 16K+ (run27b chip compile
+        # matrix; re-confirmed round 5, profiles/raw_r5/run47: 16K FAILs,
+        # 4K compiles and runs 0.534 vs 0.555 ms). Shape-aware cap: take
+        # the wide-q win where it compiles, fall back to 2048 beyond.
+        if head_dim > 64:
+            block_q = 4096 if kv_len <= 4096 else 2048
+        else:
+            block_q = 4096
         while block_q * block_kv * 6 > 13 * 1024 * 1024 and block_q > 512:
             block_q //= 2
     return min(block_q, q_len), min(block_kv, kv_len)

@@ -154,40 +154,67 @@ def append_tokens_batched_at_layer(
     layer = jnp.asarray(layer, jnp.int32)
     zero = jnp.int32(0)
     # Scales may arrive PRE-COLUMNED [L, Hkv, pages, 1] (decode_loop's
-    # carry layout for the per-head kernel — run33) or PRE-ROWED
-    # [L, pages, Hkv] (the head-folded kernel's heads-on-lanes layout,
-    # scales_rowed=True — rank can't distinguish rowed from raw, so the
-    # caller says); handle all three.
-    cols = kssa.ndim == 4
-    if scales_rowed:
-        s_sizes = (1, 1, hkv)
-    else:
-        s_sizes = (1, hkv, 1, 1) if cols else (1, hkv, 1)
+    # carry layout — run33) as well as raw [L, Hkv, pages]; handle both.
+    # (scales_rowed, [L, pages, Hkv], is accepted for API completeness but
+    # the serving carry no longer uses it — run48.)
+    cols = kssa.ndim == 4 and not scales_rowed
 
-    def s_idx(pid):
-        if scales_rowed:
-            return (layer, pid, zero)
-        return (layer, zero, pid, zero) if cols else (layer, zero, pid)
+    # --- scale planes: ONE read-modify-write per layer, not a per-lane
+    # DUS chain. run48's b32 trace showed the 2*B-long chained scale DUS
+    # making XLA materialize full [L, Hkv, pages] plane copies (~16 per
+    # layer-step, 7-9 ms/step at batch 32) in EVERY layout it was tried
+    # in. Page ids are distinct across lanes (one sequence per lane), so
+    # the whole batch's updates compose into one masked plane update via
+    # a [Hkv, B] @ [B, pages] one-hot matmul, written back with a single
+    # contiguous layer-plane DUS that XLA aliases in place.
+    num_pages = kssa.shape[-2] if scales_rowed else kssa.shape[2]
+    onehot = (jnp.arange(num_pages, dtype=jnp.int32)[None, :]
+              == page_ids[:, None]).astype(jnp.float32)  # [B, P]
+    w = onehot * (slots == 0)[:, None].astype(jnp.float32)
+    # Page ids are distinct across ACTIVE lanes; the engine's scrap page
+    # may be shared by several drained lanes, so clamp the mask — the
+    # scrap page then holds a finite sum of fits (never read through a
+    # clamped block table, same dont-care contract as the old last-lane-
+    # wins behavior).
+    mask = jnp.minimum(jnp.sum(w, axis=0), 1.0)  # [P] — refitted pages
+    plane_sizes = ((1, num_pages, hkv) if scales_rowed
+                   else ((1, hkv, num_pages, 1) if cols
+                         else (1, hkv, num_pages)))
+    plane_idx = ((layer, zero, zero) if scales_rowed
+                 else ((layer, zero, zero, zero) if cols
+                       else (layer, zero, zero)))
 
-    for b in range(B):  # B is static; each DUS consumes the previous
+    def plane_update(ssa, fit):
+        old = jax.lax.dynamic_slice(ssa, plane_idx, plane_sizes)
+        old_hp = (jnp.swapaxes(old[0], 0, 1) if scales_rowed
+                  else old.reshape(hkv, num_pages))  # [Hkv, P]
+        fit_plane = jax.lax.dot_general(
+            fit.T, w, (((1,), (0,)), ((), ())))  # [Hkv, P]
+        new_hp = old_hp * (1.0 - mask) + fit_plane
+        # Per-lane scales actually used for quantization: gather the pid
+        # column per lane as another one-hot matmul (gather-free on TPU).
+        used = jax.lax.dot_general(
+            new_hp, onehot, (((1,), (1,)), ((), ())))  # [Hkv, B]
+        new = (jnp.swapaxes(new_hp, 0, 1)[None] if scales_rowed
+               else new_hp.reshape(plane_sizes))
+        return jax.lax.dynamic_update_slice(ssa, new, plane_idx), used
+
+    kssa, ks_used = plane_update(kssa, k_fit)
+    vssa, vs_used = plane_update(vssa, v_fit)
+
+    for b in range(B):  # B is static; each DUS consumes the previous.
+        # The page-payload appends stay a chain of per-lane single-index
+        # DUS ops — the batched `.at[layer, :, page_ids, slots]` scatter
+        # form materializes the whole 5-D pool per layer (run30: +26.5
+        # ms/step at 8B shape).
         pid, slot = page_ids[b], slots[b]
-        ks_old = jax.lax.dynamic_slice(
-            kssa, s_idx(pid), s_sizes).reshape(hkv)
-        vs_old = jax.lax.dynamic_slice(
-            vssa, s_idx(pid), s_sizes).reshape(hkv)
-        ks_b = jnp.where(slot == 0, k_fit[b], ks_old)  # [Hkv]
-        vs_b = jnp.where(slot == 0, v_fit[b], vs_old)
-        kq = jnp.clip(jnp.round(kf[b] / ks_b[:, None]), -127, 127).astype(
-            jnp.int8)
-        vq = jnp.clip(jnp.round(vf[b] / vs_b[:, None]), -127, 127).astype(
-            jnp.int8)
+        kq = jnp.clip(jnp.round(kf[b] / ks_used[:, b][:, None]),
+                      -127, 127).astype(jnp.int8)
+        vq = jnp.clip(jnp.round(vf[b] / vs_used[:, b][:, None]),
+                      -127, 127).astype(jnp.int8)
         idx = (layer, zero, pid, slot, zero)
         kp = jax.lax.dynamic_update_slice(kp, kq[None, :, None, None, :], idx)
         vp = jax.lax.dynamic_update_slice(vp, vq[None, :, None, None, :], idx)
-        kssa = jax.lax.dynamic_update_slice(
-            kssa, ks_b.reshape(s_sizes), s_idx(pid))
-        vssa = jax.lax.dynamic_update_slice(
-            vssa, vs_b.reshape(s_sizes), s_idx(pid))
     return PagedKVCacheState(k_pages=kp, v_pages=vp,
                              k_scales=kssa, v_scales=vssa)
 

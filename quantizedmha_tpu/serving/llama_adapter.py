@@ -64,10 +64,11 @@ STACKED_CARRY = True
 PRECOLUMN_SCALES = True
 # Head-folded paged decode attention (ops.decode fold_kv_heads): one
 # strided DMA per page fetches ALL kv heads; run44 measured 26.6 vs 66.4
-# us/layer at batch 8 and 96 vs 257 at batch 32. When on, decode_loop
-# carries the stacked cache's scales PRE-ROWED ([L, pages, Hkv], the
-# folded kernel's heads-on-lanes layout) instead of pre-columned. False
-# restores the (batch, kv_head, page) grid for same-process A/Bs.
+# us/layer at batch 8 and 96 vs 257 at batch 32. The kernel's ROWED
+# scale view ([pages, Hkv]) is derived PER LAYER from the columned carry
+# inside body_stacked — carrying the whole stack rowed made every
+# append's DUS materialize a full-plane copy (run48: 7.3 ms/step at
+# b32). False restores the (batch, kv_head, page) grid for A/Bs.
 FOLD_KV_HEADS = True
 
 
@@ -900,13 +901,8 @@ def decode_step(
     tables,                  # [B, max_pages] i32
     axis_name: Optional[str] = None,
     boundary_tokens: Optional[int] = None,
-    scales_prerowed: bool = False,
 ) -> Tuple[jnp.ndarray, PagedKVCacheState]:
     """One decode step for a batch of sequences -> (logits [B, vocab], cache).
-
-    scales_prerowed: the stacked cache's k/v_scales are carried in the
-    head-folded kernel's [L, pages, Hkv] layout (decode_loop pre-rows
-    once per fused chunk); appends and the attention call are told so.
 
     Hybrid caches: `cache` may be a group dict (make_cache_hybrid), in
     which case `page_ids` and `tables` are group dicts too (each group has
@@ -987,16 +983,32 @@ def decode_step(
                          for k, w in _qw4_stacked.items()}}
         q, k, v = qkv(p, x)
         cache = _append_batch_at(cache, li, k, v, _g(page_ids, window),
-                                 slots, scales_rowed=scales_prerowed)
+                                 slots)
+        # The head-folded kernel wants scales ROWED ([pages, Hkv], heads
+        # on lanes) but a rowed STACKED carry makes every append's DUS
+        # materialize a full [L, pages, Hkv] plane copy (run48: 7.3
+        # ms/step at batch 32). So the carry keeps the append-friendly
+        # columned/raw layout and each layer derives its own tiny
+        # [pages, Hkv] view (~pages*32 B of XLA work per layer).
+        def _rowed(s):
+            sl = jax.lax.dynamic_index_in_dim(s, li, 0, keepdims=False)
+            if sl.ndim == 3:  # pre-columned [Hkv, pages, 1]
+                sl = sl[..., 0]
+            return jnp.swapaxes(sl, 0, 1)
+        if FOLD_KV_HEADS:
+            k_sc, v_sc = _rowed(cache.k_scales), _rowed(cache.v_scales)
+            fold_kw = dict(fold_kv_heads=True, scales_prerowed=True)
+        else:  # A/B escape hatch: the per-head (batch, kv_head, page) grid
+            k_sc, v_sc = cache.k_scales, cache.v_scales
+            fold_kw = dict(fold_kv_heads=False)
         o = paged_decode_attention(
-            q, cache.k_pages, cache.v_pages,
-            cache.k_scales, cache.v_scales, lengths, _g(tables, window),
+            q, cache.k_pages, cache.v_pages, k_sc, v_sc,
+            lengths, _g(tables, window),
             sm_scale=cfg.sm_scale,
             window=window, logit_softcap=cfg.logit_softcap,
             attention_sinks=cfg.attention_sinks if window is not None else 0,
             layer=li,
-            fold_kv_heads=True if scales_prerowed else None,
-            scales_prerowed=scales_prerowed,
+            **fold_kw,
         )
         o = o.reshape(b, 1, cfg.num_heads * hd)
         x = _attn_residual(cfg, dense, p, x, o, reduce_tp)
@@ -1085,39 +1097,34 @@ def decode_loop(
         logits, cache = decode_step(
             cfg, params, cache, toks, pos, pids, slots, lens + 1, tables,
             axis_name, boundary_tokens=boundary_tokens,
-            scales_prerowed=pre_row,
         )
         key, sub = jax.random.split(key)
         nxt = sample(logits, sub, sampling)
         out = (nxt, logits) if return_logits else nxt
         return (cache, nxt, lens + 1, key), out
 
-    # Put the stacked cache's scales in the KERNEL's layout ONCE per fused
-    # chunk: leaving it to the kernel call re-materializes the layout
-    # change per layer per step inside the scan — run33's trace measured
-    # those copies at ~0.65 ms/step at 8B shape. Head-folded kernel
-    # (FOLD_KV_HEADS): pre-ROW to [L, pages, Hkv] (heads on lanes);
-    # per-head kernel: pre-COLUMN to [L, Hkv, pages, 1]. Undo on exit so
-    # the external cache contract is unchanged.
-    pre_xform = (STACKED_CARRY and PRECOLUMN_SCALES
-                 and isinstance(cache, PagedKVCacheState)
-                 and cache.k_pages.ndim == 5)
-    pre_row = pre_xform and FOLD_KV_HEADS
-    if pre_xform:
-        to_k = ((lambda s: jnp.swapaxes(s, -1, -2)) if pre_row
-                else (lambda s: s[..., None]))
+    # Pre-column the stacked cache's scales ([L, Hkv, pages] ->
+    # [L, Hkv, pages, 1]) ONCE per fused chunk — the append-friendly
+    # layout (per-lane DUS alias in place; run33). The head-folded
+    # kernel's ROWED view is derived per layer inside body_stacked from
+    # a tiny per-layer slice: carrying the whole stack rowed made every
+    # append materialize a full-plane copy (run48: 7.3 ms/step at b32).
+    # De-column on exit so the external cache contract is unchanged.
+    pre_col = (STACKED_CARRY and PRECOLUMN_SCALES
+               and isinstance(cache, PagedKVCacheState)
+               and cache.k_pages.ndim == 5)
+    if pre_col:
         cache = PagedKVCacheState(
             k_pages=cache.k_pages, v_pages=cache.v_pages,
-            k_scales=to_k(cache.k_scales), v_scales=to_k(cache.v_scales))
+            k_scales=cache.k_scales[..., None],
+            v_scales=cache.v_scales[..., None])
     (cache, _, _, _), out = jax.lax.scan(
         body, (cache, tokens, lengths, key), None, length=n_steps
     )
-    if pre_xform:
-        from_k = ((lambda s: jnp.swapaxes(s, -1, -2)) if pre_row
-                  else (lambda s: s[..., 0]))
+    if pre_col:
         cache = PagedKVCacheState(
             k_pages=cache.k_pages, v_pages=cache.v_pages,
-            k_scales=from_k(cache.k_scales), v_scales=from_k(cache.v_scales))
+            k_scales=cache.k_scales[..., 0], v_scales=cache.v_scales[..., 0])
     if return_logits:
         toks, logits = out
         return toks, cache, logits
