@@ -40,7 +40,8 @@ _W4_GROUP = 128  # one MXU contraction tile per scale group
 def device_init_quant_params(cfg: LlamaConfig, seed: int = 0,
                              bits: int = 8,
                              group: int = _W4_GROUP,
-                             lm_head_bits: int | None = None) -> Dict[str, Any]:
+                             lm_head_bits: int | None = None,
+                             packing: str = "halves") -> Dict[str, Any]:
     """Random 8B-shape params with int8 (per-channel) or int4 (group-wise)
     layer matmuls, generated on device. lm_head_bits=8 quantizes the
     output projection per-channel too (it is ~18% of the w4 decode
@@ -86,7 +87,11 @@ def device_init_quant_params(cfg: LlamaConfig, seed: int = 0,
                     f"in_dim {in_dim} needs 2*group ({2 * group}) | in_dim")
             v = _packed4(next(keys), (L, in_dim // 2, out_dim))
             s = _scale(next(keys), (L, in_dim // group, out_dim))
-            return QuantizedWeight4(packed=v, scale=s, group=group)
+            # Random bytes are layout-agnostic; the packing tag routes the
+            # kernel's activation split (halves: free static slices — the
+            # single-chip serving default; pairs: the TP-shardable layout).
+            return QuantizedWeight4(packed=v, scale=s, group=group,
+                                    packing=packing)
         v = _int8(next(keys), (L, *per_layer_shape))
         s = _scale(next(keys), (L, per_layer_shape[-1]))
         return QuantizedWeight(values=v, scale=s)
@@ -304,6 +309,10 @@ def main():
     ap.add_argument("--lm-head-bits", type=int, choices=(8,), default=None,
                     help="quantize the output projection to int8 "
                          "per-channel (off: bf16)")
+    ap.add_argument("--packing", choices=("halves", "pairs"),
+                    default="halves",
+                    help="int4 nibble layout (halves: free activation "
+                         "split, single-chip default; pairs: TP-shardable)")
     ap.add_argument("--no-fuse-proj", action="store_true",
                     help="keep wq/wk/wv and w_gate/w_up as separate "
                          "kernel launches (A/B control; w4 fuses by "
@@ -320,7 +329,8 @@ def main():
         cfg = dataclasses_replace(cfg, num_layers=args.layers)
     t0 = time.perf_counter()
     params = device_init_quant_params(cfg, bits=args.weight_bits,
-                                      lm_head_bits=args.lm_head_bits)
+                                      lm_head_bits=args.lm_head_bits,
+                                      packing=args.packing)
     if args.weight_bits == 4 and not args.no_fuse_proj:
         from quantizedmha_tpu.quant.weights import fuse_w4_projections
         params = dict(params,

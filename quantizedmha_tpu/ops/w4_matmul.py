@@ -40,7 +40,7 @@ _ROW_PAD = 8
 
 def _w4_kernel_stacked(layer_ref, xe_ref, y_ref, packed_ref, scale_ref,
                        out_ref, acc_ref, *, rows_per_group: int, gpb: int,
-                       k_steps: int, out_dtype):
+                       k_steps: int, out_dtype, hi_scale_off: int = 0):
     """Layer-stacked wrapper: packed_ref/scale_ref blocks carry a leading
     singleton layer dim selected by the prefetched `layer` scalar (their
     index maps consumed layer_ref; the body just squeezes). Weights flow
@@ -51,12 +51,12 @@ def _w4_kernel_stacked(layer_ref, xe_ref, y_ref, packed_ref, scale_ref,
     del layer_ref
     _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref,
              rows_per_group=rows_per_group, gpb=gpb, k_steps=k_steps,
-             out_dtype=out_dtype, squeeze=True)
+             out_dtype=out_dtype, squeeze=True, hi_scale_off=hi_scale_off)
 
 
 def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref,
                acc_ref, *, rows_per_group: int, gpb: int, k_steps: int,
-               out_dtype):
+               out_dtype, hi_scale_off: int = 0):
     """One (n, k) grid step: acc[R, bn] += sum_g scale_g * partial_g.
 
     xe_ref/y_ref: [R, bk2] activation columns (even rows / odd rows).
@@ -82,12 +82,16 @@ def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref,
     """
     _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref,
              rows_per_group=rows_per_group, gpb=gpb, k_steps=k_steps,
-             out_dtype=out_dtype, squeeze=False)
+             out_dtype=out_dtype, squeeze=False, hi_scale_off=hi_scale_off)
 
 
 def _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
              rows_per_group: int, gpb: int, k_steps: int, out_dtype,
-             squeeze: bool):
+             squeeze: bool, hi_scale_off: int = 0):
+    """hi_scale_off: scale-row offset of the HI plane's groups. 0 for
+    "pairs" packing (both nibble planes of a packed row share the row's
+    scale group); gn//2 for "halves" (packed row i holds input rows i and
+    k2+i, whose scale groups sit half a table apart)."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -108,20 +112,25 @@ def _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
     lob_f = pf - 16.0 * hi_f  # = lo + 8, in [1, 15]
     acc = acc_ref[...]
     bk2, bn = pf.shape
-    if gpb % 8 == 0:
-        # Scale block offsets k*gpb are 8-aligned here, so ONE multi-row
-        # sublane read is legal — fold scales into the nibble planes
-        # (weight-shaped f32 mult, rounds to bf16 like any dequant) and
-        # run 2 full-contraction dots instead of 2*gpb short ones. Fewer
-        # MXU issues, and the scale fold replaces gpb activation mults.
+
+    def srow(off, width):
         if squeeze:
-            s_blk = scale_ref[0, pl.dslice(k * gpb, gpb), :]
-        else:
-            s_blk = scale_ref[pl.dslice(k * gpb, gpb), :]
-        s3 = s_blk[:, None, :]
-        wlo = (lob_f.reshape(gpb, rows_per_group, bn) * s3).reshape(
+            return scale_ref[0, pl.dslice(off, width), :]
+        return scale_ref[pl.dslice(off, width), :]
+
+    if gpb % 8 == 0 and (hi_scale_off % 8 == 0 or hi_scale_off == 0):
+        # Scale block offsets are 8-aligned here, so ONE multi-row
+        # sublane read per plane is legal — fold scales into the nibble
+        # planes (weight-shaped f32 mult, rounds to bf16 like any
+        # dequant) and run 2 full-contraction dots instead of 2*gpb
+        # short ones. Fewer MXU issues, and the scale fold replaces gpb
+        # activation mults.
+        s3_lo = srow(k * gpb, gpb)[:, None, :]
+        s3_hi = (s3_lo if hi_scale_off == 0
+                 else srow(hi_scale_off + k * gpb, gpb)[:, None, :])
+        wlo = (lob_f.reshape(gpb, rows_per_group, bn) * s3_lo).reshape(
             bk2, bn).astype(cdt)
-        whi = (hi_f.reshape(gpb, rows_per_group, bn) * s3).reshape(
+        whi = (hi_f.reshape(gpb, rows_per_group, bn) * s3_hi).reshape(
             bk2, bn).astype(cdt)
         acc += jax.lax.dot_general(
             xe, wlo, (((1,), (0,)), ((), ())),
@@ -134,20 +143,21 @@ def _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
         lob = lob_f.astype(cdt)
         for g in range(gpb):
             sl = slice(g * rows_per_group, (g + 1) * rows_per_group)
-            partial = jax.lax.dot_general(
+            partial_lo = jax.lax.dot_general(
                 xe[:, sl], lob[sl],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            partial += jax.lax.dot_general(
+            partial_hi = jax.lax.dot_general(
                 y[:, sl], hi[sl],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if squeeze:
-                acc += partial * scale_ref[0, pl.dslice(k * gpb + g, 1), :]
+            if hi_scale_off == 0:
+                acc += (partial_lo + partial_hi) * srow(k * gpb + g, 1)
             else:
-                acc += partial * scale_ref[pl.dslice(k * gpb + g, 1), :]
+                acc += partial_lo * srow(k * gpb + g, 1)
+                acc += partial_hi * srow(hi_scale_off + k * gpb + g, 1)
     acc_ref[...] = acc
 
     @pl.when(k == k_steps - 1)
@@ -157,7 +167,8 @@ def _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
 
 def pick_w4_blocks(k2: int, n: int, group: int,
                    block_k2: Optional[int] = None,
-                   block_n: Optional[int] = None):
+                   block_n: Optional[int] = None,
+                   packing: str = "pairs"):
     """Tile sizes: block_k2 a multiple of group/2 dividing k2, block_n
     dividing n. Defaults are LARGE (512 x 2048, a 1 MB packed tile):
     run36e's control ladder measured the same convert+dot kernel at 89 us
@@ -166,9 +177,13 @@ def pick_w4_blocks(k2: int, n: int, group: int,
     floor on the gate/up shape; per-step fixed costs dominate small
     tiles. VMEM at 512x2048: packed 2x1 MB double-buffered + two bf16
     nibble planes 2x2 MB + acc/scales < 8 MB total."""
-    half_group = group // 2
+    # pairs: a packed row holds 2 adjacent input rows, so a scale group
+    # spans group/2 packed rows; halves: packed row i = input rows
+    # (i, k2+i), a group spans `group` packed rows and the folded-scale
+    # branch wants gpb = bk2/group to be a multiple of 8 -> 1024 default.
+    half_group = group // 2 if packing == "pairs" else group
     if block_k2 is None:
-        block_k2 = 512
+        block_k2 = 512 if packing == "pairs" else min(1024, k2)
         while block_k2 > half_group and (k2 % block_k2 or
                                          block_k2 % half_group):
             block_k2 //= 2
@@ -195,6 +210,7 @@ def w4_matmul(
     layer: Optional[jnp.ndarray] = None,
     block_k2: Optional[int] = None,
     block_n: Optional[int] = None,
+    packing: str = "pairs",
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """x [R, in] @ dequant(packed [in/2, out], scale [in/group, out]).
@@ -227,21 +243,31 @@ def w4_matmul(
     k2, out_dim = packed.shape[-2:]
     if in_dim != 2 * k2:
         raise ValueError(f"x in_dim {in_dim} != 2 * packed rows {k2}")
-    bk2, bn = pick_w4_blocks(k2, out_dim, group, block_k2, block_n)
+    bk2, bn = pick_w4_blocks(k2, out_dim, group, block_k2, block_n,
+                             packing=packing)
     rpad = -rows % _ROW_PAD
     if rpad:
         x = jnp.pad(x, ((0, rpad), (0, 0)))
     r = x.shape[0]
-    # even/odd activation columns, matching the nibble planes
-    xr = x.reshape(r, k2, 2)
-    xe = xr[:, :, 0]
-    y = xr[:, :, 1]
-    k_steps = k2 // bk2
-    gpb = (2 * bk2) // group  # scale groups per k step
     gn = in_dim // group
-
-    common = dict(rows_per_group=group // 2, gpb=gpb, k_steps=k_steps,
-                  out_dtype=jnp.float32)
+    k_steps = k2 // bk2
+    if packing == "halves":
+        # Contiguous halves: the nibble-plane partners are FREE static
+        # slices of x — no even/odd lane-strided gather copies (run42/48
+        # traced those at ~0.5-0.7 ms/step in 8B decode).
+        xe = x[:, :k2]
+        y = x[:, k2:]
+        gpb = bk2 // group
+        common = dict(rows_per_group=group, gpb=gpb, k_steps=k_steps,
+                      out_dtype=jnp.float32, hi_scale_off=gn // 2)
+    else:
+        # even/odd activation columns, matching the nibble planes
+        xr = x.reshape(r, k2, 2)
+        xe = xr[:, :, 0]
+        y = xr[:, :, 1]
+        gpb = (2 * bk2) // group  # scale groups per k step
+        common = dict(rows_per_group=group // 2, gpb=gpb, k_steps=k_steps,
+                      out_dtype=jnp.float32)
     out_shape = jax.ShapeDtypeStruct((r, out_dim), jnp.float32)
     # f32 out: the biased accumulator is larger than the true result;
     # rounding it to bf16 BEFORE the bias subtract would lose low bits
@@ -292,10 +318,16 @@ def w4_matmul(
     # an extra sum_g 8 * rowsum(xe_g) * scale[g] — one small f32 matmul
     # (for stacked weights the [gn, out] scale slice is a regular XLA op
     # and fuses into this dot).
-    xsum = jnp.sum(
-        xe.astype(jnp.float32).reshape(r, gn, group // 2), axis=2)
+    if packing == "halves":
+        xsum = jnp.sum(
+            xe.astype(jnp.float32).reshape(r, gn // 2, group), axis=2)
+        bias_scale = scale_l[: gn // 2]  # lo plane = first-half groups
+    else:
+        xsum = jnp.sum(
+            xe.astype(jnp.float32).reshape(r, gn, group // 2), axis=2)
+        bias_scale = scale_l
     bias = jax.lax.dot_general(
-        xsum, scale_l, (((1,), (0,)), ((), ())),
+        xsum, bias_scale, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # [R, out]
     out = (out - 8.0 * bias).astype(x.dtype)
     return out[:rows] if rpad else out

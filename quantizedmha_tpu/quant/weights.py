@@ -106,6 +106,15 @@ class QuantizedWeight4:
     packed: jnp.ndarray
     scale: jnp.ndarray
     group: int = 128
+    # Nibble layout. "pairs" (default): byte i = rows (2i | 2i+1<<4) —
+    # commutes with contiguous TP row-sharding (a shard of packed rows is
+    # a shard of input rows). "halves": byte i = rows (i | (k2+i)<<4) —
+    # the ACTIVATION split becomes two free static slices x[:, :k2] /
+    # x[:, k2:] instead of the even/odd lane-strided gather that cost
+    # ~0.5-0.7 ms/step of copies in the decode traces (run42/48); single-
+    # chip serving uses it, TP keeps "pairs" (a contiguous row shard of a
+    # halves-packed buffer mixes rows from both halves).
+    packing: str = "pairs"
 
     @property
     def in_features(self) -> int:
@@ -121,7 +130,8 @@ class QuantizedWeight4:
 
 
 jax.tree_util.register_dataclass(
-    QuantizedWeight4, data_fields=["packed", "scale"], meta_fields=["group"]
+    QuantizedWeight4, data_fields=["packed", "scale"],
+    meta_fields=["group", "packing"]
 )
 
 
@@ -153,7 +163,8 @@ def _unpack_nibbles(packed: jnp.ndarray):
 
 
 def quantize_weight4(
-    w: jnp.ndarray, *, group: int = 128, scale_clamp: float = 1e-8
+    w: jnp.ndarray, *, group: int = 128, scale_clamp: float = 1e-8,
+    packing: str = "pairs"
 ) -> QuantizedWeight4:
     """Group-wise symmetric max-abs INT4 quantization of [..., in, out].
 
@@ -173,10 +184,18 @@ def quantize_weight4(
     scale = jnp.maximum(amax, scale_clamp) / 7.0
     q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
     q = q.reshape(*lead, in_dim, out_dim).astype(jnp.int8)
-    lo = q[..., 0::2, :]   # even weight rows, stored biased (+8)
-    hi = q[..., 1::2, :]   # odd weight rows, two's complement
+    if packing == "pairs":
+        lo = q[..., 0::2, :]   # even weight rows, stored biased (+8)
+        hi = q[..., 1::2, :]   # odd weight rows, two's complement
+    elif packing == "halves":
+        half = in_dim // 2
+        lo = q[..., :half, :]   # first-half rows, stored biased (+8)
+        hi = q[..., half:, :]   # second-half rows, two's complement
+    else:
+        raise ValueError(f"unknown packing {packing!r}")
     packed = ((lo + 8) & jnp.int8(0x0F)) | (hi << 4)
-    return QuantizedWeight4(packed=packed, scale=scale, group=group)
+    return QuantizedWeight4(packed=packed, scale=scale, group=group,
+                            packing=packing)
 
 
 def dequantize_weight4(w: QuantizedWeight4) -> jnp.ndarray:
@@ -185,8 +204,11 @@ def dequantize_weight4(w: QuantizedWeight4) -> jnp.ndarray:
     escape hatch."""
     lo, hi = _unpack_nibbles(w.packed)
     *lead, half, out = lo.shape
-    q = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
-    q = q.reshape(*lead, 2 * half, out)  # rows (2i, 2i+1) adjacent again
+    if w.packing == "halves":
+        q = jnp.concatenate([lo, hi], axis=-2)  # [..., in, out]
+    else:
+        q = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+        q = q.reshape(*lead, 2 * half, out)  # rows (2i, 2i+1) adjacent
     gn = (2 * half) // w.group
     qf = q.astype(jnp.float32).reshape(*lead, gn, w.group, out)
     return (qf * w.scale[..., :, None, :]).reshape(*lead, 2 * half, out)
@@ -219,11 +241,21 @@ def _w4_parts(x: jnp.ndarray, w: QuantizedWeight4):
     hg = w.group // 2  # packed rows per scale group
     xr = x.reshape(-1, in_dim)
     lo, hi = _unpack_nibbles(w.packed)
+    if w.packing == "halves":
+        # Contiguous halves: static slices, whole scale groups per half.
+        half = in_dim // 2
+        for xs, ws, s0 in ((xr[:, :half], lo, 0),
+                           (xr[:, half:], hi, gn // 2)):
+            yield (xs.reshape(-1, gn // 2, w.group).transpose(1, 0, 2),
+                   ws.reshape(*ws.shape[:-2], gn // 2, w.group, out_dim),
+                   slice(s0, s0 + gn // 2))
+        return
     # lane-strided slices of the activation: rows 2i / 2i+1 of the
     # contraction — activation-shaped, so cheap at decode widths
     for xs, ws in ((xr[:, 0::2], lo), (xr[:, 1::2], hi)):
         yield (xs.reshape(-1, gn, hg).transpose(1, 0, 2),
-               ws.reshape(*ws.shape[:-2], gn, hg, out_dim))
+               ws.reshape(*ws.shape[:-2], gn, hg, out_dim),
+               slice(0, gn))
 
 
 def _w4a16_stacked(x: jnp.ndarray, m: LayerIndexed4) -> jnp.ndarray:
@@ -238,14 +270,14 @@ def _w4a16_stacked(x: jnp.ndarray, m: LayerIndexed4) -> jnp.ndarray:
         rows *= s
     if rows <= _W4_DECODE_ROWS and W4_USE_PALLAS:
         out = w4_matmul(x.reshape(rows, in_dim), w.packed, w.scale,
-                        group=w.group, layer=m.layer)
+                        group=w.group, layer=m.layer, packing=w.packing)
         return out.reshape(*lead, w.out_features)
     # Fallback (XLA control / prefill widths): slice the layer as a
     # regular XLA op, then the unstacked paths.
     sliced = QuantizedWeight4(
         packed=jax.lax.dynamic_index_in_dim(w.packed, m.layer, 0, False),
         scale=jax.lax.dynamic_index_in_dim(w.scale, m.layer, 0, False),
-        group=w.group)
+        group=w.group, packing=w.packing)
     return _w4a16(x, sliced)
 
 
@@ -262,27 +294,27 @@ def _w4a16(x: jnp.ndarray, w: QuantizedWeight4) -> jnp.ndarray:
         from quantizedmha_tpu.ops.w4_matmul import w4_matmul
 
         out = w4_matmul(x.reshape(rows, in_dim), w.packed, w.scale,
-                        group=w.group)
+                        group=w.group, packing=w.packing)
         return out.reshape(*lead, out_dim)
     if rows <= _W4_DECODE_ROWS:
         # XLA control lowering (see W4_USE_PALLAS): batch the matmul over
         # scale groups, scales hit the activation-shaped accumulator. f32
         # accumulator: the per-group partial sums would lose bits
         # re-rounded to bf16 gn times before the cross-group sum.
-        acc = None
-        for xg, wg in _w4_parts(x, w):
+        out = None
+        for xg, wg, gsl in _w4_parts(x, w):
             part = jax.lax.dot_general(
                 xg, wg.astype(x.dtype),
                 (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # [gn, R, out]
-            acc = part if acc is None else acc + part
-        out = jnp.sum(acc * scale[:, None, :], axis=0)
+                preferred_element_type=jnp.float32)  # [g, R, out]
+            part = jnp.sum(part * scale[gsl, None, :], axis=0)
+            out = part if out is None else out + part
         return out.astype(x.dtype).reshape(*lead, out_dim)
     # Prefill: dequantize weight-shaped bf16 buffers (one per nibble
     # stream — no interleave needed), full MXU matmuls.
     out = None
-    for xs, ws in _w4_parts(x, w):
-        wf = ws.astype(x.dtype) * scale.astype(x.dtype)[..., None, :]
+    for xs, ws, gsl in _w4_parts(x, w):
+        wf = ws.astype(x.dtype) * scale[gsl].astype(x.dtype)[..., None, :]
         part = jax.lax.dot_general(
             xs, wf, (((0, 2), (0, 1)), ((), ())))  # [R, out]
         out = part if out is None else out + part
@@ -345,12 +377,14 @@ def concat_w4(parts) -> QuantizedWeight4:
     first = parts[0]
     if any(p.group != first.group for p in parts):
         raise ValueError("concat_w4: mismatched scale groups")
+    if any(p.packing != first.packing for p in parts):
+        raise ValueError("concat_w4: mismatched packings")
     if any(p.packed.shape[:-1] != first.packed.shape[:-1] for p in parts):
         raise ValueError("concat_w4: mismatched in/layer dims")
     return QuantizedWeight4(
         packed=jnp.concatenate([p.packed for p in parts], axis=-1),
         scale=jnp.concatenate([p.scale for p in parts], axis=-1),
-        group=first.group)
+        group=first.group, packing=first.packing)
 
 
 def fuse_w4_projections(layers: Dict[str, Any]) -> Dict[str, Any]:
@@ -380,7 +414,7 @@ def fuse_w4_projections(layers: Dict[str, Any]) -> Dict[str, Any]:
 
 def quantize_llama_params(
     params: Dict[str, Any], *, bits: int = 8, group: int = 128,
-    lm_head_bits: Optional[int] = None
+    lm_head_bits: Optional[int] = None, packing: str = "pairs"
 ) -> Dict[str, Any]:
     """Quantize every decoder-layer matmul weight of a models.llama params
     tree to INT8 (per-channel) or INT4 (group-wise); embed / norms stay
@@ -399,7 +433,8 @@ def quantize_llama_params(
         if bits == 8:
             layers[name] = quantize_weight(layers[name])
         else:
-            layers[name] = quantize_weight4(layers[name], group=group)
+            layers[name] = quantize_weight4(layers[name], group=group,
+                                            packing=packing)
     out["layers"] = layers
     if lm_head_bits == 8:
         out["lm_head"] = quantize_weight(params["lm_head"])

@@ -184,17 +184,23 @@ def append_tokens_batched_at_layer(
                  else ((layer, zero, zero, zero) if cols
                        else (layer, zero, zero)))
 
+    # Which lane refits each page (all-zero columns select lane 0 — their
+    # mask is 0, so the value is never used). GATHERS, not one-hot
+    # matmuls: an MXU dot under the int8 paths' DEFAULT precision rounds
+    # f32 through bf16 passes, which would round every stored SCALE and
+    # break bit-parity with the per-lane append paths (run17-r5 caught
+    # exactly this); gathers are exact.
+    sel = jnp.argmax(w, axis=0)  # [P] i32
+
     def plane_update(ssa, fit):
         old = jax.lax.dynamic_slice(ssa, plane_idx, plane_sizes)
         old_hp = (jnp.swapaxes(old[0], 0, 1) if scales_rowed
                   else old.reshape(hkv, num_pages))  # [Hkv, P]
-        fit_plane = jax.lax.dot_general(
-            fit.T, w, (((1,), (0,)), ((), ())))  # [Hkv, P]
-        new_hp = old_hp * (1.0 - mask) + fit_plane
-        # Per-lane scales actually used for quantization: gather the pid
-        # column per lane as another one-hot matmul (gather-free on TPU).
-        used = jax.lax.dot_general(
-            new_hp, onehot, (((1,), (1,)), ((), ())))  # [Hkv, B]
+        fit_plane = jnp.take(fit.T, sel, axis=1)  # [Hkv, P]
+        new_hp = jnp.where(mask > 0.0, fit_plane, old_hp)
+        # Per-lane scales actually used for quantization: gather each
+        # lane's pid column.
+        used = jnp.take(new_hp, page_ids, axis=1)  # [Hkv, B]
         new = (jnp.swapaxes(new_hp, 0, 1)[None] if scales_rowed
                else new_hp.reshape(plane_sizes))
         return jax.lax.dynamic_update_slice(ssa, new, plane_idx), used

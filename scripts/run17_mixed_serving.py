@@ -76,8 +76,25 @@ def main():
     out_m1, tps_m1 = drive(cfg, params, mixed=True)
     out_8, tps_8 = drive(cfg, params, mixed=False)
     out_m2, tps_m2 = drive(cfg, params, mixed=True)
-    # Parity leg: boundary covers the whole context -> exact int8 streams.
+    # Parity leg: boundary covers the whole context -> the int4 partial
+    # is empty and the merge is an exact identity, so streams should
+    # match the plain int8 engine's. On CPU this is bitwise
+    # (test_engine_mixed_matches_plain_when_boundary_covers_context); on
+    # chip the two engines compile structurally different graphs whose
+    # DEFAULT-precision bf16 reassociation can flip a greedy tie — the
+    # round-5 bisect (run53/run53b) proved every kernel/append variant
+    # bitwise self-consistent, with the one divergence between engine
+    # STRUCTURES at one token. first_divergence_pos quantifies it.
     out_p, _ = drive(cfg, params, mixed=True, boundary=512)
+
+    def first_div(a, b):
+        for rid in sorted(a):
+            if a[rid] != b[rid]:
+                for i, (x, y) in enumerate(zip(a[rid], b[rid])):
+                    if x != y:
+                        return i
+                return min(len(a[rid]), len(b[rid]))
+        return None
     n_ctx = N_PROMPT + N_NEW
     print(json.dumps({
         "model": "0.2B-class (8L/1024h/16H/8KV)",
@@ -91,6 +108,10 @@ def main():
             kv_bytes_per_seq(cfg, n_ctx, False)
             / kv_bytes_per_seq(cfg, n_ctx, True), 2),
         "boundary_parity_exact": out_p == out_8,
+        "parity_first_divergence_pos": first_div(out_8, out_p),
+        "parity_note": "CPU parity bitwise (test_mixed_engine); chip "
+                       "divergence is greedy-tie reassociation between "
+                       "engine structures (run53/53b bisect)",
         "mixed_deterministic": out_m1 == out_m2,
     }))
 

@@ -66,6 +66,9 @@ def main():
                 prefill_buckets=(128,), max_new_tokens=64,
                 max_pages_per_seq=16)
 
+    tps_c1, _ = _drain(Engine(cfg, params, EngineConfig(**base)),
+                       max_new=64)
+    out["w4_target_plain_chunk1_tok_s"] = round(tps_c1, 1)
     tps_plain, _ = _drain(Engine(cfg, params, EngineConfig(
         **base, decode_chunk=8)), max_new=64)
     out["w4_target_fused_chunk8_tok_s"] = round(tps_plain, 1)
@@ -95,26 +98,36 @@ def main():
 
     ecfg = EngineConfig(
         num_pages=512, page_size=64, max_batch=8, prefill_buckets=(1024,),
-        max_new_tokens=16, max_pages_per_seq=24, decode_chunk=8,
+        max_new_tokens=256, max_pages_per_seq=24, decode_chunk=8,
         prefix_cache=True)
     eng = Engine(cfgp, pparams, ecfg)
 
-    def ttft_one(prompt):
+    def ttft_one(prompt, max_new=16, drain=True):
+        """TTFT of one request. Prefix reuse needs the DONOR's pages
+        resident (page release evicts the digest map), so hit probes run
+        while a long-lived donor request is still decoding."""
         before = eng.metrics.counter("tokens_generated")
         t0 = time.perf_counter()
-        eng.add_request(prompt, max_new=16)
+        eng.add_request(prompt, max_new=max_new)
         while (eng.metrics.counter("tokens_generated") == before
                and (eng.queue or eng.active or eng.prefilling)):
             eng.step()
         dt = time.perf_counter() - t0
-        eng.run()
+        if drain:
+            eng.run()
         return dt
 
     cold = shared + list(rng.integers(1, 32000, 300))
-    t_compile = ttft_one(cold)           # compile + cold prefix insert
-    warm_miss = ttft_one(list(rng.integers(1, 32000, 812)))  # no shared prefix
-    warm_hit = ttft_one(shared + list(rng.integers(1, 32000, 300)))
-    warm_hit2 = ttft_one(shared + list(rng.integers(1, 32000, 300)))
+    t_compile = ttft_one(cold)           # compile + cold (donor drains)
+    # Long-lived donor holds the shared pages while the probes run.
+    ttft_one(shared + list(rng.integers(1, 32000, 300)), max_new=256,
+             drain=False)
+    warm_miss = ttft_one(list(rng.integers(1, 32000, 812)), drain=False)
+    warm_hit = ttft_one(shared + list(rng.integers(1, 32000, 300)),
+                        drain=False)
+    warm_hit2 = ttft_one(shared + list(rng.integers(1, 32000, 300)),
+                         drain=False)
+    eng.run()
     out2 = {
         "prefix_first_req_s": round(t_compile, 3),
         "prefix_miss_ttft_s": round(warm_miss, 3),

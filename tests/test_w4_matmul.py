@@ -160,3 +160,64 @@ class TestQDenseRouting:
         want = qdense(x, qw)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+# --- halves packing (round 5) ----------------------------------------------
+
+@pytest.mark.parametrize("K,N", [(1024, 512), (512, 384), (2048, 256)])
+def test_w4_matmul_halves_matches_dequant(rng, K, N):
+    """"halves" nibble layout (byte i = input rows i | k2+i): the
+    activation split becomes two static slices instead of the even/odd
+    lane gather (run42/48 traced those copies at ~0.5-0.7 ms/step).
+    Same exactness contract as pairs."""
+    from quantizedmha_tpu.quant.weights import (
+        dequantize_weight4, quantize_weight4)
+    w = jnp.asarray(rng.normal(0, 0.05, (K, N)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (5, K)), jnp.float32)
+    qh = quantize_weight4(w, group=128, packing="halves")
+    want = x @ dequantize_weight4(qh)
+    got = w4_matmul(x, qh.packed, qh.scale, group=128, packing="halves")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4 * float(jnp.abs(want).max()))
+    # pairs and halves quantize to the SAME values (packing is layout)
+    qp = quantize_weight4(w, group=128, packing="pairs")
+    np.testing.assert_array_equal(
+        np.asarray(dequantize_weight4(qp)), np.asarray(dequantize_weight4(qh)))
+
+
+def test_w4_matmul_halves_stacked_and_fused(rng):
+    from quantizedmha_tpu.quant.weights import (
+        concat_w4, dequantize_weight4, quantize_weight4)
+    K = 1024
+    w = jnp.asarray(rng.normal(0, 0.05, (3, K, 256)), jnp.float32)
+    qh = quantize_weight4(w, group=128, packing="halves")
+    x = jnp.asarray(rng.normal(0, 1, (8, K)), jnp.bfloat16)
+    for li in (0, 2):
+        got = w4_matmul(x, qh.packed, qh.scale, group=128,
+                        layer=jnp.int32(li), packing="halves")
+        want = x.astype(jnp.float32) @ dequantize_weight4(qh)[li]
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want),
+            atol=0.02 * float(jnp.abs(want).max()))
+    # fused concat keeps packing and stays exact per column
+    a = quantize_weight4(w[0], group=128, packing="halves")
+    b = quantize_weight4(w[1] * 0.3, group=128, packing="halves")
+    fused = concat_w4([a, b])
+    assert fused.packing == "halves"
+    got = w4_matmul(x, fused.packed, fused.scale, group=128,
+                    packing="halves")
+    want = jnp.concatenate(
+        [x.astype(jnp.float32) @ dequantize_weight4(a),
+         x.astype(jnp.float32) @ dequantize_weight4(b)], axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want),
+        atol=0.02 * float(jnp.abs(want).max()))
+
+
+def test_w4_matmul_halves_mixed_packing_concat_rejected(rng):
+    from quantizedmha_tpu.quant.weights import concat_w4, quantize_weight4
+    w = jnp.asarray(rng.normal(0, 0.05, (256, 128)), jnp.float32)
+    a = quantize_weight4(w, group=128, packing="pairs")
+    b = quantize_weight4(w, group=128, packing="halves")
+    with pytest.raises(ValueError, match="packing"):
+        concat_w4([a, b])
