@@ -6,16 +6,21 @@ bytes ONLY if the packed buffer is the sole weight-shaped HBM tenant.
 The XLA lowering of unpack-then-matmul fails that test (run35: the shifted
 nibble tensors materialize per step — batch-8 decode 0.975x of w8a16,
 batch-1 0.22x), so this kernel DMAs the packed [in/2, out] int8 tiles and
-unpacks in VMEM: per grid step, sign-extend the two nibble planes
-(arithmetic shifts on int8), convert to the activation dtype, run two MXU
-dots against the pre-split even/odd activation columns, and apply the
-per-(group, out-channel) scale to the ACTIVATION-shaPED partial sum.
+unpacks in VMEM: per grid step, recover the two nibble planes with float
+math (floor/fnma — Mosaic has no i8 vector shifts), fold the
+per-(group, out-channel) scales into the planes, downcast, and run two
+MXU dots against the matching activation column sets.
 
 There is no reference analog (the reference quantizes attention inputs
-only, reference mha_kernels/fa_tc_int8_b.cu:35-152); the packing layout is
-quant/weights.QuantizedWeight4's (even/odd pairs — byte i holds weight
-rows 2i | 2i+1<<4), chosen so contiguous shards of packed rows stay
-aligned with contiguous activation shards under TP row-sharding.
+only, reference mha_kernels/fa_tc_int8_b.cu:35-152); both
+quant/weights.QuantizedWeight4 packings are supported: "pairs" (byte i =
+weight rows 2i | 2i+1<<4 — contiguous shards of packed rows stay aligned
+with contiguous activation shards under TP row-sharding) and "halves"
+(byte i = rows i | k2+i<<4 — the activation split is two FREE static
+slices instead of an even/odd lane gather, which run42/48 traced at
+~0.5-0.7 ms/step of copies in 8B decode; run54 also measured the halves
+kernel faster in-kernel at its bk2=1024 default: gateup 105.6 vs 111.3
+us, down 57.8 vs 63.9).
 
 Weight-stationary it is not: x (a few decode rows) stays resident per
 step; the grid streams weight tiles exactly once — the kernel's HBM
@@ -227,6 +232,9 @@ def w4_matmul(
     activation tiles are re-fetched per n block — negligible for small R,
     quadratic-ish waste for prefill-sized R, where the XLA dequant path
     wins anyway).
+
+    packing: the QuantizedWeight4 nibble layout ("pairs" or "halves" —
+    see the module docstring); must match how `packed` was quantized.
 
     LAYER-STACKED form: packed [L, in/2, out] + scale [L, gn, out] with a
     traced i32 `layer` scalar — the whole stack flows in unsliced and the

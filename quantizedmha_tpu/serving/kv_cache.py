@@ -131,19 +131,24 @@ def append_tokens_batched_at_layer(
     v_tok: jnp.ndarray,
     page_ids: jnp.ndarray,  # [B] i32
     slots: jnp.ndarray,  # [B] i32
-    scales_rowed: bool = False,
 ) -> PagedKVCacheState:
     """append_tokens_batched against ONE layer of a layer-stacked cache,
-    without slicing the layer out, as a chain of per-lane
-    dynamic-update-slices. The update MUST NOT be a batched scatter:
-    run30's A/B measured `.at[layer, :, page_ids, slots].set(...)` at
-    B=8 forcing XLA to materialize the whole 5-D pool per layer inside
-    the scan carry (+26.5 ms/step at 8B shape — worse than the per-layer
-    slice copies it replaced), while chained single-index DUS ops alias
-    in place (the standard scan-carried KV-cache idiom; at B=1 the
-    scatter happens to lower to exactly this, which is why batch 1
-    measured neutral). Same quantization policy as append_tokens_batched
-    (page scale fitted by slot 0, later tokens clamped into it)."""
+    without slicing the layer out. Two different update disciplines, each
+    forced by a measured failure mode:
+
+    - PAGE PAYLOADS: a chain of per-lane single-index DUS ops. A batched
+      `.at[layer, :, page_ids, slots].set(...)` scatter materializes the
+      whole 5-D pool per layer inside the scan carry (run30: +26.5
+      ms/step at 8B shape); write-only DUS chains alias in place.
+    - SCALE TABLES: ONE masked plane read-modify-write + a single
+      contiguous layer-plane DUS. The per-lane RMW chain (read old scale,
+      pick, write back, x2B per layer) made XLA materialize full
+      [L, Hkv, pages] plane copies — ~16 per layer-step, 7-9 ms/step at
+      batch 32, in every layout tried (run48/48b traces).
+
+    Same quantization policy as append_tokens_batched (page scale fitted
+    by slot 0, later tokens clamped into it), bit-identical to the old
+    per-lane chain (run53b chip bisect)."""
     B, hkv, hd = k_tok.shape
     kf = k_tok.astype(jnp.float32)  # [B, Hkv, hd]
     vf = v_tok.astype(jnp.float32)
@@ -155,19 +160,17 @@ def append_tokens_batched_at_layer(
     zero = jnp.int32(0)
     # Scales may arrive PRE-COLUMNED [L, Hkv, pages, 1] (decode_loop's
     # carry layout — run33) as well as raw [L, Hkv, pages]; handle both.
-    # (scales_rowed, [L, pages, Hkv], is accepted for API completeness but
-    # the serving carry no longer uses it — run48.)
-    cols = kssa.ndim == 4 and not scales_rowed
+    # (The head-folded kernel's rowed layout never reaches appends: the
+    # serving carry stays columned and per-layer rowed VIEWS are derived
+    # in body_stacked — run48.)
+    cols = kssa.ndim == 4
 
-    # --- scale planes: ONE read-modify-write per layer, not a per-lane
-    # DUS chain. run48's b32 trace showed the 2*B-long chained scale DUS
-    # making XLA materialize full [L, Hkv, pages] plane copies (~16 per
-    # layer-step, 7-9 ms/step at batch 32) in EVERY layout it was tried
-    # in. Page ids are distinct across lanes (one sequence per lane), so
-    # the whole batch's updates compose into one masked plane update via
-    # a [Hkv, B] @ [B, pages] one-hot matmul, written back with a single
-    # contiguous layer-plane DUS that XLA aliases in place.
-    num_pages = kssa.shape[-2] if scales_rowed else kssa.shape[2]
+    # --- scale planes: ONE read-modify-write per layer (see docstring).
+    # Page ids are distinct across ACTIVE lanes (one sequence per lane),
+    # so the whole batch's updates compose into one masked plane update,
+    # written back with a single contiguous layer-plane DUS that XLA
+    # aliases in place.
+    num_pages = kssa.shape[2]
     onehot = (jnp.arange(num_pages, dtype=jnp.int32)[None, :]
               == page_ids[:, None]).astype(jnp.float32)  # [B, P]
     w = onehot * (slots == 0)[:, None].astype(jnp.float32)
@@ -177,12 +180,10 @@ def append_tokens_batched_at_layer(
     # clamped block table, same dont-care contract as the old last-lane-
     # wins behavior).
     mask = jnp.minimum(jnp.sum(w, axis=0), 1.0)  # [P] — refitted pages
-    plane_sizes = ((1, num_pages, hkv) if scales_rowed
-                   else ((1, hkv, num_pages, 1) if cols
-                         else (1, hkv, num_pages)))
-    plane_idx = ((layer, zero, zero) if scales_rowed
-                 else ((layer, zero, zero, zero) if cols
-                       else (layer, zero, zero)))
+    plane_sizes = ((1, hkv, num_pages, 1) if cols
+                   else (1, hkv, num_pages))
+    plane_idx = ((layer, zero, zero, zero) if cols
+                 else (layer, zero, zero))
 
     # Which lane refits each page (all-zero columns select lane 0 — their
     # mask is 0, so the value is never used). GATHERS, not one-hot
@@ -194,15 +195,13 @@ def append_tokens_batched_at_layer(
 
     def plane_update(ssa, fit):
         old = jax.lax.dynamic_slice(ssa, plane_idx, plane_sizes)
-        old_hp = (jnp.swapaxes(old[0], 0, 1) if scales_rowed
-                  else old.reshape(hkv, num_pages))  # [Hkv, P]
+        old_hp = old.reshape(hkv, num_pages)  # [Hkv, P]
         fit_plane = jnp.take(fit.T, sel, axis=1)  # [Hkv, P]
         new_hp = jnp.where(mask > 0.0, fit_plane, old_hp)
         # Per-lane scales actually used for quantization: gather each
         # lane's pid column.
         used = jnp.take(new_hp, page_ids, axis=1)  # [Hkv, B]
-        new = (jnp.swapaxes(new_hp, 0, 1)[None] if scales_rowed
-               else new_hp.reshape(plane_sizes))
+        new = new_hp.reshape(plane_sizes)
         return jax.lax.dynamic_update_slice(ssa, new, plane_idx), used
 
     kssa, ks_used = plane_update(kssa, k_fit)

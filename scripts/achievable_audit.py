@@ -44,11 +44,11 @@ def main():
         ("headline n8k d32 h32", bench["value"],
          dict(batch=1, heads=32, q_len=8192, kv_len=8192, head_dim=32),
          "int8_bf16pv"),
-        ("int8 n4k d64 h8", ex["int8_n4k_d64_ms"],
-         dict(batch=1, heads=8, q_len=4096, kv_len=4096, head_dim=64),
+        ("int8 n4k d64 h16", ex["int8_n4k_d64_ms"],
+         dict(batch=1, heads=16, q_len=4096, kv_len=4096, head_dim=64),
          "int8_bf16pv"),
-        ("bf16 n4k d64 h8", ex["bf16_n4k_d64_ms"],
-         dict(batch=1, heads=8, q_len=4096, kv_len=4096, head_dim=64),
+        ("bf16 n4k d64 h16", ex["bf16_n4k_d64_ms"],
+         dict(batch=1, heads=16, q_len=4096, kv_len=4096, head_dim=64),
          "bf16"),
         ("int8 n4k d128 h8", ex["int8_n4k_d128_ms"],
          dict(batch=1, heads=8, q_len=4096, kv_len=4096, head_dim=128),
