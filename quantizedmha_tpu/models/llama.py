@@ -454,11 +454,24 @@ def final_logits(cfg: LlamaConfig, x: jnp.ndarray,
                  lm_head: jnp.ndarray) -> jnp.ndarray:
     from quantizedmha_tpu.quant.weights import qdense
 
-    # lm_head may be a QuantizedWeight (per-channel int8 is standard for
-    # the output projection; it is ~18% of the w4 decode weight bytes);
-    # plain arrays pass through qdense unchanged.
-    logits = qdense(x, lm_head, mode=cfg.weight_quant_mode).astype(
-        jnp.float32)
+    # Pad the row count to the 8-row sublane quantum: below it XLA lowers
+    # the vocab projection as a VPU multiply-REDUCE instead of an MXU
+    # matmul — run56's batch-1 trace measured the int8 [1, 4096] matvec
+    # at 1.15 ms/step vs ~0.7 for the 8-row matmul form (same weight
+    # stream; the padded rows are sliced off).
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    rpad = -rows % 8 if rows < 8 else 0
+    if rpad:
+        lead = x.shape[:-1]
+        xr = jnp.pad(x.reshape(rows, x.shape[-1]), ((0, rpad), (0, 0)))
+        out = qdense(xr, lm_head, mode=cfg.weight_quant_mode)
+        logits = out[:rows].reshape(*lead, out.shape[-1]).astype(
+            jnp.float32)
+    else:
+        logits = qdense(x, lm_head, mode=cfg.weight_quant_mode).astype(
+            jnp.float32)
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap
         logits = jnp.tanh(logits / cap) * cap
