@@ -533,9 +533,12 @@ def _decode_kernel_hfold(
     # q_ref [1, Hkv, group_p, head_dim],
     # then J k-page refs + J v-page refs [(1,) Hkv, 1, page_size, head_dim]
     # int8 — ALL kv heads' copy of logical page i*J + j in ONE strided DMA,
-    # ks_ref / vs_ref [(1,) num_pages, Hkv] f32 VMEM (heads on LANES —
+    # ks_ref / vs_ref: [num_pages, Hkv] f32 VMEM (heads on LANES —
     # _scales_rows; a [Hkv, rows, 1] whole-head block would lane-pad every
-    # head's column to 512 B/row),
+    # head's column to 512 B/row). With stacked pools the scales are
+    # either layer-stacked [1, num_pages, Hkv] (LI-indexed blocks,
+    # scales_stacked=True) or a PER-LAYER [num_pages, Hkv] view the
+    # serving scan derives outside (scales_stacked=False — run48),
     # outputs: o_ref [1, Hkv, group_p, head_dim] (+ lse_ref [1, Hkv,
     # group_p, LANES]), then scratch m/l [Hkv, group_p, LANES],
     # acc [Hkv, group_p, head_dim]
