@@ -80,10 +80,10 @@ def _w4_kernel(xe_ref, y_ref, packed_ref, scale_ref, out_ref,
         lo+8  = p - 16*hi
     3 weight-shaped ops/byte after the convert, no integer vector ops.
     The +8 bias on the lo plane adds 8 * rowsum(xe_g) * scale_g to every
-    output channel; the CALLER subtracts it with one small XLA matmul
-    (x_even group-sums [R, gn] @ 8*scale [gn, out]) — cheaper and simpler
-    than an in-kernel fix, at the price of reading the scale table twice
-    (~3% of the packed payload).
+    output channel; the kernel subtracts it per step from the RESIDENT
+    activation block and scale rows (an [R, gpb] group-sum + one tiny
+    dot). The pre-round-5 caller-side correction read the whole scale
+    table a second time per call and forced an f32 output.
     """
     _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref,
              rows_per_group=rows_per_group, gpb=gpb, k_steps=k_steps,
@@ -123,6 +123,15 @@ def _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
             return scale_ref[0, pl.dslice(off, width), :]
         return scale_ref[pl.dslice(off, width), :]
 
+    # The +8 lo-plane bias is subtracted IN-KERNEL from the resident
+    # activation block and scale rows: 8 * rowsum(xe_g) @ s_lo — an
+    # [R, gpb] group-sum + one tiny dot per step. The old caller-side
+    # correction re-read the full [gn, out] scale table per call as a
+    # regular XLA operand (a second weight-scale HBM pass, and for
+    # stacked weights a materialized per-layer slice) and forced an f32
+    # kernel output to dodge cancellation; both costs disappear.
+    xsum = jnp.sum(
+        xe.astype(jnp.float32).reshape(-1, gpb, rows_per_group), axis=2)
     if gpb % 8 == 0 and (hi_scale_off % 8 == 0 or hi_scale_off == 0):
         # Scale block offsets are 8-aligned here, so ONE multi-row
         # sublane read per plane is legal — fold scales into the nibble
@@ -130,7 +139,8 @@ def _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
         # dequant) and run 2 full-contraction dots instead of 2*gpb
         # short ones. Fewer MXU issues, and the scale fold replaces gpb
         # activation mults.
-        s3_lo = srow(k * gpb, gpb)[:, None, :]
+        s_lo = srow(k * gpb, gpb)
+        s3_lo = s_lo[:, None, :]
         s3_hi = (s3_lo if hi_scale_off == 0
                  else srow(hi_scale_off + k * gpb, gpb)[:, None, :])
         wlo = (lob_f.reshape(gpb, rows_per_group, bn) * s3_lo).reshape(
@@ -143,6 +153,9 @@ def _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
         acc += jax.lax.dot_general(
             y, whi, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        acc -= 8.0 * jax.lax.dot_general(
+            xsum, s_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     else:
         hi = hi_f.astype(cdt)
         lob = lob_f.astype(cdt)
@@ -153,6 +166,7 @@ def _w4_body(xe_ref, y_ref, packed_ref, scale_ref, out_ref, acc_ref, *,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            partial_lo -= 8.0 * xsum[:, g:g + 1]
             partial_hi = jax.lax.dot_general(
                 y[:, sl], hi[sl],
                 (((1,), (0,)), ((), ())),
@@ -222,12 +236,13 @@ def w4_matmul(
 
     Exact w.r.t. quant/weights.dequantize_weight4 up to the activation
     dtype's dot rounding — with one caveat on the FOLDED-scale path
-    (gpb % 8 == 0) under bf16 activations: the +8 lo-plane bias enters the
-    accumulator through bf16-rounded (lo+8)*scale weights while the caller
-    subtracts an exact f32 bias, and since the bias magnitude (8) exceeds
-    the lo signal range (|lo| <= 7), the residual rounding error is ~2-3x
-    a plain dequant's rounding (round-4 advisor; covered by the bf16
-    tests' 2% tolerance and irrelevant for f32 activations). R is padded to a sublane multiple; weights
+    (gpb % 8 == 0) under bf16 activations: the +8 lo-plane bias enters
+    the accumulator through bf16-rounded (lo+8)*scale weights while the
+    kernel subtracts an exact f32 bias, and since the bias magnitude (8)
+    exceeds the lo signal range (|lo| <= 7), the residual rounding error
+    is ~2-3x a plain dequant's rounding (round-4 advisor; covered by the
+    bf16 tests' 2% tolerance and irrelevant for f32 activations).
+    R is padded to a sublane multiple; weights
     stream once, so the kernel is sized for DECODE row counts (the
     activation tiles are re-fetched per n block — negligible for small R,
     quadratic-ish waste for prefill-sized R, where the XLA dequant path
@@ -267,7 +282,7 @@ def w4_matmul(
         y = x[:, k2:]
         gpb = bk2 // group
         common = dict(rows_per_group=group, gpb=gpb, k_steps=k_steps,
-                      out_dtype=jnp.float32, hi_scale_off=gn // 2)
+                      out_dtype=x.dtype, hi_scale_off=gn // 2)
     else:
         # even/odd activation columns, matching the nibble planes
         xr = x.reshape(r, k2, 2)
@@ -275,11 +290,8 @@ def w4_matmul(
         y = xr[:, :, 1]
         gpb = (2 * bk2) // group  # scale groups per k step
         common = dict(rows_per_group=group // 2, gpb=gpb, k_steps=k_steps,
-                      out_dtype=jnp.float32)
-    out_shape = jax.ShapeDtypeStruct((r, out_dim), jnp.float32)
-    # f32 out: the biased accumulator is larger than the true result;
-    # rounding it to bf16 BEFORE the bias subtract would lose low bits
-    # to cancellation (the [R, out] f32 buffer is activation-sized).
+                      out_dtype=x.dtype)
+    out_shape = jax.ShapeDtypeStruct((r, out_dim), x.dtype)
     scratch = [pltpu.VMEM((r, bn), jnp.float32)]
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"))
@@ -303,8 +315,6 @@ def w4_matmul(
             compiler_params=params,
             interpret=_auto_interpret(interpret),
         )(jnp.asarray(layer, jnp.int32).reshape(1), xe, y, packed, scale)
-        scale_l = jax.lax.dynamic_index_in_dim(
-            scale, layer, 0, keepdims=False)
     else:
         out = pl.pallas_call(
             functools.partial(_w4_kernel, **common),
@@ -321,21 +331,4 @@ def w4_matmul(
             compiler_params=params,
             interpret=_auto_interpret(interpret),
         )(xe, y, packed, scale)
-        scale_l = scale
-    # The kernel's lo plane is biased (+8): every output channel carries
-    # an extra sum_g 8 * rowsum(xe_g) * scale[g] — one small f32 matmul
-    # (for stacked weights the [gn, out] scale slice is a regular XLA op
-    # and fuses into this dot).
-    if packing == "halves":
-        xsum = jnp.sum(
-            xe.astype(jnp.float32).reshape(r, gn // 2, group), axis=2)
-        bias_scale = scale_l[: gn // 2]  # lo plane = first-half groups
-    else:
-        xsum = jnp.sum(
-            xe.astype(jnp.float32).reshape(r, gn, group // 2), axis=2)
-        bias_scale = scale_l
-    bias = jax.lax.dot_general(
-        xsum, bias_scale, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [R, out]
-    out = (out - 8.0 * bias).astype(x.dtype)
     return out[:rows] if rpad else out
