@@ -352,6 +352,7 @@ def paged_decode_attention(
     layer: Optional[jnp.ndarray] = None,
     fold_kv_heads: Optional[bool] = None,
     scales_prerowed: bool = False,
+    seqs_per_step: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token attention against a paged INT8 KV cache.
@@ -448,7 +449,7 @@ def paged_decode_attention(
             interpret=interpret, stacked=stacked, group=group,
             group_p=group_p, num_pages=num_pages, page_size=page_size,
             batch=batch, num_q_heads=num_q_heads, head_dim=head_dim,
-            q_dtype=q.dtype)
+            q_dtype=q.dtype, seqs_per_step=seqs_per_step)
     kernel = functools.partial(
         _decode_kernel,
         sm_scale=scale,
@@ -530,24 +531,26 @@ def _decode_kernel_hfold(
     # (stacked only: layer_ref [1] i32 — consumed by the BlockSpec index
     # maps, dropped here)
     # inputs
-    # q_ref [1, Hkv, group_p, head_dim],
-    # then J k-page refs + J v-page refs [(1,) Hkv, 1, page_size, head_dim]
-    # int8 — ALL kv heads' copy of logical page i*J + j in ONE strided DMA,
+    # q_ref [S, Hkv, group_p, head_dim] (S = seqs_per_step),
+    # then S*J k-page refs + S*J v-page refs (s-major; operand (s, j)
+    # holds seq b*S+s's logical page i*J + j) [(1,) Hkv, 1, page_size,
+    # head_dim] int8 — ALL kv heads' copy of the page in ONE strided DMA,
     # ks_ref / vs_ref: [num_pages, Hkv] f32 VMEM (heads on LANES —
     # _scales_rows; a [Hkv, rows, 1] whole-head block would lane-pad every
     # head's column to 512 B/row). With stacked pools the scales are
     # either layer-stacked [1, num_pages, Hkv] (LI-indexed blocks,
     # scales_stacked=True) or a PER-LAYER [num_pages, Hkv] view the
     # serving scan derives outside (scales_stacked=False — run48),
-    # outputs: o_ref [1, Hkv, group_p, head_dim] (+ lse_ref [1, Hkv,
-    # group_p, LANES]), then scratch m/l [Hkv, group_p, LANES],
-    # acc [Hkv, group_p, head_dim]
+    # outputs: o_ref [S, Hkv, group_p, head_dim] (+ lse_ref [S, Hkv,
+    # group_p, LANES]), then scratch m/l [S*Hkv, group_p, LANES],
+    # acc [S*Hkv, group_p, head_dim]
     *refs,
     sm_scale: float,
     page_size: int,
     group_p: int,
     num_kv_heads: int,
     pages_per_step: int = 1,
+    seqs_per_step: int = 1,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: int = 0,
@@ -555,31 +558,35 @@ def _decode_kernel_hfold(
     stacked: bool = False,
     scales_stacked: bool = True,
 ):
-    """Head-FOLDED variant of _decode_kernel: grid (batch, page_step) with
-    the kv-head dim moved from the grid into the block. run42's trace put
-    the (batch, kv_head, page) form at 60us/layer for ~6 MB of pages at
-    batch 8 — 64 grid steps each moving one 16 KB page pair, pure per-step
-    fixed cost (~0.9us/step vs ~40ns of DMA). Folding all kv heads into
-    one strided page DMA cuts the steps 8x and turns the transfers into
-    >=128 KB slabs; the per-head online-softmax chain is a static unroll
-    over resident VMEM tiles (reference analog: fa.cu:283-359 streams KV
-    per block with the same amortization goal, one CUDA block per head —
-    on TPU the whole chip is one 'block', so heads fold into the tile)."""
+    """Head-FOLDED variant of _decode_kernel: grid (batch/S, page_step)
+    with the kv-head dim (and optionally S sequences) moved from the grid
+    into the block. run42's trace put the (batch, kv_head, page) form at
+    60us/layer for ~6 MB of pages at batch 8 — 64 grid steps each moving
+    one 16 KB page pair, pure per-step fixed cost (~0.9us/step vs ~40ns
+    of DMA). Folding all kv heads into one strided page DMA cuts the
+    steps num_kv_heads-fold (run44: 2.5-2.7x); folding seqs_per_step
+    sequences into each step cuts them again (each sequence keeps its own
+    page operands, lengths, masks, and online-softmax state — a static
+    unroll, like the head loop). Reference analog: fa.cu:283-359 streams
+    KV per block with the same amortization goal, one CUDA block per
+    (head, query tile) — on TPU the whole chip is one 'block', so heads
+    and sequences fold into the tile."""
     J = pages_per_step
+    S = seqs_per_step
     if stacked:
         refs = refs[1:]  # drop layer_ref — index maps consumed it
     q_ref = refs[0]
     refs = refs[1:]
-    k_refs = refs[:J]
-    v_refs = refs[J:2 * J]
-    ks_ref, vs_ref = refs[2 * J], refs[2 * J + 1]
-    rest = refs[2 * J + 2:]
+    k_refs = refs[:S * J]
+    v_refs = refs[S * J:2 * S * J]
+    ks_ref, vs_ref = refs[2 * S * J], refs[2 * S * J + 1]
+    rest = refs[2 * S * J + 2:]
     if stacked:
-        k_page = lambda j, h: k_refs[j][0, h, 0, :, :]
-        v_page = lambda j, h: v_refs[j][0, h, 0, :, :]
+        k_page = lambda sq, j, h: k_refs[sq * J + j][0, h, 0, :, :]
+        v_page = lambda sq, j, h: v_refs[sq * J + j][0, h, 0, :, :]
     else:
-        k_page = lambda j, h: k_refs[j][h, 0, :, :]
-        v_page = lambda j, h: v_refs[j][h, 0, :, :]
+        k_page = lambda sq, j, h: k_refs[sq * J + j][h, 0, :, :]
+        v_page = lambda sq, j, h: v_refs[sq * J + j][h, 0, :, :]
     if stacked and scales_stacked:
         read_scale = lambda ref, row, h: ref[0, row, h]
     else:  # unstacked pools, or per-layer scales beside stacked pools
@@ -592,7 +599,6 @@ def _decode_kernel_hfold(
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_steps = pl.num_programs(1)
-    length = lengths_ref[b]
     span = page_size * J
     base = i * span
     max_pages = tables_ref.shape[1]
@@ -603,106 +609,114 @@ def _decode_kernel_hfold(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    in_ctx = base < length
-    if window is not None:
-        in_win = base + span > length - window
-        if sinks:
-            in_win |= base < sinks
-        in_ctx &= in_win
-
-    @pl.when(in_ctx)
-    def _run():
-        # Logical->physical page ids and the position mask are shared by
-        # every head (one block table per sequence); compute once.
-        if J == 1:
-            pages = [tables_ref[b, jnp.minimum(i, max_pages - 1)]]
-        else:
-            last = jnp.maximum(length - 1, 0) // page_size
-            pages = [tables_ref[b, jnp.minimum(jnp.minimum(i * J + j, last),
-                                               max_pages - 1)]
-                     for j in range(J)]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (group_p, span), 1) + base
-        valid = pos < length
+    for sq in range(S):  # static unroll over the step's sequences
+        length = lengths_ref[b * S + sq]
+        in_ctx = base < length
         if window is not None:
-            in_win = pos >= length - window
+            in_win = base + span > length - window
             if sinks:
-                in_win |= pos < sinks
-            valid &= in_win
+                in_win |= base < sinks
+            in_ctx &= in_win
 
-        for h in range(num_kv_heads):  # static unroll over resident tiles
-            q = q_ref[0, h, :, :].astype(jnp.float32) * sm_scale
+        @pl.when(in_ctx)
+        def _run(sq=sq, length=length):
+            seq = b * S + sq
+            # Logical->physical page ids and the position mask are shared
+            # by every head (one block table per sequence); compute once.
             if J == 1:
-                s = jax.lax.dot_general(
-                    q, k_page(0, h).astype(jnp.float32),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_INT8_PRECISION,
-                ) * read_scale(ks_ref, pages[0], h)
+                pages = [tables_ref[seq, jnp.minimum(i, max_pages - 1)]]
             else:
-                k = jnp.concatenate(
-                    [k_page(j, h) for j in range(J)], axis=0)
-                s = jax.lax.dot_general(
-                    q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_INT8_PRECISION,
-                )
-                kcols = jnp.concatenate(
-                    [jnp.full((1, page_size),
-                              read_scale(ks_ref, pages[j], h), jnp.float32)
-                     for j in range(J)], axis=1)
-                s = s * kcols
-            if softcap is not None:
-                s = softcap * jnp.tanh(s / softcap)
-            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+                last = jnp.maximum(length - 1, 0) // page_size
+                pages = [tables_ref[seq,
+                                    jnp.minimum(jnp.minimum(i * J + j, last),
+                                                max_pages - 1)]
+                         for j in range(J)]
+            pos = jax.lax.broadcasted_iota(
+                jnp.int32, (group_p, span), 1) + base
+            valid = pos < length
+            if window is not None:
+                in_win = pos >= length - window
+                if sinks:
+                    in_win |= pos < sinks
+                valid &= in_win
 
-            m_prev = m_scratch[h, :, :1]
-            l_prev = l_scratch[h, :, :1]
-            m_curr = jnp.max(s, axis=-1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next)
-            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-            m_scratch[h, :, :] = jnp.broadcast_to(
-                m_next, m_scratch.shape[1:])
-            l_scratch[h, :, :] = jnp.broadcast_to(
-                l_next, l_scratch.shape[1:])
+            for h in range(num_kv_heads):  # static unroll, resident tiles
+                r = sq * num_kv_heads + h  # scratch row
+                q = q_ref[sq, h, :, :].astype(jnp.float32) * sm_scale
+                if J == 1:
+                    s = jax.lax.dot_general(
+                        q, k_page(sq, 0, h).astype(jnp.float32),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_INT8_PRECISION,
+                    ) * read_scale(ks_ref, pages[0], h)
+                else:
+                    k = jnp.concatenate(
+                        [k_page(sq, j, h) for j in range(J)], axis=0)
+                    s = jax.lax.dot_general(
+                        q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_INT8_PRECISION,
+                    )
+                    kcols = jnp.concatenate(
+                        [jnp.full((1, page_size),
+                                  read_scale(ks_ref, pages[j], h),
+                                  jnp.float32) for j in range(J)], axis=1)
+                    s = s * kcols
+                if softcap is not None:
+                    s = softcap * jnp.tanh(s / softcap)
+                s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
-            if J == 1:
-                pv = jax.lax.dot_general(
-                    p, v_page(0, h).astype(jnp.float32),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_INT8_PRECISION,
-                ) * read_scale(vs_ref, pages[0], h)
-            else:
-                v = jnp.concatenate(
-                    [v_page(j, h) for j in range(J)], axis=0)
-                vcols = jnp.concatenate(
-                    [jnp.full((1, page_size),
-                              read_scale(vs_ref, pages[j], h), jnp.float32)
-                     for j in range(J)], axis=1)
-                pv = jax.lax.dot_general(
-                    p * vcols, v.astype(jnp.float32),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_INT8_PRECISION,
-                )
-            acc_scratch[h, :, :] = acc_scratch[h, :, :] * alpha + pv
+                m_prev = m_scratch[r, :, :1]
+                l_prev = l_scratch[r, :, :1]
+                m_curr = jnp.max(s, axis=-1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next)
+                l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+                m_scratch[r, :, :] = jnp.broadcast_to(
+                    m_next, m_scratch.shape[1:])
+                l_scratch[r, :, :] = jnp.broadcast_to(
+                    l_next, l_scratch.shape[1:])
+
+                if J == 1:
+                    pv = jax.lax.dot_general(
+                        p, v_page(sq, 0, h).astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_INT8_PRECISION,
+                    ) * read_scale(vs_ref, pages[0], h)
+                else:
+                    v = jnp.concatenate(
+                        [v_page(sq, j, h) for j in range(J)], axis=0)
+                    vcols = jnp.concatenate(
+                        [jnp.full((1, page_size),
+                                  read_scale(vs_ref, pages[j], h),
+                                  jnp.float32) for j in range(J)], axis=1)
+                    pv = jax.lax.dot_general(
+                        p * vcols, v.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_INT8_PRECISION,
+                    )
+                acc_scratch[r, :, :] = acc_scratch[r, :, :] * alpha + pv
 
     @pl.when(i == num_steps - 1)
     def _epilogue():
-        for h in range(num_kv_heads):
-            l = l_scratch[h, :, :1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[0, h, :, :] = (
-                acc_scratch[h, :, :] * l_inv).astype(o_ref.dtype)
-            if save_residuals:
-                m = m_scratch[h, :, :1]
-                lse = jnp.where(
-                    l == 0.0, -jnp.inf,
-                    m + jnp.log(jnp.maximum(l, 1e-38)))
-                lse_ref[0, h, :, :] = jnp.broadcast_to(
-                    lse, lse_ref.shape[2:])
+        for sq in range(S):
+            for h in range(num_kv_heads):
+                r = sq * num_kv_heads + h
+                l = l_scratch[r, :, :1]
+                l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+                o_ref[sq, h, :, :] = (
+                    acc_scratch[r, :, :] * l_inv).astype(o_ref.dtype)
+                if save_residuals:
+                    m = m_scratch[r, :, :1]
+                    lse = jnp.where(
+                        l == 0.0, -jnp.inf,
+                        m + jnp.log(jnp.maximum(l, 1e-38)))
+                    lse_ref[sq, h, :, :] = jnp.broadcast_to(
+                        lse, lse_ref.shape[2:])
 
 
 def _scales_rows(scales: jnp.ndarray, num_kv_heads: int,
@@ -725,17 +739,20 @@ def _scales_rows(scales: jnp.ndarray, num_kv_heads: int,
 
 
 def _hfold_page_idx(page_size: int, window, sinks: int,
-                    pages_per_step: int, j: int, stacked: bool):
-    """_make_clamped_page_idx for the head-folded grid (batch, page_step):
-    same clamp contract (DMA elision past the true context), head block
-    coordinate pinned to 0 (the block spans ALL kv heads)."""
+                    pages_per_step: int, j: int, stacked: bool,
+                    seqs_per_step: int = 1, sq: int = 0):
+    """_make_clamped_page_idx for the head-folded grid (batch/S,
+    page_step): same clamp contract (DMA elision past the true context),
+    head block coordinate pinned to 0 (the block spans ALL kv heads).
+    Operand (sq, j) serves sequence b*S + sq's logical page i*J + j."""
 
     def page_idx(b, i, L, T, *LI):
+        seq = b * seqs_per_step + sq
         i = i * pages_per_step + j
-        last = jnp.maximum(L[b] - 1, 0) // page_size
+        last = jnp.maximum(L[seq] - 1, 0) // page_size
         ic = jnp.minimum(i, last)
         if window is not None:
-            first_win = jnp.maximum(L[b] - window, 0) // page_size
+            first_win = jnp.maximum(L[seq] - window, 0) // page_size
             lo = jnp.minimum(first_win, last)
             clamped = jnp.clip(i, lo, last)
             if sinks:
@@ -744,8 +761,8 @@ def _hfold_page_idx(page_size: int, window, sinks: int,
             else:
                 ic = clamped
         if stacked:
-            return (LI[0][0], 0, T[b, ic], 0, 0)
-        return (0, T[b, ic], 0, 0)
+            return (LI[0][0], 0, T[seq, ic], 0, 0)
+        return (0, T[seq, ic], 0, 0)
 
     return page_idx
 
@@ -755,13 +772,23 @@ def _paged_decode_attention_hfold(
     sm_scale, window, logit_softcap, attention_sinks, save_residuals,
     pages_per_step, layer, scales_prerowed, interpret, stacked, group,
     group_p, num_pages, page_size, batch, num_q_heads, head_dim, q_dtype,
+    seqs_per_step=None,
 ):
     """Launcher for _decode_kernel_hfold (see paged_decode_attention's
     fold_kv_heads doc). qg arrives already grouped/padded
-    [batch, Hkv, group_p, head_dim]."""
+    [batch, Hkv, group_p, head_dim]. seqs_per_step: fold S sequences into
+    each grid step — each keeps its own page operands, masks, and
+    online-softmax state (bitwise-identical results). Default 1: after
+    the head fold the kernel is no longer step-count-bound, and run61
+    measured S=2 at +5% at batch 8 / -5% at batch 32 (S=4 worse at
+    both) — not worth a default; kept as an explicit knob for
+    batch-heavy serving experiments."""
     num_kv_heads = qg.shape[1]
     max_pages = block_tables.shape[1]
     J = pages_per_step
+    S = seqs_per_step if seqs_per_step is not None else 1
+    if batch % S:
+        raise ValueError(f"seqs_per_step {S} must divide batch {batch}")
     per_layer_scales = stacked and k_scales.ndim == 2
     kernel = functools.partial(
         _decode_kernel_hfold,
@@ -770,6 +797,7 @@ def _paged_decode_attention_hfold(
         group_p=group_p,
         num_kv_heads=num_kv_heads,
         pages_per_step=J,
+        seqs_per_step=S,
         window=window,
         softcap=logit_softcap,
         sinks=attention_sinks,
@@ -783,14 +811,15 @@ def _paged_decode_attention_hfold(
         pl.BlockSpec(
             page_block,
             _hfold_page_idx(page_size, window, attention_sinks, J, j,
-                            stacked))
+                            stacked, seqs_per_step=S, sq=sq))
+        for sq in range(S)
         for j in range(J)
     ]
     q_block = pl.BlockSpec(
-        (1, num_kv_heads, group_p, head_dim), lambda b, i, *s: (b, 0, 0, 0))
+        (S, num_kv_heads, group_p, head_dim), lambda b, i, *s: (b, 0, 0, 0))
     out_block = q_block
     lse_block = pl.BlockSpec(
-        (1, num_kv_heads, group_p, LANES), lambda b, i, *s: (b, 0, 0, 0))
+        (S, num_kv_heads, group_p, LANES), lambda b, i, *s: (b, 0, 0, 0))
     # Stacked pools normally take layer-stacked scales ([L, pages, Hkv],
     # LI-indexed), but the serving scan hands PER-LAYER rowed scales
     # ([pages, Hkv], already sliced outside the kernel): a rowed STACKED
@@ -810,7 +839,7 @@ def _paged_decode_attention_hfold(
             (num_pages, num_kv_heads), lambda b, i, L, T: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if stacked else 2,
-        grid=(batch, -(-max_pages // J)),
+        grid=(batch // S, -(-max_pages // J)),
         in_specs=[
             q_block,
             *page_specs,
@@ -820,9 +849,9 @@ def _paged_decode_attention_hfold(
         ],
         out_specs=(out_block, lse_block) if save_residuals else out_block,
         scratch_shapes=[
-            pltpu.VMEM((num_kv_heads, group_p, LANES), jnp.float32),
-            pltpu.VMEM((num_kv_heads, group_p, LANES), jnp.float32),
-            pltpu.VMEM((num_kv_heads, group_p, head_dim), jnp.float32),
+            pltpu.VMEM((S * num_kv_heads, group_p, LANES), jnp.float32),
+            pltpu.VMEM((S * num_kv_heads, group_p, LANES), jnp.float32),
+            pltpu.VMEM((S * num_kv_heads, group_p, head_dim), jnp.float32),
         ],
     )
     o_shape = jax.ShapeDtypeStruct(
@@ -854,7 +883,8 @@ def _paged_decode_attention_hfold(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_auto_interpret(interpret),
-    )(*prefetch, qg, *([k_pages] * J), *([v_pages] * J), *srows)
+    )(*prefetch, qg, *([k_pages] * (S * J)), *([v_pages] * (S * J)),
+      *srows)
     if save_residuals:
         o, lse = out
         return (

@@ -479,3 +479,31 @@ def test_hfold_pages_per_step_sweep(rng):
     for o in outs[1:]:
         np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(o),
                                    atol=1e-5)
+
+
+def test_hfold_seqs_per_step_identical(rng):
+    """Folding S sequences per grid step (round 5) must be numerically
+    IDENTICAL: each sequence keeps its own page operands, masks, and
+    online-softmax state — only the DMA/step schedule changes."""
+    B, Hq, Hkv, D, P, MP = 4, 8, 2, 64, 16, 6
+    q = jnp.asarray(rng.normal(0, 1, (B, Hq, D)), jnp.float32)
+    kp = jnp.asarray(rng.integers(-127, 127, (Hkv, P, PAGE, D)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 127, (Hkv, P, PAGE, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.02, (Hkv, P)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.02, (Hkv, P)), jnp.float32)
+    lengths = jnp.asarray([500, 1, 700, 260], jnp.int32)
+    tables = jnp.asarray(rng.integers(0, P, (B, MP)), jnp.int32)
+    ref = paged_decode_attention(q, kp, vp, ks, vs, lengths, tables,
+                                 fold_kv_heads=False)
+    for S in (1, 2, 4):
+        for kw in (dict(), dict(window=256, attention_sinks=4)):
+            got = paged_decode_attention(
+                q, kp, vp, ks, vs, lengths, tables, fold_kv_heads=True,
+                seqs_per_step=S, **kw)
+            want = paged_decode_attention(
+                q, kp, vp, ks, vs, lengths, tables, fold_kv_heads=False,
+                **kw)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    with pytest.raises(ValueError, match="divide batch"):
+        paged_decode_attention(q, kp, vp, ks, vs, lengths, tables,
+                               fold_kv_heads=True, seqs_per_step=3)
